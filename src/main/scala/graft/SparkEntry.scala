@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analytics.{CorpusQueries, RelationalQueries, TimeSeriesQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the complete operator inventory (one entry per
+  * implemented operator family from SURVEY.md §2 + the pipeline
+  * operators from the builder brief); `oracleSql` holds the DuckDB
+  * equivalent for every SQL-expressible entry. Column names are
+  * aligned between both sides (the driver compare sorts columns by
+  * name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: the star-join wide table (SURVEY.md
+    * §2.9-2, the screener shape). Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalQueries.joinWide(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.entries ++ TimeSeriesQueries.entries ++ CorpusQueries.entries
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++ CorpusQueries.oracles
 }

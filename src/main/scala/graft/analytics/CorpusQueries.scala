@@ -1,0 +1,227 @@
+package graft.analytics
+
+import graft.Tables
+import graft.functions.{DedupFns, TextFns, VectorFns}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (builder brief: dedup, similarity search, text analysis). Oracles
+  * exist where DuckDB can express the same math; hash-identical
+  * operators that depend on xxhash64 (minhash/simhash) are rows-only
+  * checked by the driver and exactness-tested in ScalaTest instead.
+  */
+object CorpusQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Token/char statistics per document (text-analysis tier). */
+  def textStats: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    d.select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        TextFns.uniqueTokenCount(col("text")).as("n_uniq_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        round(TextFns.avgTokenLen(col("text")), 6).as("avg_token_len"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: stopword ratio, long-token ratio, composite
+    * score (Gopher/C4-style heuristics, weights pinned in TextFns). */
+  def qualityScore: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val toks = TextFns.tokens(col("text"))
+    val longRatio = when(size(toks) > 0,
+      size(filter(toks, t => length(t) >= 5)).cast("double") / size(toks))
+    d.select(col("doc_id"),
+        round(TextFns.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(longRatio, 6).as("long_ratio"),
+        round(TextFns.qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Script-heuristic language ID vs the labeled lang column —
+    * a confusion-matrix aggregate. */
+  def langConfusion: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    d.groupBy(col("lang"), TextFns.langGuess(col("text")).as("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "guess")
+  }
+
+  /** Exact dedup groups by canonical md5 fingerprint. */
+  def exactDedup: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    DedupFns.exactDedup(d, "doc_id", "text")
+      .orderBy("fp")
+  }
+
+  /** Character-trigram Jaccard similarity pairs, blocked by `source`
+    * (candidate generation never crosses blocks — the all-pairs
+    * explosion is bounded per block, the 100 TB-safe shape). */
+  def jaccardPairs: Q = (s, dir) => {
+    // Inverted-index design: |A∩B| via explode → equi-join on
+    // (source, shingle) → pair-count aggregate, |A∪B| = |A|+|B|−|∩|.
+    // Beats the array-based pairwise join ~7× here and is the shape
+    // that survives scale: no per-pair array work, and the naturally
+    // skewed (source, shingle) posting lists are handled by partial
+    // aggregation + AQE, not a low-cardinality blocked self-join.
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFns.charShinglesPacked(col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val posting = d.select(col("doc_id"), col("source"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val a = posting.as("a"); val b = posting.as("b")
+    val inter = a.join(b,
+        col("a.source") === col("b.source") && col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jac_raw",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac_raw") >= 0.5) // exact integer division — the
+      // comparison is bit-identical to the oracle; round only for output
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-3 neighbors for query vectors vec_id<5 —
+    * the exact-ANN baseline. Ranking is on the ROUNDED similarity
+    * with id tie-break so Spark and DuckDB sort identically. */
+  def cosineTopK: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val sim = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        round(VectorFns.cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    sim.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "cand_id", "rn", "cos")
+      .orderBy("q_id", "rn")
+  }
+
+  /** MinHash+LSH near-dup candidates (rows-only driver check;
+    * exactness covered by DedupSpec). */
+  def minhashDedup: Q = (s, dir) =>
+    DedupFns.minhashCandidates(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, k = 12, bands = 6, minJaccard = 0.2)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash per doc + per-source hamming-close pair count
+    * (rows-only driver check). */
+  def simhashPairs: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        DedupFns.simhash64(col("text")).as("sh"))
+      .repartition(col("source")) // materialize the 64-fold simhash
+      // once per doc at the exchange, not per joined pair
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col("a.source") === col("b.source")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        DedupFns.hamming(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-dups via hyperplane-LSH buckets (rows-only). */
+  def embeddingNearDups: Q = (s, dir) =>
+    DedupFns.embeddingNearDups(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nBits = 4, minCos = 0.35)
+      .orderBy("id_a", "id_b")
+
+  val entries: Map[String, Q] = Map(
+    "q30_text_stats" -> textStats,
+    "q31_quality_score" -> qualityScore,
+    "q32_lang_confusion" -> langConfusion,
+    "q33_exact_dedup" -> exactDedup,
+    "q34_jaccard_pairs" -> jaccardPairs,
+    "q35_cosine_topk" -> cosineTopK,
+    "q36_minhash_dedup" -> minhashDedup,
+    "q37_simhash_pairs" -> simhashPairs,
+    "q38_embedding_neardups" -> embeddingNearDups,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END
+        |   AS n_uniq_tokens,
+        | length(text) AS n_chars_actual,
+        | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_quality_score" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |  length(text) AS nc,
+        |  length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS nc_nopunct
+        | FROM documents)
+        |SELECT doc_id,
+        | round(CAST(len(list_filter(toks, t -> list_contains(
+        |   ['the','a','an','of','and','to','is','in','it','on'], t))) AS DOUBLE)
+        |   / len(toks), 6) AS stop_ratio,
+        | round(CAST(len(list_filter(toks, t -> length(t) >= 5)) AS DOUBLE)
+        |   / len(toks), 6) AS long_ratio,
+        | round(0.4 * (1.0 - CAST(len(list_filter(toks, t -> list_contains(
+        |     ['the','a','an','of','and','to','is','in','it','on'], t))) AS DOUBLE) / len(toks))
+        |  + 0.4 * (CAST(len(list_filter(toks, t -> length(t) >= 5)) AS DOUBLE) / len(toks))
+        |  + 0.2 * (1.0 - CAST(nc - nc_nopunct AS DOUBLE) / nc), 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q32_lang_confusion" ->
+      """SELECT lang,
+        | CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |      WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+        |      WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+        |      WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+        |      WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+        |      WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+        |      WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+        |      ELSE 'en' END AS guess,
+        | count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_exact_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_jaccard_pairs" ->
+      """WITH sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(generate_series(1, length(text) - 2),
+        |    i -> substr(text, i, 3))) AS s
+        | FROM documents WHERE length(text) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q35_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        | sim AS (
+        |  SELECT q_id, e.vec_id AS cand_id,
+        |   round(list_dot_product(qv, v)
+        |     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, cand_id) AS rn FROM sim)
+        |SELECT q_id, cand_id, rn, cos FROM ranked WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin,
+  )
+}

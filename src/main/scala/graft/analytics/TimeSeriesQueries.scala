@@ -1,0 +1,193 @@
+package graft.analytics
+
+import graft.Tables
+import graft.ops.{TsOps, XsOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Plane-B operator-kernel queries (SURVEY.md §2.5): the rolling /
+  * cross-sectional factor primitives applied to the `events` table
+  * (user_id = entity axis, event_id = deterministic time axis).
+  *
+  * Ordering convention: within a user, rows are ordered by
+  * `event_id` alone — it is unique and monotone with `ts`, and using
+  * it avoids Spark(µs)-vs-DuckDB(ns) timestamp truncation skew in
+  * the oracle compare.
+  *
+  * Scale: every query is a window over `partitionBy(user_id)` — one
+  * hash shuffle on the entity key, then purely partition-local sorts;
+  * this is the same plan shape at 100 TB (shuffle keyed on a
+  * high-cardinality entity id, no global sort, no collect).
+  */
+object TimeSeriesQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def w = Window.partitionBy("user_id").orderBy("event_id")
+
+  /** delay/delta (alpha101_engine.py:17-25). Value grain is 0.01 so
+    * round(·,2) is exact in both engines. */
+  def tsLagDelta: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    e.select(col("user_id"), col("event_id"), col("value"),
+        round(TsOps.delay(col("value"), 1, w), 2).as("lag1"),
+        round(TsOps.delta(col("value"), 1, w), 2).as("delta1"),
+        round(TsOps.delta(col("value"), 3, w), 2).as("delta3"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Rolling sum/mean/min/max/stddev over a 5-row trailing frame
+    * (alpha101_engine.py:37-45, 64-77). */
+  def tsRolling: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    e.select(col("user_id"), col("event_id"),
+        round(TsOps.tsSum(col("value"), 5, w), 2).as("roll_sum5"),
+        round(TsOps.tsMean(col("value"), 5, w), 6).as("roll_mean5"),
+        round(TsOps.tsMin(col("value"), 5, w), 2).as("roll_min5"),
+        round(TsOps.tsMax(col("value"), 5, w), 2).as("roll_max5"),
+        round(TsOps.tsStddev(col("value"), 5, w), 6).as("roll_std5"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Rolling Pearson correlation vs a second deterministic series
+    * (alpha101_engine.py:27-30). Both sides compute the same
+    * closed-form sums formula, so the oracle is engine-independent. */
+  def tsCorrRolling: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    val f = w.rowsBetween(-9, 0)
+    val x = col("value")
+    val y = col("event_id").cast("double")
+    val n = count(lit(1)).over(f).cast("double")
+    val sx = sum(x).over(f); val sy = sum(y).over(f)
+    val sxx = sum(x * x).over(f); val syy = sum(y * y).over(f)
+    val sxy = sum(x * y).over(f)
+    val num = n * sxy - sx * sy
+    val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+    e.select(col("user_id"), col("event_id"),
+        round(when(den > 0, num / den), 6).as("trend_corr10"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** ts_argmax / ts_argmin / ts_rank / decay_linear / product over a
+    * 5-row frame (alpha101_engine.py:47-62, 69-72, 79-84) — the
+    * collect_list+HOF kernel path. */
+  def tsArgmaxRankDecay: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    e.select(col("user_id"), col("event_id"),
+        TsOps.tsArgMax(col("value"), 5, w).as("argmax5"),
+        TsOps.tsArgMin(col("value"), 5, w).as("argmin5"),
+        round(TsOps.tsRank(col("value"), 5, w), 6).as("tsrank5"),
+        round(TsOps.decayLinear(col("value"), 5, w), 4).as("decay5"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Cross-sectional kernel (alpha101_engine.py:90-112): pandas-tie
+    * percentile rank, z-score, scale, demean — partitioned by
+    * event_type (the "trading day" axis of this dataset). */
+  def xsRankScale: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    val part = col("event_type")
+    e.select(col("event_type"), col("event_id"),
+        round(XsOps.rankPctBy(col("value"), part), 6).as("rank_pct"),
+        round(XsOps.zscore(col("value"), part), 6).as("zscore"),
+        round(XsOps.scale(col("value"), 1.0, part), 8).as("scaled"),
+        round(XsOps.demean(col("value"), part), 6).as("demeaned"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Tumbling-window event-time aggregation (batch form of the
+    * streaming plan, SURVEY.md §2.10): date_trunc → group. */
+  def eventHourly: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    e.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Recursive EMA (pandas ewm adjust=False) — not SQL-expressible,
+    * rows-only driver check; exact semantics pinned in TsOpsSpec. */
+  def emaSeries: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+      .select("user_id", "event_id", "value")
+    TsOps.ema(e, "user_id", Seq("event_id"), "value", alpha = 0.2, outCol = "ema")
+      .select(col("user_id"), col("event_id"), round(col("ema"), 6).as("ema"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val entries: Map[String, Q] = Map(
+    "q20_ts_lag_delta" -> tsLagDelta,
+    "q21_ts_rolling" -> tsRolling,
+    "q22_ts_corr_rolling" -> tsCorrRolling,
+    "q23_ts_argmax_rank_decay" -> tsArgmaxRankDecay,
+    "q24_xs_rank_scale" -> xsRankScale,
+    "q25_event_hourly" -> eventHourly,
+    "q26_ema_series" -> emaSeries,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_ts_lag_delta" ->
+      """SELECT user_id, event_id, value,
+        | round(lag(value, 1) OVER w, 2) AS lag1,
+        | round(value - lag(value, 1) OVER w, 2) AS delta1,
+        | round(value - lag(value, 3) OVER w, 2) AS delta3
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q21_ts_rolling" ->
+      """SELECT user_id, event_id,
+        | round(sum(value) OVER w, 2) AS roll_sum5,
+        | round(avg(value) OVER w, 6) AS roll_mean5,
+        | round(min(value) OVER w, 2) AS roll_min5,
+        | round(max(value) OVER w, 2) AS roll_max5,
+        | round(stddev_samp(value) OVER w, 6) AS roll_std5
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q22_ts_corr_rolling" ->
+      """WITH t AS (
+        | SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS DOUBLE) AS n,
+        |  sum(value) OVER w AS sx, sum(CAST(event_id AS DOUBLE)) OVER w AS sy,
+        |  sum(value * value) OVER w AS sxx,
+        |  sum(CAST(event_id AS DOUBLE) * CAST(event_id AS DOUBLE)) OVER w AS syy,
+        |  sum(value * CAST(event_id AS DOUBLE)) OVER w AS sxy
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        | round(CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) > 0
+        |   THEN (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+        |   END, 6) AS trend_corr10
+        |FROM t ORDER BY user_id, event_id""".stripMargin,
+    "q23_ts_argmax_rank_decay" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, value, list(value) OVER w AS l
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        | CAST(len(l) - list_indexof(l, list_aggregate(l, 'max')) AS DOUBLE) AS argmax5,
+        | CAST(len(l) - list_indexof(l, list_aggregate(l, 'min')) AS DOUBLE) AS argmin5,
+        | round(CAST(len(list_filter(l, x -> x <= value)) AS DOUBLE) / len(l), 6) AS tsrank5,
+        | round(list_sum(list_transform(l, (x, i) -> x * i))
+        |   / (len(l) * (len(l) + 1) / 2.0), 4) AS decay5
+        |FROM t ORDER BY user_id, event_id""".stripMargin,
+    "q24_xs_rank_scale" ->
+      """SELECT event_type, event_id,
+        | round((rank() OVER (PARTITION BY event_type ORDER BY value)
+        |   + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0)
+        |   / count(*) OVER (PARTITION BY event_type), 6) AS rank_pct,
+        | round((value - avg(value) OVER (PARTITION BY event_type))
+        |   / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS zscore,
+        | round(value * 1.0 / sum(abs(value)) OVER (PARTITION BY event_type), 8) AS scaled,
+        | round(value - avg(value) OVER (PARTITION BY event_type), 6) AS demeaned
+        |FROM events ORDER BY event_type, event_id""".stripMargin,
+    "q25_event_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

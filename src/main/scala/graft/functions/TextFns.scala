@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus processing
+  * (builder brief: language-ID, quality scoring, token counting,
+  * fingerprinting). Everything is a pure Column expression —
+  * codegen-friendly, no UDFs — so it runs inside whole-stage codegen
+  * at any scale.
+  */
+object TextFns {
+
+  /** Whitespace tokenization; empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length = non-whitespace chars / token count. */
+  def avgTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0, length(regexp_replace(text, "\\s", "")).cast("double") / n)
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "is", "in", "it", "on")
+
+  /** Fraction of tokens that are stopwords, in [0,1]; null for empty. */
+  def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val stopArr = array(stop.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(stopArr, t))).cast("double") / size(toks))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text))
+
+  /** Composite quality score in [0,1]: favors low stopword density,
+    * some long tokens, low punctuation (heuristic in the spirit of
+    * Gopher/C4-style quality filters; weights are explicit so the
+    * oracle can reproduce them). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val longRatio = when(size(toks) > 0,
+      size(filter(toks, t => length(t) >= 5)).cast("double") / size(toks))
+    lit(0.4) * (lit(1.0) - coalesce(stopwordRatio(text), lit(1.0))) +
+      lit(0.4) * coalesce(longRatio, lit(0.0)) +
+      lit(0.2) * (lit(1.0) - coalesce(punctRatio(text), lit(1.0)))
+  }
+
+  /** Character-class language heuristic (n-gram-free tier: script
+    * detection; ASCII text falls through to 'en'). */
+  def langGuess(text: Column): Column =
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(text.rlike("[\\u3040-\\u30ff]"), "ja")
+      .when(text.rlike("[\\u0400-\\u04ff]"), "ru")
+      .when(text.rlike("[\\u0600-\\u06ff]"), "ar")
+      .when(text.rlike("[áéíóúñ¿¡]"), "es")
+      .when(text.rlike("[äöüß]"), "de")
+      .when(text.rlike("[àâçèêëîïôùûœ]"), "fr")
+      .otherwise("en")
+
+  /** Canonical-form document fingerprint: md5 of lowercased,
+    * whitespace-collapsed text (SURVEY.md §2.8 md5 sector-id shape). */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Distinct character n-gram (shingle) set — the unit for Jaccard
+    * similarity. Pure HOF: sequence → transform → distinct. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n)))))
+
+  /** Distinct character trigrams packed into longs (3 codepoints ×
+    * 21 bits — injective up to U+1FFFFF, so set cardinality equals
+    * [[charShingles]]'s exactly). Integer array intersections are
+    * ~20× cheaper than UTF8String ones in the pairwise hot path. */
+  def charShinglesPacked(text: Column): Column =
+    when(length(text) < 3, array().cast("array<bigint>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(text) - 2), i =>
+          (ascii(text.substr(i, lit(1))).cast("bigint") * lit(1L << 42)) +
+            (ascii(text.substr(i + 1, lit(1))).cast("bigint") * lit(1L << 21)) +
+            ascii(text.substr(i + 2, lit(1))).cast("bigint"))))
+
+  /** Jaccard similarity of two shingle sets. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) > 0,
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+
+  /** Word n-gram shingles (for n-gram Jaccard dedup). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}

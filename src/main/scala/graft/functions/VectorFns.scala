@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `array<float|double>` embedding
+  * columns. Pure HOF expressions (zip_with / aggregate) — no UDFs, so
+  * the dot products stay inside codegen and the operators distribute
+  * trivially.
+  */
+object VectorFns {
+
+  /** Cast an array<float> column to array<double> for stable math. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null if either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm(a); val nb = norm(b)
+    when(na > 0 && nb > 0, d / (na * nb))
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Weighted Euclidean distance over fixed feature columns — the
+    * reference's "History Mirror" similarity kernel
+    * (`app/Quantlib/QuantDB.py:190-202`): sqrt(Σ wᵢ·(xᵢ−tᵢ)²). */
+  def weightedEuclidean(features: Seq[(Column, Double, Double)]): Column =
+    sqrt(features.map { case (c, target, wt) =>
+      pow((c - lit(target)) * lit(wt), 2)
+    }.reduce(_ + _))
+
+  /** Random-hyperplane signature bit: sign of dot(v, plane) packed by
+    * the caller. Planes are generated deterministically from a seed
+    * via a splitmix64-style hash so executors need no broadcast state. */
+  private def splitmix(seed: Long, i: Int, j: Int): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L * (i.toLong * 131071L + j + 1L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    // map to (-1, 1)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** SimHash-style LSH bucket id for a dense vector: `nBits` random
+    * hyperplane signs packed into a long. Deterministic across runs.
+    * dim must cover the vector length. */
+  def hyperplaneBucket(v: Column, dim: Int, nBits: Int, seed: Long): Column = {
+    val bits = (0 until nBits).map { b =>
+      val plane = (0 until dim).map(j => splitmix(seed, b, j))
+      val proj = aggregate(
+        zip_with(v, array(plane.map(lit): _*), (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+}

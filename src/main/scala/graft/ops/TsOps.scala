@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Time-series (rolling, per-entity) operator kernel.
+  *
+  * Re-expresses the reference's rolling operator library
+  * (`database/functions/alpha101_engine.py:17-84`, see SURVEY.md §2.5) as
+  * Spark window expressions. The time axis is row-based (trading
+  * days / event sequence), so every frame is `rowsBetween`, never
+  * `rangeBetween` (SURVEY.md §7.3-4: ragged calendars).
+  *
+  * Usage: `val w = Window.partitionBy("code").orderBy("date", "id")`
+  * then `TsOps.delta(col("close"), 5, w)`. All operators are pure
+  * Column expressions (codegen-friendly, no UDFs) except [[ema]],
+  * which is inherently recursive (SURVEY.md §7.2) and runs as a
+  * sorted per-partition pass.
+  *
+  * Conventions (pinned; see TsOpsSpec):
+  *  - trailing frame of `d` rows INCLUDING the current row;
+  *  - [[tsArgMax]]/[[tsArgMin]] return "rows since the OLDEST
+  *    occurrence of the extremum" (0 = current row is the unique max,
+  *    d-1 = extremum at window start) matching the reference report's
+  *    "days since max" reading (`Project report.md:676`);
+  *  - [[tsRank]] = (# window values <= current) / (window size), in
+  *    (0, 1]; ties count fully (ordinal-"max" convention).
+  */
+object TsOps {
+
+  /** Trailing row frame of length d ending at the current row. */
+  def trailing(w: WindowSpec, d: Int): WindowSpec = w.rowsBetween(-(d - 1), 0)
+
+  /** delay(x, d): value d rows ago (alpha101_engine.py:17-20). */
+  def delay(x: Column, d: Int, w: WindowSpec): Column = lag(x, d).over(w)
+
+  /** delta(x, d): x - delay(x, d) (alpha101_engine.py:22-25). */
+  def delta(x: Column, d: Int, w: WindowSpec): Column = x - lag(x, d).over(w)
+
+  /** Rolling sum over d rows (alpha101_engine.py:64-67). */
+  def tsSum(x: Column, d: Int, w: WindowSpec): Column = sum(x).over(trailing(w, d))
+
+  /** Rolling mean over d rows (the alpha corpus's `adv{d}` shape). */
+  def tsMean(x: Column, d: Int, w: WindowSpec): Column = avg(x).over(trailing(w, d))
+
+  /** Rolling min/max over d rows (alpha101_engine.py:37-45). */
+  def tsMin(x: Column, d: Int, w: WindowSpec): Column = min(x).over(trailing(w, d))
+  def tsMax(x: Column, d: Int, w: WindowSpec): Column = max(x).over(trailing(w, d))
+
+  /** Rolling sample stddev over d rows (alpha101_engine.py:74-77). */
+  def tsStddev(x: Column, d: Int, w: WindowSpec): Column =
+    stddev_samp(x).over(trailing(w, d))
+
+  /** Rolling Pearson correlation (alpha101_engine.py:27-30). */
+  def tsCorr(x: Column, y: Column, d: Int, w: WindowSpec): Column =
+    corr(x, y).over(trailing(w, d))
+
+  /** Rolling sample covariance (alpha101_engine.py:32-35). */
+  def tsCovar(x: Column, y: Column, d: Int, w: WindowSpec): Column =
+    covar_samp(x, y).over(trailing(w, d))
+
+  /** Rolling skewness / kurtosis (basic factor_function.md: skew_20/kurt_20). */
+  def tsSkew(x: Column, d: Int, w: WindowSpec): Column =
+    skewness(x).over(trailing(w, d))
+  def tsKurt(x: Column, d: Int, w: WindowSpec): Column =
+    kurtosis(x).over(trailing(w, d))
+
+  /** Rolling product, exact (alpha101_engine.py:69-72 uses exp(Σlog);
+    * we multiply directly via a fold so sign/zero are handled). */
+  def tsProduct(x: Column, d: Int, w: WindowSpec): Column = {
+    val arr = collect_list(x).over(trailing(w, d))
+    aggregate(arr, lit(1.0), (acc, v) => acc * v)
+  }
+
+  /** Rows since the oldest occurrence of the window max
+    * (alpha101_engine.py:47-50; convention pinned in the scaladoc). */
+  def tsArgMax(x: Column, d: Int, w: WindowSpec): Column = {
+    val arr = collect_list(x).over(trailing(w, d))
+    (size(arr) - array_position(arr, array_max(arr))).cast(DoubleType)
+  }
+
+  /** Rows since the oldest occurrence of the window min
+    * (alpha101_engine.py:52-55). */
+  def tsArgMin(x: Column, d: Int, w: WindowSpec): Column = {
+    val arr = collect_list(x).over(trailing(w, d))
+    (size(arr) - array_position(arr, array_min(arr))).cast(DoubleType)
+  }
+
+  /** Rank of the current value within its trailing window, in (0,1]
+    * (alpha101_engine.py:57-62; convention pinned in the scaladoc). */
+  def tsRank(x: Column, d: Int, w: WindowSpec): Column = {
+    val arr = collect_list(x).over(trailing(w, d))
+    val cur = element_at(arr, -1)
+    size(filter(arr, v => v <= cur)).cast(DoubleType) / size(arr).cast(DoubleType)
+  }
+
+  /** Linear-decay weighted mean: weights 1..n, newest row weight n
+    * (alpha101_engine.py:79-84). */
+  def decayLinear(x: Column, d: Int, w: WindowSpec): Column = {
+    val arr = collect_list(x).over(trailing(w, d))
+    val n = size(arr)
+    val weighted = zip_with(arr, sequence(lit(1), n), (v, wt) => v * wt)
+    aggregate(weighted, lit(0.0), (acc, v) => acc + v) /
+      (n * (n + 1) / lit(2.0))
+  }
+
+  /** Running (unbounded-preceding) sum — cumulative series. */
+  def cumSum(x: Column, w: WindowSpec): Column =
+    sum(x).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Cumulative product via the log trick for positive series
+    * (`pages/6_Sector rotation.py:154` equity curve). */
+  def cumProdPositive(x: Column, w: WindowSpec): Column =
+    exp(sum(log(x)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** Exponential moving average, recursive pandas `ewm(span, adjust=false)`
+    * semantics: y_0 = x_0; y_t = alpha*x_t + (1-alpha)*y_{t-1}.
+    *
+    * Not frame-expressible (SURVEY.md §7.3-1). Implementation: hash-
+    * repartition by key, sort each partition by (key, order), one
+    * streaming pass with O(1) state per key. Scales: no per-group
+    * materialization, partition count = shuffle parallelism.
+    *
+    * @param orderCols must totally order rows within a key.
+    */
+  def ema(df: DataFrame, keyCol: String, orderCols: Seq[String],
+          valueCol: String, alpha: Double, outCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, DoubleType, nullable = true))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var started = false
+        var state = 0.0
+        rows.map { r =>
+          val k = r.get(keyIdx)
+          if (!started || k != curKey) { curKey = k; started = true; state = Double.NaN }
+          val out: Any =
+            if (r.isNullAt(valIdx)) { if (state.isNaN) null else state }
+            else {
+              val x = r.getDouble(valIdx)
+              state = if (state.isNaN) x else alpha * x + (1 - alpha) * state
+              state
+            }
+          Row.fromSeq(r.toSeq :+ out)
+        }
+      }
+  }
+}
