@@ -187,13 +187,40 @@ object RelationalQueries {
       .orderBy("p_brand")
 
   /** A9: decile bucketing + per-group stats (cf. pages/5_Alpha
-    * lab.py:129-130 qcut→group mean). ntile over a deterministic
-    * total order; global window is fine at test scale — at 100 TB
-    * replace with approxQuantile edges + a bucketing join. */
+    * lab.py:129-130 qcut→group mean). Exact ntile(10) semantics
+    * WITHOUT the single-partition window: range-exchange on the sort
+    * key, local row_number per partition, then add per-partition
+    * offsets (a partition-count-sized aggregate, broadcast back).
+    * Global rank = offset + local rank holds for any range-boundary
+    * choice, so the plan is exact and every stage stays distributed
+    * at 100 TB (the only tiny step is the ~#partitions-row cumsum). */
   def decileStats: Q = (s, dir) => {
-    val o = Tables.load(s, dir, "orders")
-    val w = Window.orderBy("o_totalprice", "o_orderkey")
-    o.withColumn("decile", ntile(10).over(w))
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    // spark_partition_id is non-deterministic, so Catalyst cannot
+    // collapse the projection across the range exchange — pid is
+    // pinned to the range-partitioned layout.
+    val ranged = o.repartitionByRange(col("o_totalprice"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    val local = ranged.withColumn("lrn", row_number().over(localW))
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("cnt").over(offW), lit(0L)))
+      .crossJoin(counts.agg(sum("cnt").as("n_total")))
+      .select("pid", "off", "n_total")
+    // ntile(k): first (n mod k) buckets get ceil(n/k) rows, the rest
+    // floor(n/k) — reproduced arithmetically from the global rank.
+    val ranked = local.join(broadcast(offsets), "pid")
+      .withColumn("grank", col("lrn") + col("off"))
+    // exact long arithmetic (div, not double /): q = n div k, r = n % k
+    val decile = expr(
+      """CASE WHEN grank <= (n_total % 10) * (n_total div 10 + 1)
+        |     THEN (grank + (n_total div 10)) div (n_total div 10 + 1)
+        |     ELSE (n_total % 10) + (grank - (n_total % 10) * (n_total div 10 + 1)
+        |            + (n_total div 10) - 1) div (n_total div 10)
+        |END""".stripMargin)
+    ranked.withColumn("decile", decile.cast("int"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         round(avg("o_totalprice"), 4).as("avg_price"),
