@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{CorpusQueries, RelationalQueries, TimeSeriesQueries}
+import graft.analytics.{CorpusQueries, FactorQueries, RelationalQueries, TimeSeriesQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,8 +20,10 @@ object SparkEntry {
     RelationalQueries.joinWide(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.entries ++ TimeSeriesQueries.entries ++ CorpusQueries.entries
+    RelationalQueries.entries ++ TimeSeriesQueries.entries ++
+      CorpusQueries.entries ++ FactorQueries.entries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++ CorpusQueries.oracles
+    RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++
+      CorpusQueries.oracles ++ FactorQueries.oracles
 }

@@ -1,0 +1,165 @@
+package graft.analytics
+
+import graft.factors.Technical
+import graft.sources.Quotes
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver entries for the technical factor corpus (Plane B,
+  * `database/functions/basic factor_function.md:6-28`): the 21
+  * non-recursive factors of [[graft.factors.Technical]] computed over
+  * the deterministic [[graft.sources.Quotes]] panel, split into three
+  * entries so one formula mismatch doesn't zero the family.
+  *
+  * Each oracle is `WITH ${Quotes.sqlCte}, ...` — the DuckDB SQL
+  * mirrors the Spark expressions association-for-association, and
+  * both sides round to 6 decimals, so segment-tree-vs-frame-scan
+  * last-ulp divergence on the inexact intermediates (tp = /3.0,
+  * stddev, turnover) is absorbed (ADVICE.md round-3 item 3).
+  *
+  * Scale: one hash shuffle on `stock` feeds every window frame; the
+  * plan is a single WindowExec chain over that one exchange.
+  */
+object FactorQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def factors(s: SparkSession, dir: String): DataFrame =
+    Technical.compute(Quotes.panel(s, dir))
+
+  private def r6(name: String) = round(col(name), 6).as(name)
+
+  /** q40: trend block — ma / bias / boll / rsi / atr. */
+  def technicalTrend: Q = (s, dir) =>
+    factors(s, dir).select(
+      Seq(col("stock"), col("day")) ++
+        Seq("ma_5", "ma_20", "ma_60", "bias_20", "bias_60",
+          "boll_upper", "boll_lower", "rsi_14", "atr_14").map(r6): _*)
+      .orderBy("stock", "day")
+
+  /** q41: oscillator block — cci / wr / mfi / vroc / obv_slope /
+    * vwap_bias. */
+  def technicalOsc: Q = (s, dir) =>
+    factors(s, dir).select(
+      Seq(col("stock"), col("day")) ++
+        Seq("cci_14", "wr_14", "mfi_14", "vroc_20", "obv_slope_20",
+          "vwap_bias_20").map(r6): _*)
+      .orderBy("stock", "day")
+
+  /** q42: risk block — psy / ui / amihud / aroon / chop /
+    * turnover_std. */
+  def technicalRisk: Q = (s, dir) =>
+    factors(s, dir).select(
+      Seq(col("stock"), col("day")) ++
+        Seq("psy_12", "ui_14", "amihud_20", "aroon_osc_25", "chop_14",
+          "turnover_std_20").map(r6): _*)
+      .orderBy("stock", "day")
+
+  val entries: Map[String, Q] = Map(
+    "q40_factor_trend" -> technicalTrend,
+    "q41_factor_osc" -> technicalOsc,
+    "q42_factor_risk" -> technicalRisk,
+  )
+
+  /** Shared oracle prefix: the quotes CTE + the base derivation
+    * columns of Technical.compute (prev_c/delta_c/tr/tp/ret, money
+    * flow, up/dn moves, OBV) — textually mirroring the Spark side. */
+  private val baseCte: String =
+    s"""WITH ${Quotes.sqlCte},
+       |base AS (
+       |  SELECT stock, day, close, open, high, low, volume, amount, turnover,
+       |    lag(close, 1) OVER ws AS prev_c,
+       |    close - lag(close, 1) OVER ws AS delta_c,
+       |    greatest(high - low, abs(high - coalesce(lag(close, 1) OVER ws, close)),
+       |             abs(low - coalesce(lag(close, 1) OVER ws, close))) AS tr,
+       |    (high + low + close) / 3.0 AS tp,
+       |    close / nullif(lag(close, 1) OVER ws, 0) - 1.0 AS ret
+       |  FROM quotes
+       |  WINDOW ws AS (PARTITION BY stock ORDER BY day)),
+       |b2 AS (
+       |  SELECT *,
+       |    CASE WHEN tp > lag(tp, 1) OVER ws THEN tp * volume ELSE 0.0 END AS mf_pos,
+       |    CASE WHEN tp < lag(tp, 1) OVER ws THEN tp * volume ELSE 0.0 END AS mf_neg,
+       |    CASE WHEN delta_c > 0 THEN delta_c ELSE 0.0 END AS up_move,
+       |    CASE WHEN delta_c < 0 THEN -delta_c ELSE 0.0 END AS dn_move,
+       |    sum(sign(delta_c) * volume) OVER (PARTITION BY stock ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+       |  FROM base
+       |  WINDOW ws AS (PARTITION BY stock ORDER BY day))""".stripMargin
+
+  private val frames: String =
+    """f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      |f12 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+      |f14 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+      |f20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |f25 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW),
+      |f60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
+      |ws AS (PARTITION BY stock ORDER BY day)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q40_factor_trend" ->
+      s"""$baseCte
+         |SELECT stock, day,
+         | round(avg(close) OVER f5, 6) + 0.0 AS ma_5,
+         | round(avg(close) OVER f20, 6) + 0.0 AS ma_20,
+         | round(avg(close) OVER f60, 6) + 0.0 AS ma_60,
+         | round((close - avg(close) OVER f20) / nullif(avg(close) OVER f20, 0), 6) + 0.0 AS bias_20,
+         | round((close - avg(close) OVER f60) / nullif(avg(close) OVER f60, 0), 6) + 0.0 AS bias_60,
+         | round(avg(close) OVER f20 + 2.0 * stddev_samp(close) OVER f20, 6) + 0.0 AS boll_upper,
+         | round(avg(close) OVER f20 - 2.0 * stddev_samp(close) OVER f20, 6) + 0.0 AS boll_lower,
+         | round(100.0 * sum(up_move) OVER f14
+         |   / nullif(sum(up_move) OVER f14 + sum(dn_move) OVER f14, 0), 6) + 0.0 AS rsi_14,
+         | round(avg(tr) OVER f14, 6) + 0.0 AS atr_14
+         |FROM b2
+         |WINDOW $frames
+         |ORDER BY stock, day""".stripMargin,
+    "q41_factor_osc" ->
+      s"""$baseCte,
+         |b3 AS (
+         |  SELECT *,
+         |    avg(tp) OVER f14 AS tp_m,
+         |    list(tp) OVER f14 AS tp_l,
+         |    max(high) OVER f14 AS hh14,
+         |    min(low) OVER f14 AS ll14,
+         |    sum(amount) OVER f20 / nullif(sum(volume) OVER f20, 0) AS vwap20,
+         |    sum(mf_pos) OVER f14 AS smfp,
+         |    sum(mf_neg) OVER f14 AS smfn
+         |  FROM b2
+         |  WINDOW $frames)
+         |SELECT stock, day,
+         | round((tp - tp_m) / nullif(0.015 *
+         |   (list_sum(list_transform(tp_l, x -> abs(x - tp_m))) / len(tp_l)), 0), 6) + 0.0 AS cci_14,
+         | round((hh14 - close) / nullif(hh14 - ll14, 0) * -100.0, 6) + 0.0 AS wr_14,
+         | round(100.0 * smfp / nullif(smfp + smfn, 0), 6) + 0.0 AS mfi_14,
+         | round(CAST(volume AS DOUBLE)
+         |   / nullif(CAST(lag(volume, 20) OVER ws AS DOUBLE), 0) - 1.0, 6) + 0.0 AS vroc_20,
+         | round((obv - lag(obv, 20) OVER ws) / 20.0, 6) + 0.0 AS obv_slope_20,
+         | round((close - vwap20) / nullif(vwap20, 0), 6) + 0.0 AS vwap_bias_20
+         |FROM b3
+         |WINDOW ws AS (PARTITION BY stock ORDER BY day)
+         |ORDER BY stock, day""".stripMargin,
+    "q42_factor_risk" ->
+      s"""$baseCte,
+         |b4 AS (
+         |  SELECT *,
+         |    (close / nullif(max(close) OVER f14, 0) - 1.0) * 100.0 AS dd_pct,
+         |    list(low) OVER f25 AS low_l,
+         |    list(high) OVER f25 AS high_l
+         |  FROM b2
+         |  WINDOW $frames)
+         |SELECT stock, day,
+         | round(sum(CASE WHEN delta_c > 0 THEN 1.0 ELSE 0.0 END) OVER f12
+         |   / 12.0 * 100.0, 6) + 0.0 AS psy_12,
+         | round(sqrt(avg(dd_pct * dd_pct) OVER f14), 6) + 0.0 AS ui_14,
+         | round(avg(abs(ret) / nullif(amount, 0)) OVER f20 * 1e8, 6) + 0.0 AS amihud_20,
+         | round((CAST(len(low_l) - list_indexof(low_l, list_aggregate(low_l, 'min')) AS DOUBLE)
+         |      - CAST(len(high_l) - list_indexof(high_l, list_aggregate(high_l, 'max')) AS DOUBLE))
+         |   * 4.0, 6) + 0.0 AS aroon_osc_25,
+         | round(100.0 * log10(sum(tr) OVER f14
+         |   / nullif(max(high) OVER f14 - min(low) OVER f14, 0))
+         |   / ${math.log10(14.0)}, 6) + 0.0 AS chop_14,
+         | round(stddev_samp(turnover) OVER f20, 6) + 0.0 AS turnover_std_20
+         |FROM b4
+         |WINDOW $frames
+         |ORDER BY stock, day""".stripMargin,
+  )
+}

@@ -73,7 +73,6 @@ object Technical {
     val hh14 = max(col("high")).over(t(14))
     val ll14 = min(col("low")).over(t(14))
     val vwap20 = div(sum(col("amount")).over(t(20)), sum(col("volume")).over(t(20)))
-    val ddPct = (div(col("close"), max(col("close")).over(t(14))) - 1.0) * 100.0
 
     // cci mean deviation: the deviation is vs the SAME window's mean,
     // so it needs the window array (collect_list + HOF, q23 shape)
@@ -104,7 +103,11 @@ object Technical {
       .withColumn("vwap_bias_20", div(col("close") - vwap20, vwap20))
       .withColumn("psy_12",
         sum(when(col("delta_c") > 0, 1.0).otherwise(0.0)).over(t(12)) / 12.0 * 100.0)
-      .withColumn("ui_14", sqrt(avg(ddPct * ddPct).over(t(14))))
+      // drawdown must be a materialized column: a window expression
+      // can't nest inside another window aggregate's argument
+      .withColumn("dd_pct",
+        (div(col("close"), max(col("close")).over(t(14))) - 1.0) * 100.0)
+      .withColumn("ui_14", sqrt(avg(col("dd_pct") * col("dd_pct")).over(t(14))))
       .withColumn("amihud_20", avg(div(abs(col("ret")), col("amount"))).over(t(20)) * 1e8)
       .withColumn("aroon_osc_25",
         (TsOps.tsArgMin(col("low"), 25, W) - TsOps.tsArgMax(col("high"), 25, W)) * 4.0)
