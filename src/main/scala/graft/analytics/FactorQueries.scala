@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.factors.Technical
+import graft.factors.{EmaFamily, Technical}
 import graft.sources.Quotes
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -54,11 +54,40 @@ object FactorQueries {
           "turnover_std_20").map(r6): _*)
       .orderBy("stock", "day")
 
+  /** q43: the recursive EMA family — macd / kdj / trix / force /
+    * mass via [[graft.factors.EmaFamily]]'s single-pass kernel. The
+    * oracle re-derives every chain in closed form: with b = 1-a,
+    * y_t = b^t * S_t where S_t is a plain cumulative sum of
+    * c_1 = x_1/b, c_j = a*x_j*b^(-j) — so the recursion becomes
+    * window arithmetic DuckDB can run. b^(-day) stays finite for the
+    * panel's day counts (< 1700 even for a = 1/3). */
+  def emaFamilyEntry: Q = (s, dir) =>
+    EmaFamily.compute(Quotes.panel(s, dir)).select(
+      Seq(col("stock"), col("day")) ++ EmaFamily.columns.map(r6): _*)
+      .orderBy("stock", "day")
+
   val entries: Map[String, Q] = Map(
     "q40_factor_trend" -> technicalTrend,
     "q41_factor_osc" -> technicalOsc,
     "q42_factor_risk" -> technicalRisk,
+    "q43_factor_ema" -> emaFamilyEntry,
   )
+
+  /** Closed-form ewm(adjust=False) over a 1-based `day` index:
+    * y_day = b^day * cumsum(c), c_1 = x/b, c_j = a*x*b^(-j). */
+  private def emaCf(x: String, a: Double): String = {
+    val b = 1.0 - a
+    s"pow($b, day) * sum(CASE WHEN day = 1 THEN ($x) / $b" +
+      s" ELSE $a * ($x) * pow($b, -day) END) OVER cum"
+  }
+
+  /** Same, for a series whose first non-null input is day 2
+    * (force_13: fin is null on day 1). */
+  private def emaCfFrom2(x: String, a: Double): String = {
+    val b = 1.0 - a
+    s"CASE WHEN day >= 2 THEN pow($b, day - 1) * sum(CASE WHEN day = 2 THEN ($x) / $b" +
+      s" ELSE $a * ($x) * pow($b, -(day - 1)) END) OVER cum END"
+  }
 
   /** Shared oracle prefix: the quotes CTE + the base derivation
     * columns of Technical.compute (prev_c/delta_c/tr/tp/ret, money
@@ -136,6 +165,59 @@ object FactorQueries {
          | round((close - vwap20) / nullif(vwap20, 0), 6) + 0.0 AS vwap_bias_20
          |FROM b3
          |WINDOW ws AS (PARTITION BY stock ORDER BY day)
+         |ORDER BY stock, day""".stripMargin,
+    "q43_factor_ema" ->
+      s"""WITH ${Quotes.sqlCte},
+         |e0 AS (
+         |  SELECT stock, day, close, high, low, volume,
+         |    CASE WHEN max(high) OVER f9 - min(low) OVER f9 <> 0
+         |      THEN (close - min(low) OVER f9)
+         |           / (max(high) OVER f9 - min(low) OVER f9) * 100.0 END AS rsv,
+         |    (close - lag(close, 1) OVER ws) * volume AS fin,
+         |    high - low AS hl
+         |  FROM quotes
+         |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
+         |    f9 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+         |e1 AS (
+         |  SELECT *,
+         |    ${emaCf("close", EmaFamily.aMacdFast)} AS ema12,
+         |    ${emaCf("close", EmaFamily.aMacdSlow)} AS ema26,
+         |    ${emaCf("rsv", EmaFamily.aKdj)} AS kdj_k,
+         |    ${emaCf("hl", EmaFamily.aMass)} AS ema_hl,
+         |    ${emaCfFrom2("fin", EmaFamily.aForce)} AS force_13
+         |  FROM e0
+         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |e2 AS (
+         |  SELECT *,
+         |    (ema12 - ema26) * 2.0 AS macd_diff,
+         |    ${emaCf("kdj_k", EmaFamily.aKdj)} AS kdj_d,
+         |    ${emaCf("ema12", EmaFamily.aTrix)} AS t2,
+         |    ${emaCf("ema_hl", EmaFamily.aMass)} AS ema_hl2
+         |  FROM e1
+         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |e3 AS (
+         |  SELECT *,
+         |    ${emaCf("macd_diff", EmaFamily.aSignal)} AS macd_dea,
+         |    3.0 * kdj_k - 2.0 * kdj_d AS kdj_j,
+         |    ${emaCf("t2", EmaFamily.aTrix)} AS t3,
+         |    CASE WHEN ema_hl2 <> 0 THEN ema_hl / ema_hl2 END AS mass_ratio
+         |  FROM e2
+         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT stock, day,
+         | round(macd_diff, 6) + 0.0 AS macd_diff,
+         | round(macd_dea, 6) + 0.0 AS macd_dea,
+         | round(kdj_k, 6) + 0.0 AS kdj_k,
+         | round(kdj_d, 6) + 0.0 AS kdj_d,
+         | round(kdj_j, 6) + 0.0 AS kdj_j,
+         | round((t3 - lag(t3, 1) OVER ws) / nullif(lag(t3, 1) OVER ws, 0), 6) + 0.0 AS trix_12,
+         | round(force_13, 6) + 0.0 AS force_13,
+         | round(sum(mass_ratio) OVER f25, 6) + 0.0 AS mass_25
+         |FROM e3
+         |WINDOW ws AS (PARTITION BY stock ORDER BY day),
+         |  f25 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
          |ORDER BY stock, day""".stripMargin,
     "q42_factor_risk" ->
       s"""$baseCte,
