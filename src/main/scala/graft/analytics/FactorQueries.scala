@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.factors.{EmaFamily, Technical}
+import graft.factors.{EmaFamily, Momentum, Technical, Value}
 import graft.sources.Quotes
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -66,11 +66,26 @@ object FactorQueries {
       Seq(col("stock"), col("day")) ++ EmaFamily.columns.map(r6): _*)
       .orderBy("stock", "day")
 
+  /** q44: momentum block — roc / volatility / means / position /
+    * acceleration / OLS slope / volume ratio / skew / kurt. */
+  def momentumEntry: Q = (s, dir) =>
+    Momentum.compute(Quotes.panel(s, dir)).select(
+      Seq(col("stock"), col("day")) ++ Momentum.columns.map(r6): _*)
+      .orderBy("stock", "day")
+
+  /** q45: value block — size, yields, valuation z-scores. */
+  def valueEntry: Q = (s, dir) =>
+    Value.compute(Quotes.panel(s, dir)).select(
+      Seq(col("stock"), col("day")) ++ Value.columns.map(r6): _*)
+      .orderBy("stock", "day")
+
   val entries: Map[String, Q] = Map(
     "q40_factor_trend" -> technicalTrend,
     "q41_factor_osc" -> technicalOsc,
     "q42_factor_risk" -> technicalRisk,
     "q43_factor_ema" -> emaFamilyEntry,
+    "q44_factor_momentum" -> momentumEntry,
+    "q45_factor_value" -> valueEntry,
   )
 
   /** Closed-form ewm(adjust=False) over a 1-based `day` index:
@@ -218,6 +233,90 @@ object FactorQueries {
          |FROM e3
          |WINDOW ws AS (PARTITION BY stock ORDER BY day),
          |  f25 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+         |ORDER BY stock, day""".stripMargin,
+    "q44_factor_momentum" ->
+      s"""WITH ${Quotes.sqlCte},
+         |m1 AS (
+         |  SELECT stock, day, close, high, low, volume, turnover,
+         |    lag(close, 1) OVER ws AS prev_c,
+         |    close / nullif(lag(close, 1) OVER ws, 0) - 1.0 AS ret,
+         |    close / nullif(lag(close, 5) OVER ws, 0) - 1.0 AS roc_5,
+         |    close / nullif(lag(close, 20) OVER ws, 0) - 1.0 AS roc_20,
+         |    close / nullif(lag(close, 60) OVER ws, 0) - 1.0 AS roc_60
+         |  FROM quotes
+         |  WINDOW ws AS (PARTITION BY stock ORDER BY day)),
+         |m2 AS (
+         |  SELECT *,
+         |    (high - low) / nullif(prev_c, 0) AS amp,
+         |    CASE WHEN close > prev_c THEN CAST(volume AS DOUBLE) ELSE 0.0 END AS v_up,
+         |    CASE WHEN close < prev_c THEN CAST(volume AS DOUBLE) ELSE 0.0 END AS v_dn,
+         |    CASE WHEN close = prev_c THEN CAST(volume AS DOUBLE) ELSE 0.0 END AS v_fl
+         |  FROM m1),
+         |m3 AS (
+         |  SELECT *,
+         |    stddev_samp(ret) OVER f20 AS volatility_20,
+         |    avg(turnover) OVER f5 AS turnover_mean_5,
+         |    avg(amp) OVER f5 AS amplitude_mean_5,
+         |    (close - min(low) OVER f20)
+         |      / nullif(max(high) OVER f20 - min(low) OVER f20, 0) AS pos_20,
+         |    (close - min(low) OVER f60)
+         |      / nullif(max(high) OVER f60 - min(low) OVER f60, 0) AS pos_60,
+         |    roc_5 - lag(roc_5, 5) OVER ws AS mom_acc_5,
+         |    (CAST(count(*) OVER f20 AS DOUBLE) * sum(CAST(day AS DOUBLE) * close) OVER f20
+         |       - sum(CAST(day AS DOUBLE)) OVER f20 * sum(close) OVER f20)
+         |    / nullif(CAST(count(*) OVER f20 AS DOUBLE)
+         |         * sum(CAST(day AS DOUBLE) * CAST(day AS DOUBLE)) OVER f20
+         |       - sum(CAST(day AS DOUBLE)) OVER f20 * sum(CAST(day AS DOUBLE)) OVER f20, 0)
+         |      AS linear_reg_slope_20,
+         |    (sum(v_up) OVER f26 + 0.5 * sum(v_fl) OVER f26)
+         |      / nullif(sum(v_dn) OVER f26 + 0.5 * sum(v_fl) OVER f26, 0) AS vr_26,
+         |    list_filter(list(ret) OVER f20, x -> x IS NOT NULL) AS lf
+         |  FROM m2
+         |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
+         |    f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |    f20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |    f26 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         |    f60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)),
+         |m4 AS (SELECT *, len(lf) AS nn, list_sum(lf) / len(lf) AS mu FROM m3),
+         |m5 AS (
+         |  SELECT *,
+         |    list_sum(list_transform(lf, x -> (x - mu) * (x - mu))) AS c2,
+         |    list_sum(list_transform(lf, x -> (x - mu) * (x - mu) * (x - mu))) AS c3,
+         |    list_sum(list_transform(lf, x -> (x - mu) * (x - mu) * (x - mu) * (x - mu))) AS c4
+         |  FROM m4)
+         |SELECT stock, day,
+         | round(roc_5, 6) + 0.0 AS roc_5,
+         | round(roc_20, 6) + 0.0 AS roc_20,
+         | round(roc_60, 6) + 0.0 AS roc_60,
+         | round(volatility_20, 6) + 0.0 AS volatility_20,
+         | round(turnover_mean_5, 6) + 0.0 AS turnover_mean_5,
+         | round(amplitude_mean_5, 6) + 0.0 AS amplitude_mean_5,
+         | round(pos_20, 6) + 0.0 AS pos_20,
+         | round(pos_60, 6) + 0.0 AS pos_60,
+         | round(mom_acc_5, 6) + 0.0 AS mom_acc_5,
+         | round(linear_reg_slope_20, 6) + 0.0 AS linear_reg_slope_20,
+         | round(vr_26, 6) + 0.0 AS vr_26,
+         | round(CASE WHEN c2 <> 0
+         |   THEN sqrt(CAST(nn AS DOUBLE)) * c3 / sqrt(c2 * c2 * c2) END, 6) + 0.0 AS skew_20,
+         | round(CASE WHEN c2 <> 0
+         |   THEN CAST(nn AS DOUBLE) * c4 / (c2 * c2) - 3.0 END, 6) + 0.0 AS kurt_20
+         |FROM m5
+         |ORDER BY stock, day""".stripMargin,
+    "q45_factor_value" ->
+      s"""WITH ${Quotes.sqlCte}
+         |SELECT stock, day,
+         | round(ln(total_mv), 6) + 0.0 AS ln_market_cap,
+         | round(1.0 / nullif(pe, 0), 6) + 0.0 AS ep_ttm,
+         | round(1.0 / nullif(pb, 0), 6) + 0.0 AS bp_lr,
+         | round(1.0 / nullif(ps, 0), 6) + 0.0 AS sp_ttm,
+         | round(dv_ratio, 6) + 0.0 AS dividend_yield,
+         | round(pb / nullif(pe, 0), 6) + 0.0 AS roe_ttm,
+         | round((pe - avg(pe) OVER f60) / nullif(stddev_samp(pe) OVER f60, 0), 6) + 0.0
+         |   AS pe_zscore_60,
+         | round((pb - avg(pb) OVER f60) / nullif(stddev_samp(pb) OVER f60, 0), 6) + 0.0
+         |   AS pb_zscore_60
+         |FROM quotes
+         |WINDOW f60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
          |ORDER BY stock, day""".stripMargin,
     "q42_factor_risk" ->
       s"""$baseCte,
