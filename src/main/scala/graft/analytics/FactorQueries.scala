@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.factors.{EmaFamily, Momentum, Technical, Value}
+import graft.factors.{Alpha101, EmaFamily, Momentum, Technical, Value}
 import graft.sources.Quotes
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -79,6 +79,17 @@ object FactorQueries {
       Seq(col("stock"), col("day")) ++ Value.columns.map(r6): _*)
       .orderBy("stock", "day")
 
+  /** q46/q47: Alpha101 tranche 1 over the same panel. */
+  def alphaBatch1: Q = (s, dir) =>
+    Alpha101.compute(Quotes.panel(s, dir)).select(
+      Seq(col("stock"), col("day")) ++ Alpha101.batch1.map(r6): _*)
+      .orderBy("stock", "day")
+
+  def alphaBatch2: Q = (s, dir) =>
+    Alpha101.compute(Quotes.panel(s, dir)).select(
+      Seq(col("stock"), col("day")) ++ Alpha101.batch2.map(r6): _*)
+      .orderBy("stock", "day")
+
   val entries: Map[String, Q] = Map(
     "q40_factor_trend" -> technicalTrend,
     "q41_factor_osc" -> technicalOsc,
@@ -86,7 +97,109 @@ object FactorQueries {
     "q43_factor_ema" -> emaFamilyEntry,
     "q44_factor_momentum" -> momentumEntry,
     "q45_factor_value" -> valueEntry,
+    "q46_alpha_batch1" -> alphaBatch1,
+    "q47_alpha_batch2" -> alphaBatch2,
   )
+
+  // ---- Alpha101 oracle helpers (mirror Alpha101.scala stage for
+  // stage; see that file's pinned conventions) ----
+
+  /** Null-safe pandas pct rank per day (nulls last = DuckDB default,
+    * excluded from numerator and denominator). */
+  private def xrSql(x: String): String =
+    s"CASE WHEN ($x) IS NOT NULL THEN (rank() OVER (PARTITION BY day ORDER BY ($x))" +
+      s" + (count(*) OVER (PARTITION BY day, ($x)) - 1) / 2.0)" +
+      s" / count(($x)) OVER (PARTITION BY day) END"
+
+  /** Closed-form rolling Pearson corr over both-non-null pairs. */
+  private def corrSql(x: String, y: String, d: Int): String = {
+    val f = s"OVER (PARTITION BY stock ORDER BY day ROWS BETWEEN ${d - 1} PRECEDING AND CURRENT ROW)"
+    val b = s"(($x) IS NOT NULL AND ($y) IS NOT NULL)"
+    val n = s"sum(CASE WHEN $b THEN 1.0 ELSE 0.0 END) $f"
+    val sx = s"sum(CASE WHEN $b THEN ($x) END) $f"
+    val sy = s"sum(CASE WHEN $b THEN ($y) END) $f"
+    val sxx = s"sum(CASE WHEN $b THEN ($x) * ($x) END) $f"
+    val syy = s"sum(CASE WHEN $b THEN ($y) * ($y) END) $f"
+    val sxy = s"sum(CASE WHEN $b THEN ($x) * ($y) END) $f"
+    val vx = s"(($n) * ($sxx) - ($sx) * ($sx))"
+    val vy = s"(($n) * ($syy) - ($sy) * ($sy))"
+    s"CASE WHEN $vx > 1e-9 AND $vy > 1e-9" +
+      s" THEN (($n) * ($sxy) - ($sx) * ($sy)) / (sqrt($vx) * sqrt($vy)) END"
+  }
+
+  /** scipy rankdata(arr)[-1]: average-tie raw rank 1..n. */
+  private def tsRankAvgSql(x: String, d: Int): String = {
+    val f = s"OVER (PARTITION BY stock ORDER BY day ROWS BETWEEN ${d - 1} PRECEDING AND CURRENT ROW)"
+    s"CAST(len(list_filter(list($x) $f, v -> v < ($x))) AS DOUBLE)" +
+      s" + (CAST(len(list_filter(list($x) $f, v -> v = ($x))) AS DOUBLE) + 1.0) / 2.0"
+  }
+
+  /** Shared Alpha101 oracle CTE chain (stages a0..a5). */
+  private val alphaCte: String =
+    s"""WITH ${Quotes.sqlCte},
+       |a0 AS (
+       |  SELECT stock, day, industry, open, close, high, low, volume, vwap,
+       |    close / nullif(lag(close, 1) OVER ws, 0) - 1.0 AS ret,
+       |    close - lag(close, 1) OVER ws AS dc1,
+       |    CAST(volume - lag(volume, 1) OVER ws AS DOUBLE) AS dv1,
+       |    open - lag(high, 1) OVER ws AS ophl,
+       |    open - lag(close, 1) OVER ws AS opcl,
+       |    open - lag(low, 1) OVER ws AS opll,
+       |    close / nullif(open, 0) AS co,
+       |    ((close - low) - (high - close)) / nullif(close - low, 0) AS kline
+       |  FROM quotes
+       |  WINDOW ws AS (PARTITION BY stock ORDER BY day)),
+       |a1 AS (
+       |  SELECT *,
+       |    lag(dc1, 1) OVER ws AS dc1l,
+       |    sum(open) OVER f5 * sum(ret) OVER f5 AS a8base,
+       |    stddev_samp(ret) OVER f20 AS std20,
+       |    -(kline - lag(kline, 9) OVER ws) AS a53,
+       |    sum(ret * ret) OVER f250 AS s48
+       |  FROM a0
+       |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
+       |    f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       |    f20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       |    f250 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 249 PRECEDING AND CURRENT ROW)),
+       |a2 AS (
+       |  SELECT *,
+       |    a8base - lag(a8base, 10) OVER ws AS a8diff,
+       |    sign(CASE WHEN ret < 0 THEN std20 ELSE close END)
+       |      * pow(abs(CASE WHEN ret < 0 THEN std20 ELSE close END), 2.0) AS a1sig,
+       |    ${xrSql("open")} AS r_open,
+       |    ${xrSql("volume")} AS r_vol,
+       |    ${xrSql("low")} AS r_low
+       |  FROM a1
+       |  WINDOW ws AS (PARTITION BY stock ORDER BY day)),
+       |a3 AS (
+       |  SELECT *,
+       |    list_filter(list(a1sig) OVER f5, v -> v IS NOT NULL) AS a1l,
+       |    ${corrSql("r_open", "r_vol", 10)} AS corr3,
+       |    ${corrSql("open", "CAST(volume AS DOUBLE)", 10)} AS corr6,
+       |    ${tsRankAvgSql("r_low", 9)} AS tsr_low9,
+       |    ${tsRankAvgSql("close", 10)} AS tsr_close10,
+       |    ${corrSql("dc1", "dc1l", 250)} AS corr48
+       |  FROM a2
+       |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+       |a4 AS (
+       |  SELECT *,
+       |    CAST(list_indexof(a1l, list_aggregate(a1l, 'max')) - 1 AS DOUBLE) AS a1arg,
+       |    (corr48 * dc1) / nullif(close, 0) AS a48num
+       |  FROM a3),
+       |a5 AS (
+       |  SELECT *,
+       |    ${xrSql("a1arg")} AS r_a1arg,
+       |    ${xrSql("a8diff")} AS r_a8diff,
+       |    ${xrSql("ophl")} AS r_ophl,
+       |    ${xrSql("opcl")} AS r_opcl,
+       |    ${xrSql("opll")} AS r_opll,
+       |    ${xrSql("-(1.0 - open / nullif(close, 0))")} AS r_a33,
+       |    ${xrSql("tsr_close10")} AS r_tsrc10,
+       |    ${xrSql("co")} AS r_co,
+       |    ${xrSql("vwap - close")} AS r_vmc,
+       |    ${xrSql("vwap + close")} AS r_vpc,
+       |    avg(a48num) OVER (PARTITION BY day, industry) AS a48mean
+       |  FROM a4)""".stripMargin
 
   /** Closed-form ewm(adjust=False) over a 1-based `day` index:
     * y_day = b^day * cumsum(c), c_1 = x/b, c_j = a*x*b^(-j). */
@@ -317,6 +430,32 @@ object FactorQueries {
          |   AS pb_zscore_60
          |FROM quotes
          |WINDOW f60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+         |ORDER BY stock, day""".stripMargin,
+    "q46_alpha_batch1" ->
+      s"""$alphaCte
+         |SELECT stock, day,
+         | round(r_a1arg - 0.5, 6) + 0.0 AS alpha_001,
+         | round(-corr3, 6) + 0.0 AS alpha_003,
+         | round(-tsr_low9, 6) + 0.0 AS alpha_004,
+         | round(-corr6, 6) + 0.0 AS alpha_006,
+         | round(-r_a8diff, 6) + 0.0 AS alpha_008,
+         | round(sign(dv1) * (-dc1), 6) + 0.0 AS alpha_012,
+         | round((-r_ophl) * r_opcl * r_opll, 6) + 0.0 AS alpha_020
+         |FROM a5
+         |ORDER BY stock, day""".stripMargin,
+    "q47_alpha_batch2" ->
+      s"""$alphaCte
+         |SELECT stock, day,
+         | round(r_a33, 6) + 0.0 AS alpha_033,
+         | round((-r_tsrc10) * r_co, 6) + 0.0 AS alpha_038,
+         | round(pow(high * low, 0.5) - vwap, 6) + 0.0 AS alpha_041,
+         | round(r_vmc / nullif(r_vpc, 0), 6) + 0.0 AS alpha_042,
+         | round((a48num - a48mean) / nullif(s48, 0), 6) + 0.0 AS alpha_048,
+         | round(a53, 6) + 0.0 AS alpha_053,
+         | round((-(low - close) * pow(open, 5.0))
+         |   / nullif((low - high) * pow(close, 5.0), 0), 6) + 0.0 AS alpha_054,
+         | round((close - open) / (high - low + 0.001), 6) + 0.0 AS alpha_101
+         |FROM a5
          |ORDER BY stock, day""".stripMargin,
     "q42_factor_risk" ->
       s"""$baseCte,

@@ -27,6 +27,18 @@ object XsOps {
     (r + (ties - lit(1)) / lit(2.0)) / n
   }
 
+  /** Null-safe percentile rank with pandas `rank(pct=True)` NaN
+    * semantics: null inputs rank as null and are excluded from the
+    * denominator (alpha101_engine.py:90-93 over warm-up series).
+    * Nulls are ordered LAST so non-null ranks start at 1 — mirror
+    * with DuckDB's default NULLS LAST. */
+  def rankPct(x: Column, partCols: Column*): Column = {
+    val part = Window.partitionBy(partCols: _*)
+    val r = rank().over(part.orderBy(x.asc_nulls_last))
+    val ties = count(lit(1)).over(Window.partitionBy(partCols :+ x: _*))
+    when(x.isNotNull, (r + (ties - lit(1)) / lit(2.0)) / count(x).over(part))
+  }
+
   /** scale(x, a): rescale so Σ|x| = a within the partition
     * (alpha101_engine.py:95-98). */
   def scale(x: Column, a: Double, partCols: Column*): Column =
