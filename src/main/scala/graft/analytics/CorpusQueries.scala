@@ -57,34 +57,17 @@ object CorpusQueries {
       .orderBy("fp")
   }
 
-  /** Character-trigram Jaccard similarity pairs, blocked by `source`
-    * (candidate generation never crosses blocks — the all-pairs
-    * explosion is bounded per block, the 100 TB-safe shape). */
+  /** Character-trigram Jaccard similarity pairs, blocked by `source`.
+    * Candidate generation is AllPairs prefix filtering
+    * ([[DedupFns.jaccardPrefixPairs]]): EXACT (the q34 oracle's
+    * brute-force output is reproduced bit for bit) but only rare
+    * prefix shingles are indexed, so the posting-list join no longer
+    * goes quadratic on hot shingles — the round-1..3 scale-killer. */
   def jaccardPairs: Q = (s, dir) => {
-    // Inverted-index design: |A∩B| via explode → equi-join on
-    // (source, shingle) → pair-count aggregate, |A∪B| = |A|+|B|−|∩|.
-    // Beats the array-based pairwise join ~7× here and is the shape
-    // that survives scale: no per-pair array work, and the naturally
-    // skewed (source, shingle) posting lists are handled by partial
-    // aggregation + AQE, not a low-cardinality blocked self-join.
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         TextFns.charShinglesPacked(col("text")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val posting = d.select(col("doc_id"), col("source"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
-    val a = posting.as("a"); val b = posting.as("b")
-    val inter = a.join(b,
-        col("a.source") === col("b.source") && col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .withColumn("jac_raw",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac_raw") >= 0.5) // exact integer division — the
-      // comparison is bit-identical to the oracle; round only for output
+    DedupFns.jaccardPrefixPairs(d, "doc_id", "source", "sh", threshold = 0.5)
       .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
@@ -115,28 +98,29 @@ object CorpusQueries {
         shingleN = 2, k = 12, bands = 6, minJaccard = 0.2)
       .orderBy("id_a", "id_b")
 
-  /** SimHash per doc + per-source hamming-close pair count
-    * (rows-only driver check). */
+  /** SimHash per doc + per-source hamming-≤16 pairs. Pigeonhole
+    * banding (17 bands) replaces the per-source all-pairs join —
+    * exact same output ([[DedupFns.simhashBandedPairs]]), bucket-
+    * keyed join instead of O(n²/source). */
   def simhashPairs: Q = (s, dir) => {
+    // two-step: token hashes as their own (multi-referenced) column
+    // so the 64 bit-votes share one tokenize+hash pass per doc
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        DedupFns.simhash64(col("text")).as("sh"))
-      .repartition(col("source")) // materialize the 64-fold simhash
-      // once per doc at the exchange, not per joined pair
-    val a = d.as("a"); val b = d.as("b")
-    a.join(b, col("a.source") === col("b.source")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        DedupFns.hamming(col("a.sh"), col("b.sh")).as("hamming"))
-      .filter(col("hamming") <= 16)
+        DedupFns.simhashTokenHashes(col("text")).as("th"))
+      .select(col("doc_id"), col("source"),
+        DedupFns.simhash64FromHashes(col("th")).as("sh"))
+    DedupFns.simhashBandedPairs(d, "doc_id", "source", "sh", maxHamming = 16)
       .orderBy("id_a", "id_b")
   }
 
-  /** Embedding near-dups via hyperplane-LSH buckets (rows-only). */
+  /** Embedding near-dups via OR-amplified hyperplane LSH (rows-only):
+    * 3 tables × 12 bits — 4096 buckets per table bounds per-bucket
+    * population at scale; multiple tables buy recall back. */
   def embeddingNearDups: Q = (s, dir) =>
     DedupFns.embeddingNearDups(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, nBits = 4, minCos = 0.35)
+        dim = 64, nBits = 12, tables = 3, minCos = 0.35)
       .orderBy("id_a", "id_b")
 
   val entries: Map[String, Q] = Map(

@@ -1,7 +1,10 @@
 package graft.functions
 
+import graft.expressions.SortedLongIntersectCount
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Deduplication operators for large-scale corpus curation (builder
   * brief): exact, MinHash+LSH, SimHash, n-gram Jaccard. All are
@@ -12,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object DedupFns {
 
+  /** |A∩B| of two sorted long arrays via the codegen'd merge
+    * expression [[graft.expressions.SortedLongIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Exact dedup: keep the lowest-id row per canonical fingerprint.
     * One hash aggregation; scale-free. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -20,19 +29,39 @@ object DedupFns {
 
   /** MinHash signature: k permutation-hash minima over word shingles.
     * Permutations are (a·x + b) mod p over xxhash64 of the shingle —
-    * deterministic, no broadcast state. Returns array<long> of size k. */
-  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column = {
-    // p just above 2^32 and a < 1e9 keep h*a+b < 2^63: no overflow
-    // under ANSI mode (Spark 4 default).
-    val p = 4294967311L // smallest prime > 2^32
-    val hashes = transform(shingles, sh => abs(xxhash64(sh)) % p)
+    * deterministic, no broadcast state. Returns array<long> of size k.
+    *
+    * The base hashes appear ONCE in the expression tree (the k
+    * permutations fold over the same evaluated array via a nested
+    * transform), so each shingle is xxhash64'd once per row, not k
+    * times — n + k·n cheap pmods instead of k·n string hashes. */
+  /** p just above 2^32 and a < 1e9 keep h*a+b < 2^63: no overflow
+    * under ANSI mode (Spark 4 default). */
+  val minhashP = 4294967311L // smallest prime > 2^32
+
+  /** Base shingle hashes for [[minhashSignatureFromHashes]]. Callers
+    * should materialize this as its OWN column referenced by the k
+    * permutations: HOF lambdas are interpreted (no codegen, no CSE),
+    * so an inlined subtree would re-hash every shingle k times —
+    * CollapseProject keeps a multiply-referenced expensive column in
+    * its own projection, making this a one-pass computation. */
+  def minhashBaseHashes(shingles: Column): Column =
+    transform(shingles, sh => abs(xxhash64(sh)) % minhashP)
+
+  /** k permutation minima over pre-hashed shingles (cheap pmods). */
+  def minhashSignatureFromHashes(hashes: Column, k: Int, seed: Long = 42L): Column = {
     val sig = (0 until k).map { i =>
       val a = ((seed + 1) * 1299721L + i.toLong * 7919L) % 999999937L + 1L
-      val b = (seed * 31L + i.toLong * 104729L) % p
-      array_min(transform(hashes, h => pmod(h * a + b, lit(p))))
+      val b = (seed * 31L + i.toLong * 104729L) % minhashP
+      array_min(transform(hashes, h => pmod(h * a + b, lit(minhashP))))
     }
     array(sig: _*)
   }
+
+  /** MinHash signature in one expression (hashes inlined — prefer the
+    * two-step column form in pipelines; see [[minhashBaseHashes]]). */
+  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column =
+    minhashSignatureFromHashes(minhashBaseHashes(shingles), k, seed)
 
   /** LSH banding: split a k-sized signature into `bands` bands of
     * `rows` hashes and emit one (band_id, band_hash) bucket key per
@@ -56,10 +85,14 @@ object DedupFns {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 12, bands: Int = 4,
                         minJaccard: Double = 0.5): DataFrame = {
-    val withSig = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // hv is its own column, referenced k times by the signature and
+    // once by the verifier — one xxhash64 pass per doc total
+    val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("shingles", TextFns.wordShingles(col("text"), shingleN))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .withColumn("hv", minhashBaseHashes(col("shingles")))
+    val withSig = hashed
+      .withColumn("sig", minhashSignatureFromHashes(col("hv"), k))
     val buckets = lshBuckets(withSig, "doc_id", "sig", bands, k / bands)
     val a = buckets.as("a"); val b = buckets.as("b")
     val pairs = a.join(b,
@@ -67,22 +100,122 @@ object DedupFns {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sh = withSig.select(col("doc_id"), col("shingles"))
+    // verify on the packed mod-p longs with the codegen'd sorted-
+    // merge intersect (same value as jaccard over distinct arrays)
+    val sh = hashed.select(col("doc_id"),
+      array_sort(array_distinct(col("hv"))).as("shp"))
     pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
+      .join(sh.select(col("doc_id").as("id_a"), col("shp").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shp").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over word tokens: per-bit majority vote of token
-    * hashes (xxhash64). Codegen-friendly: 64 HOF folds over the token
-    * array. Near-dups share buckets on high-bit prefixes or differ in
-    * few bits (hamming distance via bit_count(xor)). */
-  def simhash64(text: Column): Column = {
-    val toks = TextFns.tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
+  /** EXACT Jaccard-similar pair mining via AllPairs prefix filtering
+    * (Bayardo et al., WWW'07 — public algorithm): if J(A,B) ≥ t, A
+    * and B must share a shingle within the first |X|−⌈t·|X|⌉+1
+    * shingles of each, under ANY shared total order. Ordering by
+    * ascending document frequency pushes the hottest shingles out of
+    * every prefix, so posting lists stay short — this replaces the
+    * quadratic all-shingle inverted index with one that only indexes
+    * rare prefix shingles, with NO false negatives (unlike LSH).
+    *
+    * Scale: df aggregation + one windowed rank per doc + a bucket-
+    * keyed join on (block, prefix shingle) — every stage is keyed on
+    * high-cardinality columns; per-shingle fan-out is bounded by the
+    * prefix property rather than data luck. */
+  def jaccardPrefixPairs(docs: DataFrame, idCol: String, blockCol: String,
+                         shinglesCol: String, threshold: Double): DataFrame = {
+    val d = docs
+      .withColumn("n_sh", size(col(shinglesCol)))
+      .filter(col("n_sh") > 0)
+    val posting = d.select(col(idCol), col(blockCol), col("n_sh"),
+      explode(col(shinglesCol)).as("shingle"))
+    val dfreq = posting.groupBy(col(blockCol), col("shingle"))
+      .agg(count(lit(1)).as("dfreq"))
+    val prefix = posting.join(dfreq, Seq(blockCol, "shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(idCol).orderBy("dfreq", "shingle")))
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    // PPJoin positional filter: a shared prefix token at positions
+    // (rk_a, rk_b) bounds the overlap by min(remaining)+1; J >= t
+    // needs overlap >= t/(1+t)*(|A|+|B|). Valid for the FIRST shared
+    // token of a pair; keeping a pair if ANY of its shared tokens
+    // passes only admits extras, never prunes a true pair.
+    val needed = (col("a.n_sh") + col("b.n_sh")) * lit(threshold / (1.0 + threshold))
+    val cand = a.join(b,
+        col(s"a.$blockCol") === col(s"b.$blockCol")
+          && col("a.shingle") === col("b.shingle")
+          && col(s"a.$idCol") < col(s"b.$idCol")
+          && (least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk"))
+            + lit(1) >= needed - lit(1e-9)))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    // verify with the codegen'd sorted-merge intersect count
+    val sh = d.select(col(idCol), array_sort(col(shinglesCol)).as("shs"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("shs").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shs").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jac_raw",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac_raw"))
+  }
+
+  /** EXACT hamming-≤-h pair mining via pigeonhole banding: split the
+    * 64-bit simhash into h+1 bands — two hashes within hamming h
+    * cannot differ in every band, so candidates = pairs sharing any
+    * (band, value) bucket. No false negatives; the all-pairs self-
+    * join becomes a bucket-keyed equi-join. */
+  def simhashBandedPairs(docs: DataFrame, idCol: String, blockCol: String,
+                         hashCol: String, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(nBands - rem)(base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val bandCols = widths.zip(offsets).zipWithIndex.map { case ((w, off), i) =>
+      struct(lit(i).as("band"),
+        shiftright(col(hashCol), off).bitwiseAND(lit((1L << w) - 1)).as("bval"))
+    }
+    val banded = docs
+      .select(col(idCol), col(blockCol), col(hashCol),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col(blockCol), col(hashCol),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val a = banded.as("a"); val b = banded.as("b")
+    // emit each pair exactly once — at its FIRST matching band — via
+    // bitwise arithmetic on the two carried hashes (no distinct
+    // shuffle): band j matches iff the xor is 0 in that band's bits
+    val xorCol = col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol"))
+    val firstMatch = widths.zip(offsets).zipWithIndex.foldRight(lit(-1)) {
+      case (((w, off), i), els) =>
+        when(shiftright(xorCol, off).bitwiseAND(lit((1L << w) - 1)) === 0L, lit(i))
+          .otherwise(els)
+    }
+    a.join(b,
+        col(s"a.$blockCol") === col(s"b.$blockCol")
+          && col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col(s"a.$idCol") < col(s"b.$idCol")
+          && col("a.band") === firstMatch)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming(col(s"a.$hashCol"), col(s"b.$hashCol")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Token hashes for [[simhash64FromHashes]] — materialize as a
+    * column so the 64 bit-votes share one tokenize+hash pass (same
+    * multi-reference rationale as [[minhashBaseHashes]]). */
+  def simhashTokenHashes(text: Column): Column =
+    transform(TextFns.tokens(text), t => xxhash64(t))
+
+  /** 64-bit SimHash: per-bit majority vote over pre-hashed tokens. */
+  def simhash64FromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { b =>
       val vote = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1))
@@ -91,23 +224,42 @@ object DedupFns {
     bits.reduce(_ bitwiseOR _)
   }
 
+  /** SimHash in one expression (token hashing inlined 64× — prefer
+    * the two-step column form in pipelines). */
+  def simhash64(text: Column): Column =
+    simhash64FromHashes(simhashTokenHashes(text))
+
   /** Hamming distance between two simhashes (Spark 3.5+: bit_count). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
-    * pairs must share a random-hyperplane bucket, then are verified
-    * with exact cosine. Brute-force all-pairs is avoided by design. */
+  /** Embedding-cosine near-duplicate pairs via OR-amplified
+    * hyperplane LSH: `tables` independent nBits-bucket tables (one
+    * exploded row per table), candidates = pairs sharing a bucket in
+    * ANY table, verified with exact cosine. nBits controls per-bucket
+    * size (2^nBits buckets per table, so per-bucket population is
+    * n/2^nBits and shrinks as nBits grows); `tables` buys back the
+    * recall that narrow buckets cost. Approximate by design — the
+    * exact baseline is the brute-force cosine top-k (q35). */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, nBits: Int = 12, minCos: Double = 0.95,
-                        seed: Long = 42L): DataFrame = {
+                        dim: Int, nBits: Int = 12, tables: Int = 3,
+                        minCos: Double = 0.95, seed: Long = 42L): DataFrame = {
     val v = emb.select(col(idCol).as("vec_id"),
-        VectorFns.asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", VectorFns.hyperplaneBucket(col("v"), dim, nBits, seed))
-    val a = v.as("a"); val b = v.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", VectorFns.cosine(col("a.v"), col("b.v")))
-      .filter(col("cos") >= minCos)
+      VectorFns.asDouble(col(vecCol)).as("v"))
+    val tableCols = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        VectorFns.hyperplaneBucket(col("v"), dim, nBits, seed + 1000L * t).as("bucket"))
+    }
+    val bucketed = v
+      .select(col("vec_id"), col("v"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("v"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
+        && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(col("cos"), 6).as("cos"))
+        VectorFns.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .distinct()
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 }

@@ -84,26 +84,47 @@ object TextFns {
   /** Distinct character trigrams packed into longs (3 codepoints ×
     * 21 bits — injective up to U+1FFFFF, so set cardinality equals
     * [[charShingles]]'s exactly). Integer array intersections are
-    * ~20× cheaper than UTF8String ones in the pairwise hot path. */
-  def charShinglesPacked(text: Column): Column =
+    * ~20× cheaper than UTF8String ones in the pairwise hot path.
+    *
+    * The text is split into a char array ONCE and indexed with O(1)
+    * element_at: `substr(text, i, 1)` on UTF8String is an O(i)
+    * variable-width seek, which makes naive shingling O(len²)/doc. */
+  def charShinglesPacked(text: Column): Column = {
+    // three shifted views zipped pairwise: each zip_with/slice input
+    // is evaluated once per row (HOF lambda bodies are interpreted
+    // and re-evaluate per element, so no element_at(chars, i) there)
+    // one codepoint per split element, so length(text) - 2 is the
+    // shingle count (avoids re-splitting for a size() call)
+    def cs(off: Int): Column = slice(split(text, ""), lit(off), length(text) - 2)
+    def cp(c: Column): Column = ascii(c).cast("bigint")
     when(length(text) < 3, array().cast("array<bigint>"))
       .otherwise(array_distinct(
-        transform(sequence(lit(1), length(text) - 2), i =>
-          (ascii(text.substr(i, lit(1))).cast("bigint") * lit(1L << 42)) +
-            (ascii(text.substr(i + 1, lit(1))).cast("bigint") * lit(1L << 21)) +
-            ascii(text.substr(i + 2, lit(1))).cast("bigint"))))
+        zip_with(
+          zip_with(cs(1), cs(2), (a, b) =>
+            cp(a) * lit(1L << 42) + cp(b) * lit(1L << 21)),
+          cs(3),
+          (ab, c) => ab + cp(c))))
+  }
 
   /** Jaccard similarity of two shingle sets. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) > 0,
       size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
-  /** Word n-gram shingles (for n-gram Jaccard dedup). */
+  /** Word n-gram shingles (for n-gram Jaccard dedup). Built from n
+    * shifted slices zipped pairwise — `slice(toks, i, n)` inside a
+    * transform lambda would re-tokenize the text per element
+    * (interpreted HOF bodies re-evaluate everything). */
   def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    def ts(off: Int): Column = {
+      val toks = tokens(text)
+      slice(toks, lit(off), size(toks) - (n - 1))
+    }
+    val grams =
+      if (n == 1) tokens(text)
+      else (2 to n).foldLeft(ts(1))((acc, k) =>
+        zip_with(acc, ts(k), (a, b) => concat(a, lit(" "), b)))
+    when(size(tokens(text)) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(grams))
   }
 }

@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exactness proofs for the dedup kernels: the prefix-filtered
+  * Jaccard miner and the banded simhash miner must reproduce their
+  * brute-force equivalents EXACTLY (no false negatives — that is the
+  * design claim that lets q34 keep a DuckDB oracle). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-corpus: 40 docs in 2 blocks, with planted
+  // near-duplicates (shared long prefixes) and unrelated noise
+  private lazy val docs = {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = (0 until 40).map { i =>
+      val block = s"src${i % 2}"
+      val text =
+        if (i % 10 == 3) base + s" tail$i"                  // near-dups of each other
+        else if (i % 10 == 7) base.toUpperCase + s" T$i"    // second dup family
+        else s"document $i carries words w${i}a w${i * 7 % 13}b w${i * 31 % 17}c unique"
+      (i.toLong, block, text)
+    }
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  private lazy val shingled = docs.select(col("doc_id"), col("source"),
+    TextFns.charShinglesPacked(col("text")).as("sh"))
+
+  private def bruteJaccard(t: Double): Set[(Long, Long)] = {
+    val d = shingled.filter(size(col("sh")) > 0)
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
+      .withColumn("j", col("inter") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+      .filter(col("j") >= t)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("jaccardPrefixPairs == brute force at t=0.5 (exactness)") {
+    val got = DedupFns.jaccardPrefixPairs(shingled, "doc_id", "source", "sh", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bruteJaccard(0.5))
+    assert(got.nonEmpty) // the planted families must surface
+  }
+
+  test("jaccardPrefixPairs == brute force at t=0.8") {
+    val got = DedupFns.jaccardPrefixPairs(shingled, "doc_id", "source", "sh", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bruteJaccard(0.8))
+  }
+
+  test("simhashBandedPairs == brute force hamming<=16 (pigeonhole)") {
+    val d = docs.select(col("doc_id"), col("source"),
+      DedupFns.simhash64(col("text")).as("sh"))
+    val a = d.as("a"); val b = d.as("b")
+    val brute = a.join(b,
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        DedupFns.hamming(col("a.sh"), col("b.sh")).as("h"))
+      .filter(col("h") <= 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("h"))).toSet
+    val got = DedupFns.simhashBandedPairs(d, "doc_id", "source", "sh", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("minhash LSH candidates find the planted dup families") {
+    val got = DedupFns.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 2, k = 12, bands = 6, minJaccard = 0.2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the i%10==3 family shares almost all word bigrams
+    assert(got.contains((3L, 13L)) && got.contains((13L, 23L)))
+    // unrelated noise docs must not pair
+    assert(!got.exists { case (x, y) => x % 10 != y % 10 })
+  }
+
+  test("exactDedup keeps min id per fingerprint") {
+    val dups = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = DedupFns.exactDedup(dups, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L))) // (keep_id, n_copies)
+  }
+}
