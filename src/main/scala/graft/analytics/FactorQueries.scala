@@ -3,6 +3,7 @@ package graft.analytics
 import graft.factors.{Alpha101, EmaFamily, Momentum, Technical, Value}
 import graft.sources.Quotes
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver entries for the technical factor corpus (Plane B,
@@ -90,6 +91,56 @@ object FactorQueries {
       Seq(col("stock"), col("day")) ++ Alpha101.batch2.map(r6): _*)
       .orderBy("stock", "day")
 
+  /** q48: the flagship "History Mirror" similarity search
+    * (`app/Quantlib/QuantDB.py:190-205`): weighted-Euclidean top-k
+    * over the (rsi_14, bias_20, cci_14) technical vector of a target
+    * (stock 7, day 40), searched over all strictly-earlier rows.
+    * Target broadcast; TakeOrderedAndProject top-k — no global sort.
+    * Ranking is on the ROUNDED distance with (stock, day) tie-break
+    * so both engines pick the same 5 rows. */
+  def similaritySearch: Q = (s, dir) => {
+    val f = Technical.compute(Quotes.panel(s, dir))
+      .select(col("stock"), col("day"), col("rsi_14"), col("cci_14"), col("bias_20"))
+    val tgt = f.filter(col("stock") === 7 && col("day") === 40)
+      .select(col("rsi_14").as("t_rsi"), col("cci_14").as("t_cci"),
+        col("bias_20").as("t_bias"))
+    val dist = graft.functions.VectorFns.weightedEuclideanCols(Seq(
+      (col("rsi_14"), col("t_rsi"), 1.0),
+      (col("bias_20"), col("t_bias"), 5.0),
+      (col("cci_14"), col("t_cci"), 0.5)))
+    f.filter(col("day") < 40)
+      .filter(col("rsi_14").isNotNull && col("bias_20").isNotNull
+        && col("cci_14").isNotNull)
+      .crossJoin(broadcast(tgt))
+      .withColumn("dist", round(dist, 6))
+      .orderBy(col("dist"), col("stock"), col("day"))
+      .limit(5)
+      .select("stock", "day", "dist")
+  }
+
+  /** q49: kline replay around an anchor day
+    * (`app/Quantlib/QuantDB.py:207-224`): day-offset re-index in
+    * [-10, +20] around day 30 per stock, close normalized to the
+    * anchor close AND to the series' first value (V1 normalize-to-
+    * first window, `pages/1_Market overview.py:81`). The anchor join
+    * is keyed on the stock shuffle; no per-stock driver loops. */
+  def klineReplay: Q = (s, dir) => {
+    val q = Quotes.panel(s, dir).select("stock", "day", "close")
+    val wCum = Window.partitionBy("stock").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val anchors = q.filter(col("day") === 30)
+      .select(col("stock"), col("close").as("c0"))
+    q.withColumn("norm_first",
+        round(col("close") / first(col("close")).over(wCum), 6))
+      .join(anchors, "stock")
+      .withColumn("day_offset", col("day") - 30)
+      .filter(col("day_offset").between(-10, 20))
+      .withColumn("norm_close", round(col("close") / col("c0"), 6))
+      .select(col("stock"), col("day"), col("day_offset"),
+        round(col("close"), 6).as("close"), col("norm_close"), col("norm_first"))
+      .orderBy("stock", "day")
+  }
+
   val entries: Map[String, Q] = Map(
     "q40_factor_trend" -> technicalTrend,
     "q41_factor_osc" -> technicalOsc,
@@ -99,6 +150,8 @@ object FactorQueries {
     "q45_factor_value" -> valueEntry,
     "q46_alpha_batch1" -> alphaBatch1,
     "q47_alpha_batch2" -> alphaBatch2,
+    "q48_similarity_search" -> similaritySearch,
+    "q49_kline_replay" -> klineReplay,
   )
 
   // ---- Alpha101 oracle helpers (mirror Alpha101.scala stage for
@@ -431,6 +484,47 @@ object FactorQueries {
          |FROM quotes
          |WINDOW f60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
          |ORDER BY stock, day""".stripMargin,
+    "q48_similarity_search" ->
+      s"""$baseCte,
+         |f2 AS (
+         |  SELECT stock, day, close, tp,
+         |    100.0 * sum(up_move) OVER f14
+         |      / nullif(sum(up_move) OVER f14 + sum(dn_move) OVER f14, 0) AS rsi,
+         |    (close - avg(close) OVER f20) / nullif(avg(close) OVER f20, 0) AS bias,
+         |    avg(tp) OVER f14 AS tp_m,
+         |    list(tp) OVER f14 AS tp_l
+         |  FROM b2
+         |  WINDOW $frames),
+         |f3 AS (
+         |  SELECT stock, day, rsi, bias,
+         |    (tp - tp_m) / nullif(0.015 *
+         |      (list_sum(list_transform(tp_l, x -> abs(x - tp_m))) / len(tp_l)), 0) AS cci
+         |  FROM f2),
+         |tgt AS (
+         |  SELECT rsi AS t_rsi, cci AS t_cci, bias AS t_bias
+         |  FROM f3 WHERE stock = 7 AND day = 40)
+         |SELECT stock, day,
+         | round(sqrt(pow((rsi - t_rsi) * 1.0, 2) + pow((bias - t_bias) * 5.0, 2)
+         |   + pow((cci - t_cci) * 0.5, 2)), 6) + 0.0 AS dist
+         |FROM f3 CROSS JOIN tgt
+         |WHERE day < 40 AND rsi IS NOT NULL AND bias IS NOT NULL AND cci IS NOT NULL
+         |ORDER BY dist, stock, day
+         |LIMIT 5""".stripMargin,
+    "q49_kline_replay" ->
+      s"""WITH ${Quotes.sqlCte},
+         |nf AS (
+         |  SELECT stock, day, close,
+         |    round(close / first_value(close) OVER (PARTITION BY stock ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS norm_first
+         |  FROM quotes),
+         |anchors AS (SELECT stock, close AS c0 FROM quotes WHERE day = 30)
+         |SELECT nf.stock, nf.day, nf.day - 30 AS day_offset,
+         | round(nf.close, 6) + 0.0 AS close,
+         | round(nf.close / nullif(c0, 0), 6) + 0.0 AS norm_close,
+         | norm_first
+         |FROM nf JOIN anchors ON nf.stock = anchors.stock
+         |WHERE nf.day - 30 BETWEEN -10 AND 20
+         |ORDER BY nf.stock, nf.day""".stripMargin,
     "q46_alpha_batch1" ->
       s"""$alphaCte
          |SELECT stock, day,

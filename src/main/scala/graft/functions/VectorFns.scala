@@ -32,8 +32,13 @@ object VectorFns {
     * reference's "History Mirror" similarity kernel
     * (`app/Quantlib/QuantDB.py:190-202`): sqrt(Σ wᵢ·(xᵢ−tᵢ)²). */
   def weightedEuclidean(features: Seq[(Column, Double, Double)]): Column =
+    weightedEuclideanCols(features.map { case (c, t, w) => (c, lit(t), w) })
+
+  /** Same kernel with data-driven targets (the target vector joined
+    * in from the factor table rather than literal). */
+  def weightedEuclideanCols(features: Seq[(Column, Column, Double)]): Column =
     sqrt(features.map { case (c, target, wt) =>
-      pow((c - lit(target)) * lit(wt), 2)
+      pow((c - target) * lit(wt), 2)
     }.reduce(_ + _))
 
   /** Random-hyperplane signature bit: sign of dot(v, plane) packed by
