@@ -46,10 +46,82 @@ object RelationalQueries {
       count(lit(1)).as("n"),
       sum("l_quantity").as("sum_qty"),
       round(avg("l_extendedprice"), 4).as("avg_price"),
+      round(median(col("l_quantity")), 4).as("median_qty"),
+      round(median(col("l_extendedprice")), 4).as("median_price"),
       count(when(col("l_discount") > 0.05, 1)).as("n_disc_hi"),
       count(when(col("l_discount") < 0.01, 1)).as("n_disc_lo"),
       date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
       date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_ship"))
+  }
+
+  /** J1 proper: the 6-way NULL-PRESERVING left-join wide table with a
+    * LIMIT cap (QuantDB.py:158-179 screener semantics — customers
+    * with no orders keep null feature columns, nothing coalesced).
+    * Includes X6 code normalization (`_fix_code`: zero-pad + market
+    * suffix). Feature aggregates shuffle on custkey; dims broadcast. */
+  def leftWide: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    val oAgg = o.groupBy(col("o_custkey").as("k1"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    val hvAgg = o.filter(col("o_totalprice") > 250000)
+      .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("n_big"))
+    val liAgg = li.join(o.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("k3")).agg(sum("l_quantity").as("total_qty"))
+    val code = lpad(col("c_custkey").cast("string"), 6, "0")
+    c.join(oAgg, col("c_custkey") === col("k1"), "left")
+      .join(hvAgg, col("c_custkey") === col("k2"), "left")
+      .join(liAgg, col("c_custkey") === col("k3"), "left")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("c_custkey"),
+        concat(code, when(substring(code, 1, 1) === "6", ".SH").otherwise(".SZ"))
+          .as("norm_code"),
+        col("n_name"), col("r_name"), col("n_orders"), col("revenue"),
+        col("n_big"), col("total_qty"))
+      .orderBy("c_custkey")
+      .limit(100)
+  }
+
+  /** J9: FULL OUTER join of two monthly aggregates (sentiment-ETL
+    * merge shape, `Project report.md:736`) — unmatched months keep
+    * nulls on the absent side. */
+  def fullOuterMonths: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("order_value"))
+    val li = Tables.load(s, dir, "lineitem")
+      .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_ship_items"), sum("l_quantity").as("ship_qty"))
+    o.join(li, Seq("month"), "full_outer")
+      .orderBy("month")
+  }
+
+  /** X4/X5: streak-digit regexp parse (main.py:76-80) + monetary text
+    * parse ("12.5万" → float): a deterministic money string is built
+    * from the price, then parsed back with regexp + unit multiplier —
+    * the reference's 亿/万 ingestion kernel end-to-end. */
+  def textParse: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val parsed = o
+      .withColumn("streak",
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).cast("int"))
+      .withColumn("money_str",
+        when(col("o_totalprice") >= 100000,
+          concat(round(col("o_totalprice") / 10000.0, 2).cast("string"), lit("万")))
+          .otherwise(round(col("o_totalprice"), 2).cast("string")))
+      .withColumn("parsed",
+        regexp_extract(col("money_str"), "^([0-9.]+)", 1).cast("double") *
+          when(col("money_str").contains("万"), 10000.0).otherwise(1.0))
+    parsed.groupBy("streak")
+      .agg(count(lit(1)).as("n"),
+        round(sum("parsed") / 1e6, 4).as("total_m"),
+        count(when(col("money_str").contains("万"), 1)).as("n_wan"))
+      .orderBy("streak")
   }
 
   /** P1/P2/P5: projection + equality/range predicates that must reach
@@ -314,6 +386,9 @@ object RelationalQueries {
     "q17_corr_stats" -> corrStats,
     "q18_spearman_ic" -> spearmanIc,
     "q19_price_histogram" -> priceHistogram,
+    "q50_left_wide" -> leftWide,
+    "q51_full_outer_months" -> fullOuterMonths,
+    "q52_text_parse" -> textParse,
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,6 +401,8 @@ object RelationalQueries {
     "q02_global_stats" ->
       """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
         | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(median(l_quantity), 4) AS median_qty,
+        | round(median(l_extendedprice), 4) AS median_price,
         | count(*) FILTER (WHERE l_discount > 0.05) AS n_disc_hi,
         | count(*) FILTER (WHERE l_discount < 0.01) AS n_disc_lo,
         | strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
@@ -437,5 +514,55 @@ object RelationalQueries {
         |            WHEN o_totalprice < 300000 THEN 'b3_200_300k'
         |            ELSE 'b4_ge300k' END AS bucket, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_left_wide" ->
+      """WITH o_agg AS (
+        |  SELECT o_custkey AS k1, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1),
+        |hv_agg AS (
+        |  SELECT o_custkey AS k2, count(*) AS n_big
+        |  FROM orders WHERE o_totalprice > 250000 GROUP BY 1),
+        |li_agg AS (
+        |  SELECT o_custkey AS k3, sum(l_quantity) AS total_qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT c_custkey,
+        | lpad(CAST(c_custkey AS VARCHAR), 6, '0')
+        |   || CASE WHEN substr(lpad(CAST(c_custkey AS VARCHAR), 6, '0'), 1, 1) = '6'
+        |           THEN '.SH' ELSE '.SZ' END AS norm_code,
+        | n_name, r_name, n_orders, revenue, n_big, total_qty
+        |FROM customer
+        |LEFT JOIN o_agg ON c_custkey = k1
+        |LEFT JOIN hv_agg ON c_custkey = k2
+        |LEFT JOIN li_agg ON c_custkey = k3
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "q51_full_outer_months" ->
+      """WITH o AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |    count(*) AS n_orders, round(sum(o_totalprice), 2) AS order_value
+        |  FROM orders GROUP BY 1),
+        |li AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+        |    count(*) AS n_ship_items, sum(l_quantity) AS ship_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT month, n_orders, order_value, n_ship_items, ship_qty
+        |FROM o FULL OUTER JOIN li USING (month)
+        |ORDER BY month""".stripMargin,
+    "q52_text_parse" ->
+      """WITH t AS (
+        | SELECT CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS INT) AS streak,
+        |  CASE WHEN o_totalprice >= 100000
+        |       THEN CAST(round(o_totalprice / 10000.0, 2) AS VARCHAR) || '万'
+        |       ELSE CAST(round(o_totalprice, 2) AS VARCHAR) END AS money_str
+        | FROM orders),
+        |p AS (
+        | SELECT streak, money_str,
+        |  CAST(regexp_extract(money_str, '^([0-9.]+)', 1) AS DOUBLE)
+        |    * CASE WHEN contains(money_str, '万') THEN 10000.0 ELSE 1.0 END AS parsed
+        | FROM t)
+        |SELECT streak, count(*) AS n, round(sum(parsed) / 1e6, 4) AS total_m,
+        | count(*) FILTER (WHERE contains(money_str, '万')) AS n_wan
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
