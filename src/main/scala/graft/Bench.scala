@@ -10,19 +10,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write materializes EVERY output column (count()
       // would let ColumnPruning delete the window/project work under
-      // measurement); failures surface — a broken query must not
-      // score as a fast one.
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      name -> (System.nanoTime() - t0) / 1e9
+      // measurement). A failing query records a -1 sentinel and is
+      // listed in "failed" instead of aborting the whole run
+      // (ADVICE round-2 item 1) — the JSON line still appears, and
+      // rc=1 flags the failure to the driver.
+      val secs =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Exception =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+            failed ::= name
+            -1.0
+        }
+      name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

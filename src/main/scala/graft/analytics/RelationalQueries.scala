@@ -271,6 +271,15 @@ object RelationalQueries {
     // spark_partition_id is non-deterministic, so Catalyst cannot
     // collapse the projection across the range exchange — pid is
     // pinned to the range-partitioned layout.
+    //
+    // INVARIANT (ADVICE round-2 item 2): `local` and `counts` below
+    // both consume THIS `ranged` value, i.e. the same logical
+    // subtree. Range-boundary sampling is per-materialization, so
+    // correctness requires both branches to observe one physical
+    // exchange: the subtrees canonicalize identically, so Spark's
+    // ReuseExchange rule (on by default, also under AQE) rewrites the
+    // second scan as ReusedExchange. DecilePlanSpec asserts the
+    // executed plan carries exactly one rangepartitioning exchange.
     val ranged = o.repartitionByRange(col("o_totalprice"), col("o_orderkey"))
       .withColumn("pid", spark_partition_id())
     val localW = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
