@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.ByteBuffer
+import java.nio.charset.{CharacterCodingException, Charset, CodingErrorAction, StandardCharsets}
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One tick row parsed out of a zipped CSV member (the reference's
+  * 4-column usecols projection, `Project report.md:453-470`). */
+case class TickRow(src_zip: String, src_file: String, trade_time: String,
+                   price: Double, volume: Long, direction: String)
+
+/** Plane-C ingest: the reference's ETL surface re-expressed on Spark
+  * (`Project report.md §4.1-4.2`) — encoding-sniffing zip/CSV
+  * reading, id normalization, adjusted-price merging, sector
+  * hashing, and the partitioned+sorted parquet sink.
+  *
+  * Scale notes: `binaryFile` gives one task per zip (the reference
+  * hand-rolls a 28-process pool for the same parallelism;
+  * `Project report.md:474-479`), so a directory of thousands of
+  * daily zips fans out across the cluster with no driver loop. Each
+  * zip is bounded (a day × exchange bundle), so whole-file bytes per
+  * task is the same memory contract as the reference's in-memory
+  * unzip.
+  */
+object Ingest {
+
+  /** Smart decode (`read_csv_smart`, Project report.md:453-470):
+    * strict GB18030 first (legacy files), UTF-8 with replacement as
+    * the fallback — the reference's exact strategy order. */
+  private[sources] def decodeSmart(bytes: Array[Byte]): String = {
+    val gb = Charset.forName("GB18030").newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try gb.decode(ByteBuffer.wrap(bytes)).toString
+    catch {
+      case _: CharacterCodingException =>
+        val utf = StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(CodingErrorAction.REPLACE)
+        utf.decode(ByteBuffer.wrap(bytes)).toString
+    }
+  }
+
+  /** `on_bad_lines='skip'`: wrong arity or unparseable numerics drop
+    * the line, never the batch. */
+  private[sources] def parseLine(zip: String, member: String,
+                                 line: String): Option[TickRow] = {
+    val parts = line.split(",", -1)
+    if (parts.length < 4) None
+    else try {
+      Some(TickRow(zip, member, parts(0).trim,
+        parts(1).trim.toDouble, parts(2).trim.toLong, parts(3).trim))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** S2/S3: parallel encoding-sniffing CSV-in-zip source. One Spark
+    * task per zip file; members are decoded, header-skipped, parsed
+    * and bad-line-filtered in a single in-memory pass. */
+  def readZippedCsv(spark: SparkSession, pathGlob: String): Dataset[TickRow] = {
+    implicit val enc = Encoders.product[TickRow]
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (path, bytes) =>
+        val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+        val rows = Iterator.continually(zis.getNextEntry)
+          .takeWhile(_ != null)
+          .filter(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
+          .flatMap { e =>
+            val text = decodeSmart(zis.readAllBytes())
+            text.linesIterator.drop(1) // header
+              .flatMap(parseLine(path, e.getName, _))
+              .toList
+          }
+          .toList // materialize before the stream closes
+        zis.close()
+        rows
+      }
+  }
+
+  /** X6 `normalize_code` (Project report.md:547-560, 612-618): force
+    * '6-digit.suffix'; keep existing suffixes; indexes use the
+    * 000->SH namespace, stocks map 60/68->SH, 4/8->BJ, else SZ. */
+  def normalizeCode(code: Column, isIndex: Boolean = false): Column = {
+    val c = trim(code)
+    val suffix =
+      if (isIndex) when(c.startsWith("000"), ".SH").otherwise(".SZ")
+      else when(c.rlike("^(60|68)"), ".SH")
+        .when(c.rlike("^[48]"), ".BJ")
+        .otherwise(".SZ")
+    when(c.rlike("\\.(SZ|SH|BJ)$"), c).otherwise(concat(c, suffix))
+  }
+
+  /** J10 qfq/hfq ingest merge (`process_market_data`, Project
+    * report.md:575-595): suffix-renamed LEFT joins folding the
+    * unadjusted/forward/backward price files into one wide row. */
+  def mergeAdjusted(raw: DataFrame, qfq: DataFrame, hfq: DataFrame,
+                    keys: Seq[String], priceCols: Seq[String]): DataFrame = {
+    def suffixed(df: DataFrame, sfx: String): DataFrame =
+      df.select((keys.map(col) ++
+        priceCols.map(c => col(c).as(s"$c$sfx"))): _*)
+    raw.join(suffixed(qfq, "_qfq"), keys, "left")
+      .join(suffixed(hfq, "_hfq"), keys, "left")
+  }
+
+  /** Sector identity hash (`parse_sector_file`, Project
+    * report.md:601-617): md5(type_name) truncated to 16 hex chars. */
+  def sectorId(sectorType: Column, sectorName: Column): Column =
+    substring(md5(concat_ws("_", sectorType, sectorName)), 1, 16)
+
+  /** S4: partitioned, sorted parquet sink (`Project
+    * report.md:644-656`): co-locate each partition's rows in one
+    * shuffle partition, sort within, emit hive-partitioned files —
+    * readers get partition pruning + per-file sort order. */
+  def writeSortedParquet(df: DataFrame, path: String,
+                         partCols: Seq[String], sortCols: Seq[String]): Unit =
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+      .write.partitionBy(partCols: _*).mode("overwrite").parquet(path)
+
+  /** S5: parquet checkpoint between pipeline stages — truncates the
+    * lineage so an expensive cleaned table is computed once and
+    * re-read by every downstream consumer. */
+  def checkpointParquet(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+}
