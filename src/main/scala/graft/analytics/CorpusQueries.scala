@@ -123,6 +123,32 @@ object CorpusQueries {
         dim = 64, nBits = 12, tables = 3, minCos = 0.35)
       .orderBy("id_a", "id_b")
 
+  /** Multimodal metadata rollup over the binary media table
+    * ([[graft.sources.Multimodal]]): byte lengths, frame counts and
+    * checksums per modality — the typed-metadata side of the
+    * pipeline, DuckDB-checkable. */
+  def multimodalMeta: Q = (s, dir) =>
+    graft.sources.Multimodal.mediaTable(s, dir)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        sum(col("meta.byte_len")).as("total_bytes"),
+        countDistinct(col("meta.checksum")).as("n_distinct"),
+        max(col("meta.n_frames")).as("max_frames"))
+      .orderBy("modality")
+
+  /** Multimodal feature extraction (rows-only: the batched STUB
+    * decoder is not SQL-expressible): per-modality mean feature norm
+    * over the batch-decoded array<float> column. */
+  def multimodalFeatures: Q = (s, dir) => {
+    val m = graft.sources.Multimodal.mediaTable(s, dir)
+    graft.sources.Multimodal.extractFeatures(m, "payload", dim = 16)
+      .withColumn("norm", sqrt(aggregate(
+        col("features"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"), round(avg("norm"), 6).as("avg_norm"))
+      .orderBy("modality")
+  }
+
   val entries: Map[String, Q] = Map(
     "q30_text_stats" -> textStats,
     "q31_quality_score" -> qualityScore,
@@ -133,6 +159,8 @@ object CorpusQueries {
     "q36_minhash_dedup" -> minhashDedup,
     "q37_simhash_pairs" -> simhashPairs,
     "q38_embedding_neardups" -> embeddingNearDups,
+    "q53_multimodal_meta" -> multimodalMeta,
+    "q54_multimodal_features" -> multimodalFeatures,
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,6 +222,18 @@ object CorpusQueries {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q53_multimodal_meta" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |  encode(text) AS payload,
+        |  md5(text) AS checksum -- = md5 of the UTF-8 payload bytes
+        | FROM documents)
+        |SELECT modality, count(*) AS n,
+        | sum(octet_length(payload)) AS total_bytes,
+        | count(DISTINCT checksum) AS n_distinct,
+        | max(CAST(ceil(octet_length(payload) / 256.0) AS BIGINT)) AS max_frames
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
