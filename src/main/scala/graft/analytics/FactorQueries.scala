@@ -141,6 +141,94 @@ object FactorQueries {
       .orderBy("stock", "day")
   }
 
+  /** q55: industry-peers snapshot (J6, `QuantDB.py:140-156`): the
+    * target stock's industry is resolved as a scalar lookup (a
+    * correlated scalar subquery in the reference SQL; a broadcast
+    * single-row join here — the scalable equivalent), then the top-7
+    * same-industry stocks by market value on the day. */
+  def peersSnapshot: Q = (s, dir) => {
+    val v = Value.compute(Quotes.panel(s, dir))
+    val day40 = v.filter(col("day") === 40)
+      .select(col("stock"), col("industry"), col("total_mv"), col("pe"),
+        col("pb"), col("dv_ratio"), round(col("roe_ttm"), 6).as("roe_ttm"))
+    val tgtInd = day40.filter(col("stock") === 7)
+      .select(col("industry").as("t_ind"))
+    day40.crossJoin(broadcast(tgtInd))
+      .filter(col("industry") === col("t_ind"))
+      .withColumn("mv_yi", round(col("total_mv") / 1e8, 6))
+      .orderBy(col("total_mv").desc, col("stock"))
+      .limit(7)
+      .select("stock", "mv_yi", "pe", "pb", "dv_ratio", "roe_ttm")
+  }
+
+  /** q56: single-row factor panorama snapshot (J2,
+    * `QuantDB.py:101-125`): 5-way null-preserving LEFT join of the
+    * quotes base with the technical/momentum/value factor surfaces
+    * for one (stock, day), LIMIT 1. Reuses the rounded entry outputs
+    * so the snapshot matches the factor tables column for column. */
+  def factorSnapshot: Q = (s, dir) => {
+    val base = Quotes.panel(s, dir)
+      .select(col("stock"), col("day"), round(col("close"), 6).as("close"),
+        col("volume"))
+    val t2 = technicalTrend(s, dir).select("stock", "day", "bias_20", "rsi_14")
+    val t2b = technicalOsc(s, dir).select("stock", "day", "cci_14", "wr_14")
+    val t5 = momentumEntry(s, dir)
+      .select("stock", "day", "roc_20", "volatility_20", "pos_20")
+    val t6 = valueEntry(s, dir)
+      .select("stock", "day", "pe_zscore_60", "pb_zscore_60", "roe_ttm")
+    base
+      .join(t2, Seq("stock", "day"), "left")
+      .join(t2b, Seq("stock", "day"), "left")
+      .join(t5, Seq("stock", "day"), "left")
+      .join(t6, Seq("stock", "day"), "left")
+      .filter(col("stock") === 7 && col("day") === 40)
+      .limit(1)
+  }
+
+  /** J3 dynamic join builder (`QuantDB.py:77-99`): fold LEFT joins
+    * over a (table -> columns) config against the factor-table
+    * registry — the reference's field_configs surface. */
+  def dynamicIndicators(s: SparkSession, dir: String,
+                        configs: Seq[(String, Seq[String])],
+                        stock: Int, dayFrom: Int, dayTo: Int): DataFrame = {
+    val registry: Map[String, Q] = Map(
+      "technical_trend" -> technicalTrend, "technical_osc" -> technicalOsc,
+      "technical_risk" -> technicalRisk, "ema" -> emaFamilyEntry,
+      "momentum" -> momentumEntry, "value" -> valueEntry)
+    val base = Quotes.panel(s, dir)
+      .select(col("stock"), col("day"), round(col("close"), 6).as("close"))
+      .filter(col("stock") === stock && col("day").between(dayFrom, dayTo))
+    configs.foldLeft(base) { case (acc, (table, cols)) =>
+      val t = registry(table)(s, dir)
+        .select((Seq("stock", "day") ++ cols).map(col): _*)
+      acc.join(t, Seq("stock", "day"), "left")
+    }.orderBy("day")
+  }
+
+  /** q57: one fixed configuration through the dynamic builder. */
+  def dynamicJoinEntry: Q = (s, dir) =>
+    dynamicIndicators(s, dir,
+      Seq("technical_trend" -> Seq("bias_20", "rsi_14"),
+        "momentum" -> Seq("roc_20", "volatility_20"),
+        "value" -> Seq("roe_ttm")),
+      stock = 7, dayFrom = 20, dayTo = 60)
+
+  /** q58: alpha_* column discovery (X7, `QuantDB.py:226-233`): the
+    * alpha columns are DISCOVERED from the DataFrame schema by
+    * prefix, melted via an explode of (name, value) structs, and
+    * summarized per alpha — schema-driven, no hardcoded list. */
+  def columnDiscovery: Q = (s, dir) => {
+    val a = Alpha101.compute(Quotes.panel(s, dir))
+    val alphaCols = a.schema.fieldNames.filter(_.startsWith("alpha_")).sorted
+    val pairs = explode(array(alphaCols.map(c =>
+      struct(lit(c).as("alpha"), col(c).as("v"))): _*))
+    a.select(pairs.as("p"))
+      .select(col("p.alpha").as("alpha"), col("p.v").as("v"))
+      .groupBy("alpha")
+      .agg(count(col("v")).as("n_nonnull"), round(avg("v"), 6).as("avg_v"))
+      .orderBy("alpha")
+  }
+
   val entries: Map[String, Q] = Map(
     "q40_factor_trend" -> technicalTrend,
     "q41_factor_osc" -> technicalOsc,
@@ -152,6 +240,10 @@ object FactorQueries {
     "q47_alpha_batch2" -> alphaBatch2,
     "q48_similarity_search" -> similaritySearch,
     "q49_kline_replay" -> klineReplay,
+    "q55_peers_snapshot" -> peersSnapshot,
+    "q56_factor_snapshot" -> factorSnapshot,
+    "q57_dynamic_join" -> dynamicJoinEntry,
+    "q58_column_discovery" -> columnDiscovery,
   )
 
   // ---- Alpha101 oracle helpers (mirror Alpha101.scala stage for
@@ -305,9 +397,8 @@ object FactorQueries {
       |f60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
       |ws AS (PARTITION BY stock ORDER BY day)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q40_factor_trend" ->
-      s"""$baseCte
+  private val q40Oracle: String =
+    s"""$baseCte
          |SELECT stock, day,
          | round(avg(close) OVER f5, 6) + 0.0 AS ma_5,
          | round(avg(close) OVER f20, 6) + 0.0 AS ma_20,
@@ -321,9 +412,10 @@ object FactorQueries {
          | round(avg(tr) OVER f14, 6) + 0.0 AS atr_14
          |FROM b2
          |WINDOW $frames
-         |ORDER BY stock, day""".stripMargin,
-    "q41_factor_osc" ->
-      s"""$baseCte,
+         |ORDER BY stock, day""".stripMargin
+
+  private val q41Oracle: String =
+    s"""$baseCte,
          |b3 AS (
          |  SELECT *,
          |    avg(tp) OVER f14 AS tp_m,
@@ -346,62 +438,10 @@ object FactorQueries {
          | round((close - vwap20) / nullif(vwap20, 0), 6) + 0.0 AS vwap_bias_20
          |FROM b3
          |WINDOW ws AS (PARTITION BY stock ORDER BY day)
-         |ORDER BY stock, day""".stripMargin,
-    "q43_factor_ema" ->
-      s"""WITH ${Quotes.sqlCte},
-         |e0 AS (
-         |  SELECT stock, day, close, high, low, volume,
-         |    CASE WHEN max(high) OVER f9 - min(low) OVER f9 <> 0
-         |      THEN (close - min(low) OVER f9)
-         |           / (max(high) OVER f9 - min(low) OVER f9) * 100.0 END AS rsv,
-         |    (close - lag(close, 1) OVER ws) * volume AS fin,
-         |    high - low AS hl
-         |  FROM quotes
-         |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
-         |    f9 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
-         |e1 AS (
-         |  SELECT *,
-         |    ${emaCf("close", EmaFamily.aMacdFast)} AS ema12,
-         |    ${emaCf("close", EmaFamily.aMacdSlow)} AS ema26,
-         |    ${emaCf("rsv", EmaFamily.aKdj)} AS kdj_k,
-         |    ${emaCf("hl", EmaFamily.aMass)} AS ema_hl,
-         |    ${emaCfFrom2("fin", EmaFamily.aForce)} AS force_13
-         |  FROM e0
-         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |e2 AS (
-         |  SELECT *,
-         |    (ema12 - ema26) * 2.0 AS macd_diff,
-         |    ${emaCf("kdj_k", EmaFamily.aKdj)} AS kdj_d,
-         |    ${emaCf("ema12", EmaFamily.aTrix)} AS t2,
-         |    ${emaCf("ema_hl", EmaFamily.aMass)} AS ema_hl2
-         |  FROM e1
-         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |e3 AS (
-         |  SELECT *,
-         |    ${emaCf("macd_diff", EmaFamily.aSignal)} AS macd_dea,
-         |    3.0 * kdj_k - 2.0 * kdj_d AS kdj_j,
-         |    ${emaCf("t2", EmaFamily.aTrix)} AS t3,
-         |    CASE WHEN ema_hl2 <> 0 THEN ema_hl / ema_hl2 END AS mass_ratio
-         |  FROM e2
-         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         |SELECT stock, day,
-         | round(macd_diff, 6) + 0.0 AS macd_diff,
-         | round(macd_dea, 6) + 0.0 AS macd_dea,
-         | round(kdj_k, 6) + 0.0 AS kdj_k,
-         | round(kdj_d, 6) + 0.0 AS kdj_d,
-         | round(kdj_j, 6) + 0.0 AS kdj_j,
-         | round((t3 - lag(t3, 1) OVER ws) / nullif(lag(t3, 1) OVER ws, 0), 6) + 0.0 AS trix_12,
-         | round(force_13, 6) + 0.0 AS force_13,
-         | round(sum(mass_ratio) OVER f25, 6) + 0.0 AS mass_25
-         |FROM e3
-         |WINDOW ws AS (PARTITION BY stock ORDER BY day),
-         |  f25 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
-         |ORDER BY stock, day""".stripMargin,
-    "q44_factor_momentum" ->
-      s"""WITH ${Quotes.sqlCte},
+         |ORDER BY stock, day""".stripMargin
+
+  private val q44Oracle: String =
+    s"""WITH ${Quotes.sqlCte},
          |m1 AS (
          |  SELECT stock, day, close, high, low, volume, turnover,
          |    lag(close, 1) OVER ws AS prev_c,
@@ -467,9 +507,10 @@ object FactorQueries {
          | round(CASE WHEN c2 <> 0
          |   THEN CAST(nn AS DOUBLE) * c4 / (c2 * c2) - 3.0 END, 6) + 0.0 AS kurt_20
          |FROM m5
-         |ORDER BY stock, day""".stripMargin,
-    "q45_factor_value" ->
-      s"""WITH ${Quotes.sqlCte}
+         |ORDER BY stock, day""".stripMargin
+
+  private val q45Oracle: String =
+    s"""WITH ${Quotes.sqlCte}
          |SELECT stock, day,
          | round(ln(total_mv), 6) + 0.0 AS ln_market_cap,
          | round(1.0 / nullif(pe, 0), 6) + 0.0 AS ep_ttm,
@@ -483,7 +524,132 @@ object FactorQueries {
          |   AS pb_zscore_60
          |FROM quotes
          |WINDOW f60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+         |ORDER BY stock, day""".stripMargin
+
+  /** The 15 implemented alphas as raw SQL over the a5 stage —
+    * shared by the q46/q47 finals and the q58 discovery rollup. */
+  private val alphaExprSql: Seq[(String, String)] = Seq(
+    "alpha_001" -> "r_a1arg - 0.5",
+    "alpha_003" -> "-corr3",
+    "alpha_004" -> "-tsr_low9",
+    "alpha_006" -> "-corr6",
+    "alpha_008" -> "-r_a8diff",
+    "alpha_012" -> "sign(dv1) * (-dc1)",
+    "alpha_020" -> "(-r_ophl) * r_opcl * r_opll",
+    "alpha_033" -> "r_a33",
+    "alpha_038" -> "(-r_tsrc10) * r_co",
+    "alpha_041" -> "pow(high * low, 0.5) - vwap",
+    "alpha_042" -> "r_vmc / nullif(r_vpc, 0)",
+    "alpha_048" -> "(a48num - a48mean) / nullif(s48, 0)",
+    "alpha_053" -> "a53",
+    "alpha_054" -> "(-(low - close) * pow(open, 5.0)) / nullif((low - high) * pow(close, 5.0), 0)",
+    "alpha_101" -> "(close - open) / (high - low + 0.001)")
+
+  val oracles: Map[String, String] = Map(
+    "q55_peers_snapshot" ->
+      s"""WITH ${Quotes.sqlCte}
+         |SELECT stock, round(total_mv / 1e8, 6) + 0.0 AS mv_yi, pe, pb, dv_ratio,
+         | round(pb / nullif(pe, 0), 6) + 0.0 AS roe_ttm
+         |FROM quotes
+         |WHERE day = 40 AND industry = (
+         |  SELECT industry FROM quotes WHERE stock = 7 AND day = 40)
+         |ORDER BY total_mv DESC, stock LIMIT 7""".stripMargin,
+    "q56_factor_snapshot" ->
+      s"""WITH t2 AS ($q40Oracle),
+         |t2b AS ($q41Oracle),
+         |t5 AS ($q44Oracle),
+         |t6 AS ($q45Oracle),
+         |q AS (WITH ${Quotes.sqlCte}
+         |      SELECT stock, day, round(close, 6) + 0.0 AS close, volume FROM quotes)
+         |SELECT stock, day, close, volume, bias_20, rsi_14, cci_14, wr_14,
+         | roc_20, volatility_20, pos_20, pe_zscore_60, pb_zscore_60, roe_ttm
+         |FROM q
+         |LEFT JOIN t2 USING (stock, day)
+         |LEFT JOIN t2b USING (stock, day)
+         |LEFT JOIN t5 USING (stock, day)
+         |LEFT JOIN t6 USING (stock, day)
+         |WHERE stock = 7 AND day = 40 LIMIT 1""".stripMargin,
+    "q57_dynamic_join" ->
+      s"""WITH t2 AS ($q40Oracle),
+         |t5 AS ($q44Oracle),
+         |t6 AS ($q45Oracle),
+         |q AS (WITH ${Quotes.sqlCte}
+         |      SELECT stock, day, round(close, 6) + 0.0 AS close FROM quotes)
+         |SELECT stock, day, close, bias_20, rsi_14, roc_20, volatility_20, roe_ttm
+         |FROM q
+         |LEFT JOIN t2 USING (stock, day)
+         |LEFT JOIN t5 USING (stock, day)
+         |LEFT JOIN t6 USING (stock, day)
+         |WHERE stock = 7 AND day BETWEEN 20 AND 60
+         |ORDER BY day""".stripMargin,
+    "q58_column_discovery" ->
+      s"""$alphaCte,
+         |fin AS (
+         |  SELECT stock, day,
+         |  ${alphaExprSql.map { case (n, e) => s"($e) AS $n" }.mkString(",\n  ")}
+         |  FROM a5)
+         |${alphaExprSql.map { case (n, _) =>
+              s"SELECT '$n' AS alpha, count($n) AS n_nonnull," +
+                s" round(avg($n), 6) + 0.0 AS avg_v FROM fin"
+            }.mkString("\nUNION ALL\n")}
+         |ORDER BY alpha""".stripMargin,
+    "q40_factor_trend" -> q40Oracle,
+    "q41_factor_osc" -> q41Oracle,
+    "q43_factor_ema" ->
+      s"""WITH ${Quotes.sqlCte},
+         |e0 AS (
+         |  SELECT stock, day, close, high, low, volume,
+         |    CASE WHEN max(high) OVER f9 - min(low) OVER f9 <> 0
+         |      THEN (close - min(low) OVER f9)
+         |           / (max(high) OVER f9 - min(low) OVER f9) * 100.0 END AS rsv,
+         |    (close - lag(close, 1) OVER ws) * volume AS fin,
+         |    high - low AS hl
+         |  FROM quotes
+         |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
+         |    f9 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+         |e1 AS (
+         |  SELECT *,
+         |    ${emaCf("close", EmaFamily.aMacdFast)} AS ema12,
+         |    ${emaCf("close", EmaFamily.aMacdSlow)} AS ema26,
+         |    ${emaCf("rsv", EmaFamily.aKdj)} AS kdj_k,
+         |    ${emaCf("hl", EmaFamily.aMass)} AS ema_hl,
+         |    ${emaCfFrom2("fin", EmaFamily.aForce)} AS force_13
+         |  FROM e0
+         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |e2 AS (
+         |  SELECT *,
+         |    (ema12 - ema26) * 2.0 AS macd_diff,
+         |    ${emaCf("kdj_k", EmaFamily.aKdj)} AS kdj_d,
+         |    ${emaCf("ema12", EmaFamily.aTrix)} AS t2,
+         |    ${emaCf("ema_hl", EmaFamily.aMass)} AS ema_hl2
+         |  FROM e1
+         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |e3 AS (
+         |  SELECT *,
+         |    ${emaCf("macd_diff", EmaFamily.aSignal)} AS macd_dea,
+         |    3.0 * kdj_k - 2.0 * kdj_d AS kdj_j,
+         |    ${emaCf("t2", EmaFamily.aTrix)} AS t3,
+         |    CASE WHEN ema_hl2 <> 0 THEN ema_hl / ema_hl2 END AS mass_ratio
+         |  FROM e2
+         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT stock, day,
+         | round(macd_diff, 6) + 0.0 AS macd_diff,
+         | round(macd_dea, 6) + 0.0 AS macd_dea,
+         | round(kdj_k, 6) + 0.0 AS kdj_k,
+         | round(kdj_d, 6) + 0.0 AS kdj_d,
+         | round(kdj_j, 6) + 0.0 AS kdj_j,
+         | round((t3 - lag(t3, 1) OVER ws) / nullif(lag(t3, 1) OVER ws, 0), 6) + 0.0 AS trix_12,
+         | round(force_13, 6) + 0.0 AS force_13,
+         | round(sum(mass_ratio) OVER f25, 6) + 0.0 AS mass_25
+         |FROM e3
+         |WINDOW ws AS (PARTITION BY stock ORDER BY day),
+         |  f25 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
          |ORDER BY stock, day""".stripMargin,
+    "q44_factor_momentum" -> q44Oracle,
+    "q45_factor_value" -> q45Oracle,
     "q48_similarity_search" ->
       s"""$baseCte,
          |f2 AS (
