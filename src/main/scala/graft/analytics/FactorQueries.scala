@@ -91,6 +91,16 @@ object FactorQueries {
       Seq(col("stock"), col("day")) ++ Alpha101.batch2.map(r6): _*)
       .orderBy("stock", "day")
 
+  def alphaBatch3: Q = (s, dir) =>
+    Alpha101.compute(Quotes.panel(s, dir)).select(
+      Seq(col("stock"), col("day")) ++ Alpha101.batch3.map(r6): _*)
+      .orderBy("stock", "day")
+
+  def alphaBatch4: Q = (s, dir) =>
+    Alpha101.compute(Quotes.panel(s, dir)).select(
+      Seq(col("stock"), col("day")) ++ Alpha101.batch4.map(r6): _*)
+      .orderBy("stock", "day")
+
   /** q48: the flagship "History Mirror" similarity search
     * (`app/Quantlib/QuantDB.py:190-205`): weighted-Euclidean top-k
     * over the (rsi_14, bias_20, cci_14) technical vector of a target
@@ -238,6 +248,8 @@ object FactorQueries {
     "q45_factor_value" -> valueEntry,
     "q46_alpha_batch1" -> alphaBatch1,
     "q47_alpha_batch2" -> alphaBatch2,
+    "q59_alpha_batch3" -> alphaBatch3,
+    "q60_alpha_batch4" -> alphaBatch4,
     "q48_similarity_search" -> similaritySearch,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
@@ -272,18 +284,21 @@ object FactorQueries {
       s" THEN (($n) * ($sxy) - ($sx) * ($sy)) / (sqrt($vx) * sqrt($vy)) END"
   }
 
-  /** scipy rankdata(arr)[-1]: average-tie raw rank 1..n. */
+  /** scipy rankdata(arr)[-1]: average-tie raw rank 1..n; null for a
+    * null input (mirrors the Spark-side guard; DuckDB's list() keeps
+    * nulls so comparisons drop them implicitly). */
   private def tsRankAvgSql(x: String, d: Int): String = {
     val f = s"OVER (PARTITION BY stock ORDER BY day ROWS BETWEEN ${d - 1} PRECEDING AND CURRENT ROW)"
-    s"CAST(len(list_filter(list($x) $f, v -> v < ($x))) AS DOUBLE)" +
-      s" + (CAST(len(list_filter(list($x) $f, v -> v = ($x))) AS DOUBLE) + 1.0) / 2.0"
+    s"CASE WHEN ($x) IS NOT NULL THEN" +
+      s" CAST(len(list_filter(list($x) $f, v -> v < ($x))) AS DOUBLE)" +
+      s" + (CAST(len(list_filter(list($x) $f, v -> v = ($x))) AS DOUBLE) + 1.0) / 2.0 END"
   }
 
   /** Shared Alpha101 oracle CTE chain (stages a0..a5). */
   private val alphaCte: String =
     s"""WITH ${Quotes.sqlCte},
        |a0 AS (
-       |  SELECT stock, day, industry, open, close, high, low, volume, vwap,
+       |  SELECT stock, day, industry, open, close, high, low, volume, vwap, amount,
        |    close / nullif(lag(close, 1) OVER ws, 0) - 1.0 AS ret,
        |    close - lag(close, 1) OVER ws AS dc1,
        |    CAST(volume - lag(volume, 1) OVER ws AS DOUBLE) AS dv1,
@@ -291,20 +306,62 @@ object FactorQueries {
        |    open - lag(close, 1) OVER ws AS opcl,
        |    open - lag(low, 1) OVER ws AS opll,
        |    close / nullif(open, 0) AS co,
-       |    ((close - low) - (high - close)) / nullif(close - low, 0) AS kline
+       |    ((close - low) - (high - close)) / nullif(close - low, 0) AS kline,
+       |    open - close AS oc,
+       |    (close + high) - low AS chl,
+       |    close - lag(close, 3) OVER ws AS dc3,
+       |    close - lag(close, 7) OVER ws AS dc7,
+       |    high - lag(high, 2) OVER ws AS dh2,
+       |    lag(close, 10) OVER ws AS c_lag10,
+       |    lag(close, 20) OVER ws AS c_lag20,
+       |    lag(close, 100) OVER ws AS c_lag100,
+       |    CAST(volume AS DOUBLE) AS vold,
+       |    avg(amount) OVER f20 AS adv20
        |  FROM quotes
-       |  WINDOW ws AS (PARTITION BY stock ORDER BY day)),
+       |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
+       |    f20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
        |a1 AS (
        |  SELECT *,
        |    lag(dc1, 1) OVER ws AS dc1l,
+       |    lag(dc1, 2) OVER ws AS dc1l2,
+       |    lag(oc, 1) OVER ws AS ocl,
        |    sum(open) OVER f5 * sum(ret) OVER f5 AS a8base,
        |    stddev_samp(ret) OVER f20 AS std20,
        |    -(kline - lag(kline, 9) OVER ws) AS a53,
-       |    sum(ret * ret) OVER f250 AS s48
+       |    sum(ret * ret) OVER f250 AS s48,
+       |    (c_lag20 - c_lag10) / 10.0 - (c_lag10 - close) / 10.0 AS ladder,
+       |    min(dc1) OVER f5 AS tsmin_dc1_5,
+       |    max(dc1) OVER f5 AS tsmax_dc1_5,
+       |    min(dc1) OVER f4 AS tsmin_dc1_4,
+       |    max(dc1) OVER f4 AS tsmax_dc1_4,
+       |    sum(ret) OVER f250 AS sr250,
+       |    avg(high) OVER f20 AS mh20,
+       |    avg(close) OVER f100 AS m100,
+       |    stddev_samp(close) OVER f20 AS stdc20,
+       |    sum(volume) OVER f5 AS sv5,
+       |    sum(volume) OVER f20 AS sv20,
+       |    stddev_samp(ret) OVER f2 AS stdr2,
+       |    stddev_samp(ret) OVER f5 AS stdr5,
+       |    stddev_samp(high) OVER f10 AS stdh10,
+       |    min(close) OVER f100 AS tsminc100,
+       |    min(low) OVER f12 AS tsminl12,
+       |    max(high) OVER f12 AS tsmaxh12,
+       |    CASE WHEN count(*) OVER f20 > 1
+       |      THEN CAST(count(*) OVER f20 AS DOUBLE) * sum(close * close) OVER f20
+       |         - sum(close) OVER f20 * sum(close) OVER f20 END AS vxc20,
+       |    CASE WHEN count(*) OVER f10 > 1
+       |      THEN CAST(count(*) OVER f10 AS DOUBLE) * sum(high * high) OVER f10
+       |         - sum(high) OVER f10 * sum(high) OVER f10 END AS vxh10,
+       |    ${corrSql("high", "vold", 5)} AS corr_hv5
        |  FROM a0
        |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
+       |    f2 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+       |    f4 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
        |    f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       |    f10 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       |    f12 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
        |    f20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       |    f100 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 99 PRECEDING AND CURRENT ROW),
        |    f250 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 249 PRECEDING AND CURRENT ROW)),
        |a2 AS (
        |  SELECT *,
@@ -313,7 +370,21 @@ object FactorQueries {
        |      * pow(abs(CASE WHEN ret < 0 THEN std20 ELSE close END), 2.0) AS a1sig,
        |    ${xrSql("open")} AS r_open,
        |    ${xrSql("volume")} AS r_vol,
-       |    ${xrSql("low")} AS r_low
+       |    ${xrSql("low")} AS r_low,
+       |    amount / nullif(adv20, 0) AS aratio,
+       |    m100 - lag(m100, 100) OVER ws AS m100d,
+       |    corr_hv5 - lag(corr_hv5, 5) OVER ws AS dcorr5,
+       |    sign(dc1) + sign(dc1l) + sign(dc1l2) AS sgn3,
+       |    (close - tsminl12) / nullif(tsmaxh12 - tsminl12, 0) AS stoch12,
+       |    CASE WHEN tsmin_dc1_4 > 0 THEN dc1
+       |         WHEN tsmax_dc1_4 < 0 THEN dc1 ELSE -dc1 END AS a10base,
+       |    ${xrSql("vwap")} AS r_vwap,
+       |    ${xrSql("vxc20")} AS r_stdc20,
+       |    ${xrSql("vxh10")} AS r_stdh10,
+       |    ${xrSql("dc1")} AS r_dc1,
+       |    ${xrSql("oc")} AS r_oc,
+       |    ${xrSql("round(1.0 + sr250, 6)")} AS r_sr250,
+       |    ${xrSql("round(stdr2 / nullif(stdr5, 0), 6)")} AS r_ratio34
        |  FROM a1
        |  WINDOW ws AS (PARTITION BY stock ORDER BY day)),
        |a3 AS (
@@ -323,13 +394,26 @@ object FactorQueries {
        |    ${corrSql("open", "CAST(volume AS DOUBLE)", 10)} AS corr6,
        |    ${tsRankAvgSql("r_low", 9)} AS tsr_low9,
        |    ${tsRankAvgSql("close", 10)} AS tsr_close10,
-       |    ${corrSql("dc1", "dc1l", 250)} AS corr48
+       |    ${corrSql("dc1", "dc1l", 250)} AS corr48,
+       |    ${xrSql("stoch12")} AS r_stoch,
+       |    ${xrSql("sgn3")} AS r_sgn3,
+       |    ${xrSql("a10base")} AS r_a10,
+       |    ${tsRankAvgSql("vold", 32)} AS tsr_vol32,
+       |    ${tsRankAvgSql("chl", 16)} AS tsr_chl16,
+       |    ${tsRankAvgSql("ret", 32)} AS tsr_ret32,
+       |    ${corrSql("ocl", "close", 200)} AS corr_oc200,
+       |    ${corrSql("high", "vold", 10)} AS corr_hv10,
+       |    ${tsRankAvgSql("aratio", 20)} AS tsr_ar20,
+       |    ${tsRankAvgSql("(-dc7)", 8)} AS tsr_md7_8,
+       |    ${corrSql("high", "r_vol", 5)} AS corr_hrv5,
+       |    ${corrSql("r_vol", "r_vwap", 5)} AS corr_rvv5
        |  FROM a2
        |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
        |a4 AS (
        |  SELECT *,
        |    CAST(list_indexof(a1l, list_aggregate(a1l, 'max')) - 1 AS DOUBLE) AS a1arg,
-       |    (corr48 * dc1) / nullif(close, 0) AS a48num
+       |    (corr48 * dc1) / nullif(close, 0) AS a48num,
+       |    ${corrSql("r_stoch", "r_vol", 6)} AS corr_rsv6
        |  FROM a3),
        |a5 AS (
        |  SELECT *,
@@ -343,8 +427,15 @@ object FactorQueries {
        |    ${xrSql("co")} AS r_co,
        |    ${xrSql("vwap - close")} AS r_vmc,
        |    ${xrSql("vwap + close")} AS r_vpc,
-       |    avg(a48num) OVER (PARTITION BY day, industry) AS a48mean
-       |  FROM a4)""".stripMargin
+       |    avg(a48num) OVER (PARTITION BY day, industry) AS a48mean,
+       |    ${xrSql("corr_oc200")} AS r_coc200,
+       |    ${xrSql("(1.0 - r_ratio34) + (1.0 - r_dc1)")} AS r_a34,
+       |    ${xrSql("corr_rvv5")} AS r_c50
+       |  FROM a4),
+       |a6 AS (
+       |  SELECT *, max(r_c50) OVER f5 AS tsmax_rc50
+       |  FROM a5
+       |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))""".stripMargin
 
   /** Closed-form ewm(adjust=False) over a 1-based `day` index:
     * y_day = b^day * cumsum(c), c_1 = x/b, c_j = a*x*b^(-j). */
@@ -543,7 +634,36 @@ object FactorQueries {
     "alpha_048" -> "(a48num - a48mean) / nullif(s48, 0)",
     "alpha_053" -> "a53",
     "alpha_054" -> "(-(low - close) * pow(open, 5.0)) / nullif((low - high) * pow(close, 5.0), 0)",
-    "alpha_101" -> "(close - open) / (high - low + 0.001)")
+    "alpha_101" -> "(close - open) / (high - low + 0.001)",
+    "alpha_009" -> ("CASE WHEN tsmin_dc1_5 > 0 THEN dc1" +
+      " WHEN tsmax_dc1_5 < 0 THEN dc1 ELSE -dc1 END"),
+    "alpha_010" -> "r_a10",
+    "alpha_019" -> "-sign(dc7 + dc7) * (1.0 + r_sr250)",
+    "alpha_022" -> "-(dcorr5 * r_stdc20)",
+    "alpha_023" -> "CASE WHEN mh20 < high THEN -1.0 * dh2 ELSE 0.0 END",
+    "alpha_024" -> ("CASE WHEN m100d / nullif(c_lag100, 0) <= 0.05" +
+      " THEN -(close - tsminc100) ELSE -dc3 END"),
+    "alpha_030" -> "((1.0 - r_sgn3) * sv5) / nullif(sv20, 0)",
+    "alpha_034" -> "r_a34",
+    "alpha_035" -> "tsr_vol32 * (1.0 - tsr_chl16) * (1.0 - tsr_ret32)",
+    "alpha_037" -> "r_coc200 + r_oc",
+    "alpha_040" -> "-r_stdh10 * corr_hv10",
+    "alpha_043" -> "tsr_ar20 * tsr_md7_8",
+    "alpha_044" -> "-corr_hrv5",
+    "alpha_046" -> ("CASE WHEN 0.25 < ladder THEN -1.0" +
+      " WHEN ladder < 0 THEN 1.0 ELSE -1.0 * dc1 END"),
+    "alpha_049" -> "CASE WHEN ladder < -0.1 THEN 1.0 ELSE -1.0 * dc1 END",
+    "alpha_050" -> "-tsmax_rc50",
+    "alpha_051" -> "CASE WHEN ladder < -0.05 THEN 1.0 ELSE -1.0 * dc1 END",
+    "alpha_055" -> "-corr_rsv6")
+
+  /** Generate a batch's oracle SELECT from the shared expressions. */
+  private def alphaBatchOracle(names: Seq[String]): String = {
+    val exprs = alphaExprSql.toMap
+    s"$alphaCte\nSELECT stock, day,\n" +
+      names.map(n => s" round(${exprs(n)}, 6) + 0.0 AS $n").mkString(",\n") +
+      "\nFROM a6\nORDER BY stock, day"
+  }
 
   val oracles: Map[String, String] = Map(
     "q55_peers_snapshot" ->
@@ -587,7 +707,7 @@ object FactorQueries {
          |fin AS (
          |  SELECT stock, day,
          |  ${alphaExprSql.map { case (n, e) => s"($e) AS $n" }.mkString(",\n  ")}
-         |  FROM a5)
+         |  FROM a6)
          |${alphaExprSql.map { case (n, _) =>
               s"SELECT '$n' AS alpha, count($n) AS n_nonnull," +
                 s" round(avg($n), 6) + 0.0 AS avg_v FROM fin"
@@ -691,32 +811,10 @@ object FactorQueries {
          |FROM nf JOIN anchors ON nf.stock = anchors.stock
          |WHERE nf.day - 30 BETWEEN -10 AND 20
          |ORDER BY nf.stock, nf.day""".stripMargin,
-    "q46_alpha_batch1" ->
-      s"""$alphaCte
-         |SELECT stock, day,
-         | round(r_a1arg - 0.5, 6) + 0.0 AS alpha_001,
-         | round(-corr3, 6) + 0.0 AS alpha_003,
-         | round(-tsr_low9, 6) + 0.0 AS alpha_004,
-         | round(-corr6, 6) + 0.0 AS alpha_006,
-         | round(-r_a8diff, 6) + 0.0 AS alpha_008,
-         | round(sign(dv1) * (-dc1), 6) + 0.0 AS alpha_012,
-         | round((-r_ophl) * r_opcl * r_opll, 6) + 0.0 AS alpha_020
-         |FROM a5
-         |ORDER BY stock, day""".stripMargin,
-    "q47_alpha_batch2" ->
-      s"""$alphaCte
-         |SELECT stock, day,
-         | round(r_a33, 6) + 0.0 AS alpha_033,
-         | round((-r_tsrc10) * r_co, 6) + 0.0 AS alpha_038,
-         | round(pow(high * low, 0.5) - vwap, 6) + 0.0 AS alpha_041,
-         | round(r_vmc / nullif(r_vpc, 0), 6) + 0.0 AS alpha_042,
-         | round((a48num - a48mean) / nullif(s48, 0), 6) + 0.0 AS alpha_048,
-         | round(a53, 6) + 0.0 AS alpha_053,
-         | round((-(low - close) * pow(open, 5.0))
-         |   / nullif((low - high) * pow(close, 5.0), 0), 6) + 0.0 AS alpha_054,
-         | round((close - open) / (high - low + 0.001), 6) + 0.0 AS alpha_101
-         |FROM a5
-         |ORDER BY stock, day""".stripMargin,
+    "q46_alpha_batch1" -> alphaBatchOracle(Alpha101.batch1),
+    "q59_alpha_batch3" -> alphaBatchOracle(Alpha101.batch3),
+    "q60_alpha_batch4" -> alphaBatchOracle(Alpha101.batch4),
+    "q47_alpha_batch2" -> alphaBatchOracle(Alpha101.batch2),
     "q42_factor_risk" ->
       s"""$baseCte,
          |b4 AS (

@@ -65,12 +65,14 @@ object Alpha101 {
   }
 
   /** scipy rankdata(arr)[-1]: average-tie rank of the current value
-    * within its trailing window, raw 1..n. */
+    * within its trailing window, raw 1..n; null for a null input
+    * (collect_list drops nulls, so the window holds the non-null
+    * history). */
   private def tsRankAvg(x: Column, d: Int): Column = {
     val arr = collect_list(x).over(t(d))
     val lt = size(filter(arr, v => v < x)).cast(DoubleType)
     val eq = size(filter(arr, v => v === x)).cast(DoubleType)
-    lt + (eq + lit(1.0)) / lit(2.0)
+    when(x.isNotNull, lt + (eq + lit(1.0)) / lit(2.0))
   }
 
   /** np.argmax over the trailing window: 0-based first-max index
@@ -78,6 +80,19 @@ object Alpha101 {
   private def tsArgMaxIdx(x: Column, d: Int): Column = {
     val arr = collect_list(x).over(t(d))
     (array_position(arr, array_max(arr)) - 1).cast(DoubleType)
+  }
+
+  /** EXACT rank surrogate for rolling stddev: n·Σx² − (Σx)² is
+    * integer-grain-exact for the panel's exact inputs and strictly
+    * monotone with stddev at fixed n (n is uniform within a day), so
+    * cross-sectional ranks of it equal ranks of the stddev — without
+    * the engine-ulp tie-breaking hazard of ranking a Welford vs
+    * segment-tree stddev (stocks s and s+64 tie EXACTLY here). Null
+    * at n=1 to preserve stddev_samp's null. */
+  private def varSurrogate(x: Column, d: Int): Column = {
+    val f = t(d)
+    val n = count(lit(1)).over(f).cast(DoubleType)
+    when(n > 1, n * sum(x * x).over(f) - sum(x).over(f) * sum(x).over(f))
   }
 
   def compute(quotes: DataFrame): DataFrame = {
@@ -92,12 +107,44 @@ object Alpha101 {
       .withColumn("co", div(col("close"), col("open")))
       .withColumn("kline", div((col("close") - col("low")) - (col("high") - col("close")),
         col("close") - col("low")))
+      .withColumn("oc", col("open") - col("close"))
+      .withColumn("chl", (col("close") + col("high")) - col("low"))
+      .withColumn("dc3", col("close") - lag(col("close"), 3).over(W))
+      .withColumn("dc7", col("close") - lag(col("close"), 7).over(W))
+      .withColumn("dh2", col("high") - lag(col("high"), 2).over(W))
+      .withColumn("c_lag10", lag(col("close"), 10).over(W))
+      .withColumn("c_lag20", lag(col("close"), 20).over(W))
+      .withColumn("c_lag100", lag(col("close"), 100).over(W))
+      .withColumn("vold", col("volume").cast(DoubleType))
+      .withColumn("adv20", avg(col("amount")).over(t(20)))
     val s1 = s0
       .withColumn("dc1l", lag(col("dc1"), 1).over(W))
+      .withColumn("dc1l2", lag(col("dc1"), 2).over(W))
+      .withColumn("ocl", lag(col("oc"), 1).over(W))
       .withColumn("a8base", sum(col("open")).over(t(5)) * sum(col("ret")).over(t(5)))
       .withColumn("std20", stddev_samp(col("ret")).over(t(20)))
       .withColumn("a53", -(col("kline") - lag(col("kline"), 9).over(W)))
       .withColumn("s48", sum(col("ret") * col("ret")).over(t(250)))
+      // the delay(close,20/10) "ladder" of alphas 046/049/051
+      .withColumn("ladder",
+        (col("c_lag20") - col("c_lag10")) / 10.0 - (col("c_lag10") - col("close")) / 10.0)
+      .withColumn("tsmin_dc1_5", min(col("dc1")).over(t(5)))
+      .withColumn("tsmax_dc1_5", max(col("dc1")).over(t(5)))
+      .withColumn("tsmin_dc1_4", min(col("dc1")).over(t(4)))
+      .withColumn("tsmax_dc1_4", max(col("dc1")).over(t(4)))
+      .withColumn("sr250", sum(col("ret")).over(t(250)))
+      .withColumn("mh20", avg(col("high")).over(t(20)))
+      .withColumn("m100", avg(col("close")).over(t(100)))
+      .withColumn("stdc20", stddev_samp(col("close")).over(t(20)))
+      .withColumn("sv5", sum(col("volume")).over(t(5)))
+      .withColumn("sv20", sum(col("volume")).over(t(20)))
+      .withColumn("stdr2", stddev_samp(col("ret")).over(t(2)))
+      .withColumn("stdr5", stddev_samp(col("ret")).over(t(5)))
+      .withColumn("stdh10", stddev_samp(col("high")).over(t(10)))
+      .withColumn("tsminc100", min(col("close")).over(t(100)))
+      .withColumn("tsminl12", min(col("low")).over(t(12)))
+      .withColumn("tsmaxh12", max(col("high")).over(t(12)))
+      .withColumn("corr_hv5", tsCorrCf(col("high"), col("vold"), 5))
     // ---- XS stage: input ranks; TS follow-ups on materialized cols
     val s2 = s1
       .withColumn("a8diff", col("a8base") - lag(col("a8base"), 10).over(W))
@@ -106,6 +153,23 @@ object Alpha101 {
       .withColumn("r_open", xr(col("open")))
       .withColumn("r_vol", xr(col("volume")))
       .withColumn("r_low", xr(col("low")))
+      .withColumn("aratio", div(col("amount"), col("adv20")))
+      .withColumn("m100d", col("m100") - lag(col("m100"), 100).over(W))
+      .withColumn("dcorr5", col("corr_hv5") - lag(col("corr_hv5"), 5).over(W))
+      .withColumn("sgn3",
+        signum(col("dc1")) + signum(col("dc1l")) + signum(col("dc1l2")))
+      .withColumn("stoch12",
+        div(col("close") - col("tsminl12"), col("tsmaxh12") - col("tsminl12")))
+      .withColumn("a10base",
+        when(col("tsmin_dc1_4") > 0, col("dc1"))
+          .when(col("tsmax_dc1_4") < 0, col("dc1")).otherwise(-col("dc1")))
+      .withColumn("r_vwap", xr(col("vwap")))
+      .withColumn("r_stdc20", xr(varSurrogate(col("close"), 20)))
+      .withColumn("r_stdh10", xr(varSurrogate(col("high"), 10)))
+      .withColumn("r_dc1", xr(col("dc1")))
+      .withColumn("r_oc", xr(col("oc")))
+      .withColumn("r_sr250", xr(round(lit(1.0) + col("sr250"), 6)))
+      .withColumn("r_ratio34", xr(round(div(col("stdr2"), col("stdr5")), 6)))
     // ---- TS stage: correlations, ts_ranks, argmax ----
     val s3 = s2
       .withColumn("a1arg", tsArgMaxIdx(col("a1sig"), 5))
@@ -115,6 +179,19 @@ object Alpha101 {
       .withColumn("tsr_close10", tsRankAvg(col("close"), 10))
       .withColumn("corr48", tsCorrCf(col("dc1"), col("dc1l"), 250))
       .withColumn("a48num", div(col("corr48") * col("dc1"), col("close")))
+      .withColumn("r_stoch", xr(col("stoch12")))
+      .withColumn("r_sgn3", xr(col("sgn3")))
+      .withColumn("r_a10", xr(col("a10base")))
+      .withColumn("tsr_vol32", tsRankAvg(col("vold"), 32))
+      .withColumn("tsr_chl16", tsRankAvg(col("chl"), 16))
+      .withColumn("tsr_ret32", tsRankAvg(col("ret"), 32))
+      .withColumn("corr_oc200", tsCorrCf(col("ocl"), col("close"), 200))
+      .withColumn("corr_hv10", tsCorrCf(col("high"), col("vold"), 10))
+      .withColumn("tsr_ar20", tsRankAvg(col("aratio"), 20))
+      .withColumn("tsr_md7_8", tsRankAvg(-col("dc7"), 8))
+      .withColumn("corr_hrv5", tsCorrCf(col("high"), col("r_vol"), 5))
+      .withColumn("corr_rvv5", tsCorrCf(col("r_vol"), col("r_vwap"), 5))
+      .withColumn("corr_rsv6", tsCorrCf(col("r_stoch"), col("r_vol"), 6))
     // ---- XS stage: final ranks + industry neutralization ----
     s3
       .withColumn("alpha_001", xr(col("a1arg")) - lit(0.5))
@@ -135,14 +212,54 @@ object Alpha101 {
         (col("low") - col("high")) * pow(col("close"), 5.0)))
       .withColumn("alpha_101",
         (col("close") - col("open")) / (col("high") - col("low") + lit(0.001)))
+      // ---- tranche 2 ----
+      .withColumn("alpha_009",
+        when(col("tsmin_dc1_5") > 0, col("dc1"))
+          .when(col("tsmax_dc1_5") < 0, col("dc1")).otherwise(-col("dc1")))
+      .withColumn("alpha_010", col("r_a10"))
+      .withColumn("alpha_019",
+        -signum(col("dc7") + col("dc7")) * (lit(1.0) + col("r_sr250")))
+      .withColumn("alpha_022", -(col("dcorr5") * col("r_stdc20")))
+      .withColumn("alpha_023",
+        when(col("mh20") < col("high"), lit(-1.0) * col("dh2")).otherwise(0.0))
+      .withColumn("alpha_024",
+        when(div(col("m100d"), col("c_lag100")) <= 0.05,
+          -(col("close") - col("tsminc100"))).otherwise(-col("dc3")))
+      .withColumn("alpha_030",
+        div((lit(1.0) - col("r_sgn3")) * col("sv5"), col("sv20")))
+      .withColumn("alpha_034",
+        xr((lit(1.0) - col("r_ratio34")) + (lit(1.0) - col("r_dc1"))))
+      .withColumn("alpha_035",
+        col("tsr_vol32") * (lit(1.0) - col("tsr_chl16")) * (lit(1.0) - col("tsr_ret32")))
+      .withColumn("alpha_037", xr(col("corr_oc200")) + col("r_oc"))
+      .withColumn("alpha_040", -col("r_stdh10") * col("corr_hv10"))
+      .withColumn("alpha_043", col("tsr_ar20") * col("tsr_md7_8"))
+      .withColumn("alpha_044", -col("corr_hrv5"))
+      .withColumn("alpha_046",
+        when(lit(0.25) < col("ladder"), -1.0)
+          .when(col("ladder") < 0, 1.0).otherwise(lit(-1.0) * col("dc1")))
+      .withColumn("alpha_049",
+        when(col("ladder") < -0.1, 1.0).otherwise(lit(-1.0) * col("dc1")))
+      .withColumn("alpha_051",
+        when(col("ladder") < -0.05, 1.0).otherwise(lit(-1.0) * col("dc1")))
+      .withColumn("alpha_055", -col("corr_rsv6"))
+      .withColumn("r_c50", xr(col("corr_rvv5")))
+      // ---- final TS pass: alpha_050's ts_max over the rank ----
+      .withColumn("alpha_050", -max(col("r_c50")).over(t(5)))
   }
 
-  /** Implemented alpha columns, batch 1 / batch 2 (q46 / q47). */
+  /** Implemented alpha columns, batches 1-4 (q46/q47/q59/q60). */
   val batch1: Seq[String] = Seq(
     "alpha_001", "alpha_003", "alpha_004", "alpha_006", "alpha_008",
     "alpha_012", "alpha_020")
   val batch2: Seq[String] = Seq(
     "alpha_033", "alpha_038", "alpha_041", "alpha_042", "alpha_048",
     "alpha_053", "alpha_054", "alpha_101")
-  val columns: Seq[String] = batch1 ++ batch2
+  val batch3: Seq[String] = Seq(
+    "alpha_009", "alpha_010", "alpha_019", "alpha_022", "alpha_023",
+    "alpha_024", "alpha_030", "alpha_034")
+  val batch4: Seq[String] = Seq(
+    "alpha_035", "alpha_037", "alpha_040", "alpha_043", "alpha_044",
+    "alpha_046", "alpha_049", "alpha_050", "alpha_051", "alpha_055")
+  val columns: Seq[String] = batch1 ++ batch2 ++ batch3 ++ batch4
 }

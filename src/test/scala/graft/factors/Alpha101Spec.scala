@@ -14,9 +14,10 @@ class Alpha101Spec extends SparkSpec {
       (s, closes) <- Seq(1L -> Seq(10.0, 12.0, 12.0, 11.0, 12.0),
                          2L -> Seq(20.0, 20.0, 20.0, 20.0, 20.0))
       (c, i) <- closes.zipWithIndex
-    } yield (s, (i + 1).toLong, s % 2, c, c + 1.0, c + 1.5, c - 1.0, 100L + i, c)
+    } yield (s, (i + 1).toLong, s % 2, c, c + 1.0, c + 1.5, c - 1.0,
+      100L + i, c, c * (100.0 + i))
     val df = rows.toDF("stock", "day", "industry", "open", "close",
-      "high", "low", "volume", "vwap")
+      "high", "low", "volume", "vwap", "amount")
     Alpha101.compute(df).collect()
       .map(r => (r.getAs[Long]("stock"), r.getAs[Long]("day")) -> r).toMap
   }
