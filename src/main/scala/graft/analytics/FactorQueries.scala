@@ -223,6 +223,44 @@ object FactorQueries {
         "value" -> Seq("roe_ttm")),
       stock = 7, dayFrom = 20, dayTo = 60)
 
+  /** q61: sentiment factor family (F5, `factor_db_ddl.md:63-76`
+    * `factor_sentiment_daily`): limit-up flag, broken-board flag,
+    * CONSECUTIVE limit-up streak (连板高度) and a main-money-flow
+    * proxy. The streak is the reference's recursive "0 or prev+1"
+    * counter re-expressed as gaps-and-islands window arithmetic:
+    * streak = day − last non-limit-up day (0 when not limit up) —
+    * one pass over the stock shuffle, no recursion. The synthetic
+    * limit threshold is ret ≥ 0.30 (pinned; the panel's pseudo-random
+    * closes need a wide band to produce streaks). */
+  def sentimentFactors: Q = (s, dir) => {
+    val q = Quotes.panel(s, dir)
+    val W = Window.partitionBy("stock").orderBy("day")
+    val cum = W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevC = lag(col("close"), 1).over(W)
+    val ret = when(prevC =!= 0.0, col("close") / prevC) - lit(1.0)
+    val hiRet = when(prevC =!= 0.0, col("high") / prevC) - lit(1.0)
+    val base = q
+      .withColumn("ret", ret)
+      .withColumn("hi_ret", hiRet)
+      // day 1 (no previous close) counts as NOT limit-up, anchoring
+      // the streak window
+      .withColumn("is_limit_up",
+        coalesce(col("ret") >= 0.30, lit(false)).cast("int"))
+      .withColumn("is_limit_broken",
+        coalesce(col("hi_ret") >= 0.30 && !(col("ret") >= 0.30), lit(false)).cast("int"))
+      .withColumn("money_flow_main",
+        round((col("close") - col("open")) * col("volume"), 6))
+    base
+      .withColumn("last_flat",
+        max(when(col("is_limit_up") === 0, col("day"))).over(cum))
+      .withColumn("limit_up_streak",
+        when(col("is_limit_up") === 1,
+          col("day") - coalesce(col("last_flat"), lit(0L))).otherwise(0L))
+      .select(col("stock"), col("day"), col("is_limit_up"),
+        col("is_limit_broken"), col("limit_up_streak"), col("money_flow_main"))
+      .orderBy("stock", "day")
+  }
+
   /** q58: alpha_* column discovery (X7, `QuantDB.py:226-233`): the
     * alpha columns are DISCOVERED from the DataFrame schema by
     * prefix, melted via an explode of (name, value) structs, and
@@ -256,6 +294,7 @@ object FactorQueries {
     "q56_factor_snapshot" -> factorSnapshot,
     "q57_dynamic_join" -> dynamicJoinEntry,
     "q58_column_discovery" -> columnDiscovery,
+    "q61_sentiment_factors" -> sentimentFactors,
   )
 
   // ---- Alpha101 oracle helpers (mirror Alpha101.scala stage for
@@ -666,6 +705,33 @@ object FactorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q61_sentiment_factors" ->
+      s"""WITH ${Quotes.sqlCte},
+         |b AS (
+         |  SELECT stock, day, open, close, high, volume,
+         |    close / nullif(lag(close, 1) OVER ws, 0) - 1.0 AS ret,
+         |    high / nullif(lag(close, 1) OVER ws, 0) - 1.0 AS hi_ret
+         |  FROM quotes
+         |  WINDOW ws AS (PARTITION BY stock ORDER BY day)),
+         |c AS (
+         |  SELECT *,
+         |    CAST(coalesce(ret >= 0.30, false) AS INT) AS is_limit_up,
+         |    CAST(coalesce(hi_ret >= 0.30 AND NOT (ret >= 0.30), false) AS INT)
+         |      AS is_limit_broken,
+         |    round((close - open) * volume, 6) + 0.0 AS money_flow_main
+         |  FROM b),
+         |d AS (
+         |  SELECT *,
+         |    max(CASE WHEN is_limit_up = 0 THEN day END)
+         |      OVER (PARTITION BY stock ORDER BY day
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_flat
+         |  FROM c)
+         |SELECT stock, day, is_limit_up, is_limit_broken,
+         | CASE WHEN is_limit_up = 1 THEN day - coalesce(last_flat, 0)
+         |      ELSE 0 END AS limit_up_streak,
+         | money_flow_main
+         |FROM d
+         |ORDER BY stock, day""".stripMargin,
     "q55_peers_snapshot" ->
       s"""WITH ${Quotes.sqlCte}
          |SELECT stock, round(total_mv / 1e8, 6) + 0.0 AS mv_yi, pe, pb, dv_ratio,
