@@ -101,6 +101,16 @@ object FactorQueries {
       Seq(col("stock"), col("day")) ++ Alpha101.batch4.map(r6): _*)
       .orderBy("stock", "day")
 
+  def alphaBatch5: Q = (s, dir) =>
+    Alpha101.compute(Quotes.panel(s, dir)).select(
+      Seq(col("stock"), col("day")) ++ Alpha101.batch5.map(r6): _*)
+      .orderBy("stock", "day")
+
+  def alphaBatch6: Q = (s, dir) =>
+    Alpha101.compute(Quotes.panel(s, dir)).select(
+      Seq(col("stock"), col("day")) ++ Alpha101.batch6.map(r6): _*)
+      .orderBy("stock", "day")
+
   /** q48: the flagship "History Mirror" similarity search
     * (`app/Quantlib/QuantDB.py:190-205`): weighted-Euclidean top-k
     * over the (rsi_14, bias_20, cci_14) technical vector of a target
@@ -288,6 +298,8 @@ object FactorQueries {
     "q47_alpha_batch2" -> alphaBatch2,
     "q59_alpha_batch3" -> alphaBatch3,
     "q60_alpha_batch4" -> alphaBatch4,
+    "q62_alpha_batch5" -> alphaBatch5,
+    "q63_alpha_batch6" -> alphaBatch6,
     "q48_similarity_search" -> similaritySearch,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
@@ -323,6 +335,18 @@ object FactorQueries {
       s" THEN (($n) * ($sxy) - ($sx) * ($sy)) / (sqrt($vx) * sqrt($vy)) END"
   }
 
+  /** Closed-form rolling sample covariance over both-non-null pairs
+    * (mirrors Alpha101.tsCovCf). */
+  private def covSql(x: String, y: String, d: Int): String = {
+    val f = s"OVER (PARTITION BY stock ORDER BY day ROWS BETWEEN ${d - 1} PRECEDING AND CURRENT ROW)"
+    val b = s"(($x) IS NOT NULL AND ($y) IS NOT NULL)"
+    val n = s"sum(CASE WHEN $b THEN 1.0 ELSE 0.0 END) $f"
+    val sx = s"sum(CASE WHEN $b THEN ($x) END) $f"
+    val sy = s"sum(CASE WHEN $b THEN ($y) END) $f"
+    val sxy = s"sum(CASE WHEN $b THEN ($x) * ($y) END) $f"
+    s"CASE WHEN ($n) > 1 THEN (($sxy) - ($sx) * ($sy) / ($n)) / (($n) - 1.0) END"
+  }
+
   /** scipy rankdata(arr)[-1]: average-tie raw rank 1..n; null for a
     * null input (mirrors the Spark-side guard; DuckDB's list() keeps
     * nulls so comparisons drop them implicitly). */
@@ -355,7 +379,17 @@ object FactorQueries {
        |    lag(close, 20) OVER ws AS c_lag20,
        |    lag(close, 100) OVER ws AS c_lag100,
        |    CAST(volume AS DOUBLE) AS vold,
-       |    avg(amount) OVER f20 AS adv20
+       |    avg(amount) OVER f20 AS adv20,
+       |    (close - open) / nullif(open, 0) AS coo,
+       |    vwap - close AS vmc,
+       |    close - vwap AS cmv,
+       |    CAST(volume - lag(volume, 3) OVER ws AS DOUBLE) AS dv3,
+       |    abs(close - open) AS absco,
+       |    high - close AS hc,
+       |    (high + low) / 2.0 AS hl2,
+       |    lag(close, 5) OVER ws AS c5l,
+       |    ((close - low) - (high - close)) / nullif(high - low, 0)
+       |      * CAST(volume AS DOUBLE) AS ibsv
        |  FROM quotes
        |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
        |    f20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
@@ -391,7 +425,33 @@ object FactorQueries {
        |    CASE WHEN count(*) OVER f10 > 1
        |      THEN CAST(count(*) OVER f10 AS DOUBLE) * sum(high * high) OVER f10
        |         - sum(high) OVER f10 * sum(high) OVER f10 END AS vxh10,
-       |    ${corrSql("high", "vold", 5)} AS corr_hv5
+       |    ${corrSql("high", "vold", 5)} AS corr_hv5,
+       |    vold / nullif(lag(vold, 2) OVER ws, 0) AS vr2,
+       |    vold / nullif(adv20, 0) AS var17,
+       |    ret - lag(ret, 3) OVER ws AS dret3,
+       |    max(vmc) OVER f3 AS tsmax_vmc3,
+       |    min(vmc) OVER f3 AS tsmin_vmc3,
+       |    sum(vwap) OVER f10 AS svw10,
+       |    sum(close) OVER f5 AS sc5,
+       |    sum(close) OVER f7 AS sc7,
+       |    sum(close) OVER f20 AS sc20,
+       |    sum(c5l) OVER f20 AS smdc520,
+       |    min(low) OVER f5 AS a52min,
+       |    sum(ret) OVER f240 AS sr240,
+       |    sum(ret) OVER f20 AS sr20r,
+       |    CASE WHEN count(*) OVER f5 > 1 THEN sqrt(
+       |      (CAST(count(*) OVER f5 AS DOUBLE) * sum(absco * absco) OVER f5
+       |        - sum(absco) OVER f5 * sum(absco) OVER f5)
+       |      / (CAST(count(*) OVER f5 AS DOUBLE)
+       |         * (CAST(count(*) OVER f5 AS DOUBLE) - 1.0))) END AS std_absco5,
+       |    ${corrSql("close", "open", 10)} AS corr_co10,
+       |    ${corrSql("close", "vold", 2)} AS corr_c_v2,
+       |    ${corrSql("vwap", "c5l", 230)} AS corr_v_vw230,
+       |    ${corrSql("adv20", "low", 5)} AS corr_adv_low5,
+       |    list(close) OVER f30 AS l_c30,
+       |    list(close) OVER f10 AS l_c10,
+       |    ${tsRankAvgSql("vold", 5)} AS tsr_v5,
+       |    ${tsRankAvgSql("high", 5)} AS tsr_h5
        |  FROM a0
        |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
        |    f2 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
@@ -401,7 +461,11 @@ object FactorQueries {
        |    f12 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
        |    f20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
        |    f100 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 99 PRECEDING AND CURRENT ROW),
-       |    f250 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 249 PRECEDING AND CURRENT ROW)),
+       |    f250 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 249 PRECEDING AND CURRENT ROW),
+       |    f3 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       |    f7 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       |    f30 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+       |    f240 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 239 PRECEDING AND CURRENT ROW)),
        |a2 AS (
        |  SELECT *,
        |    a8base - lag(a8base, 10) OVER ws AS a8diff,
@@ -420,6 +484,17 @@ object FactorQueries {
        |    ${xrSql("vwap")} AS r_vwap,
        |    ${xrSql("vxc20")} AS r_stdc20,
        |    ${xrSql("vxh10")} AS r_stdh10,
+       |    dc1 - dc1l AS ddc1,
+       |    lag(a52min, 5) OVER ws AS a52minl,
+       |    CAST(list_indexof(l_c30, list_aggregate(l_c30, 'max')) - 1 AS DOUBLE) AS argmax_c30,
+       |    CAST(list_indexof(l_c10, list_aggregate(l_c10, 'max')) - 1 AS DOUBLE) AS argmax_c10,
+       |    ${corrSql("sc5", "sc20", 2)} AS corr_s5_s20,
+       |    ${corrSql("tsr_v5", "tsr_h5", 5)} AS corr_tsr5,
+       |    ${xrSql("close")} AS r_close,
+       |    ${xrSql("high")} AS r_high,
+       |    ${xrSql("vr2")} AS r_vr2,
+       |    ${xrSql("coo")} AS r_coo,
+       |    ${tsRankAvgSql("var17", 5)} AS tsr_var17_5,
        |    ${xrSql("dc1")} AS r_dc1,
        |    ${xrSql("oc")} AS r_oc,
        |    ${xrSql("round(1.0 + sr250, 6)")} AS r_sr250,
@@ -445,9 +520,15 @@ object FactorQueries {
        |    ${tsRankAvgSql("aratio", 20)} AS tsr_ar20,
        |    ${tsRankAvgSql("(-dc7)", 8)} AS tsr_md7_8,
        |    ${corrSql("high", "r_vol", 5)} AS corr_hrv5,
-       |    ${corrSql("r_vol", "r_vwap", 5)} AS corr_rvv5
+       |    ${corrSql("r_vol", "r_vwap", 5)} AS corr_rvv5,
+       |    ${covSql("r_close", "r_vol", 5)} AS cov_rc_rv5,
+       |    ${covSql("r_high", "r_vol", 5)} AS cov_rh_rv5,
+       |    ${corrSql("r_high", "r_vol", 3)} AS corr_rh_rv3,
+       |    ${corrSql("r_vr2", "r_coo", 6)} AS corr_002,
+       |    max(corr_tsr5) OVER f3 AS a26max
        |  FROM a2
-       |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+       |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       |    f3 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
        |a4 AS (
        |  SELECT *,
        |    CAST(list_indexof(a1l, list_aggregate(a1l, 'max')) - 1 AS DOUBLE) AS a1arg,
@@ -469,12 +550,46 @@ object FactorQueries {
        |    avg(a48num) OVER (PARTITION BY day, industry) AS a48mean,
        |    ${xrSql("corr_oc200")} AS r_coc200,
        |    ${xrSql("(1.0 - r_ratio34) + (1.0 - r_dc1)")} AS r_a34,
-       |    ${xrSql("corr_rvv5")} AS r_c50
+       |    ${xrSql("corr_rvv5")} AS r_c50,
+       |    ${xrSql("round(open - svw10 / 10.0, 6)")} AS r_a5,
+       |    ${xrSql("cmv")} AS r_cmv,
+       |    ${xrSql("tsmax_vmc3")} AS r_maxvmc3,
+       |    ${xrSql("tsmin_vmc3")} AS r_minvmc3,
+       |    ${xrSql("dv3")} AS r_dv3,
+       |    ${xrSql("cov_rc_rv5")} AS r_cov13,
+       |    ${xrSql("dret3")} AS r_dret3,
+       |    ${xrSql("cov_rh_rv5")} AS r_cov16,
+       |    ${xrSql("ddc1")} AS r_ddc1,
+       |    ${xrSql("tsr_var17_5")} AS r_var17r,
+       |    ${xrSql("std_absco5 + (close - open) + corr_co10")} AS r_x18,
+       |    ${xrSql("-ret * adv20 * vwap * hc")} AS r_a25,
+       |    ${xrSql("smdc520 / 20.0")} AS r_mdc,
+       |    ${xrSql("corr_s5_s20")} AS r_cs45,
+       |    ${xrSql("round((sr240 - sr20r) / 220.0, 6)")} AS r_a52,
+       |    ${xrSql("argmax_c30")} AS r_am30,
+       |    ${xrSql("argmax_c10")} AS r_am10,
+       |    ${xrSql("ibsv")} AS r_ibsv,
+       |    ${xrSql("corr_rh_rv3")} AS r_c15,
+       |    corr_adv_low5 + hl2 - close AS a28x,
+       |    sc7 / 7.0 - close AS x32a
        |  FROM a4),
        |a6 AS (
-       |  SELECT *, max(r_c50) OVER f5 AS tsmax_rc50
+       |  SELECT *,
+       |    max(r_c50) OVER f5 AS tsmax_rc50,
+       |    sum(r_c15) OVER f3r AS sum_rc15_3,
+       |    list_sum(list_transform(list(r_am30) OVER f2r, (x, i) -> x * i))
+       |      / (len(list(r_am30) OVER f2r) * (len(list(r_am30) OVER f2r) + 1) / 2.0)
+       |      AS dl_am30,
+       |    r_ibsv * 1.0 / sum(abs(r_ibsv)) OVER pd AS sc_ibsv,
+       |    r_am10 * 1.0 / sum(abs(r_am10)) OVER pd AS sc_am10,
+       |    a28x * 1.0 / sum(abs(a28x)) OVER pd AS sc_a28,
+       |    x32a * 1.0 / sum(abs(x32a)) OVER pd AS sc_x32,
+       |    corr_v_vw230 * 1.0 / sum(abs(corr_v_vw230)) OVER pd AS sc_c230
        |  FROM a5
-       |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))""".stripMargin
+       |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       |    f3r AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       |    f2r AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+       |    pd AS (PARTITION BY day))""".stripMargin
 
   /** Closed-form ewm(adjust=False) over a 1-based `day` index:
     * y_day = b^day * cumsum(c), c_1 = x/b, c_j = a*x*b^(-j). */
@@ -694,7 +809,24 @@ object FactorQueries {
     "alpha_049" -> "CASE WHEN ladder < -0.1 THEN 1.0 ELSE -1.0 * dc1 END",
     "alpha_050" -> "-tsmax_rc50",
     "alpha_051" -> "CASE WHEN ladder < -0.05 THEN 1.0 ELSE -1.0 * dc1 END",
-    "alpha_055" -> "-corr_rsv6")
+    "alpha_055" -> "-corr_rsv6",
+    "alpha_002" -> "-corr_002",
+    "alpha_005" -> "r_a5 * (-abs(r_cmv))",
+    "alpha_011" -> "(r_maxvmc3 + r_minvmc3) * r_dv3",
+    "alpha_013" -> "-r_cov13",
+    "alpha_014" -> "-r_dret3 * corr6",
+    "alpha_015" -> "-sum_rc15_3",
+    "alpha_016" -> "-r_cov16",
+    "alpha_017" -> "-r_tsrc10 * r_ddc1 * r_var17r",
+    "alpha_018" -> "-r_x18",
+    "alpha_025" -> "r_a25",
+    "alpha_026" -> "-a26max",
+    "alpha_028" -> "sc_a28",
+    "alpha_032" -> "sc_x32 + 20.0 * sc_c230",
+    "alpha_045" -> "-(r_mdc * corr_c_v2 * r_cs45)",
+    "alpha_052" -> "(-a52min + a52minl) * r_a52 * tsr_v5",
+    "alpha_057" -> "-((close - vwap) / nullif(dl_am30, 0))",
+    "alpha_060" -> "-(2.0 * sc_ibsv - sc_am10)")
 
   /** Generate a batch's oracle SELECT from the shared expressions. */
   private def alphaBatchOracle(names: Seq[String]): String = {
@@ -880,6 +1012,8 @@ object FactorQueries {
     "q46_alpha_batch1" -> alphaBatchOracle(Alpha101.batch1),
     "q59_alpha_batch3" -> alphaBatchOracle(Alpha101.batch3),
     "q60_alpha_batch4" -> alphaBatchOracle(Alpha101.batch4),
+    "q62_alpha_batch5" -> alphaBatchOracle(Alpha101.batch5),
+    "q63_alpha_batch6" -> alphaBatchOracle(Alpha101.batch6),
     "q47_alpha_batch2" -> alphaBatchOracle(Alpha101.batch2),
     "q42_factor_risk" ->
       s"""$baseCte,

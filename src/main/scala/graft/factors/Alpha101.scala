@@ -82,6 +82,29 @@ object Alpha101 {
     (array_position(arr, array_max(arr)) - 1).cast(DoubleType)
   }
 
+  /** Rolling sample covariance, closed form over both-non-null pairs
+    * (alpha101_engine.py:33-36). */
+  private def tsCovCf(x: Column, y: Column, d: Int): Column = {
+    val both = x.isNotNull && y.isNotNull
+    val f = t(d)
+    val n = sum(when(both, 1.0).otherwise(0.0)).over(f)
+    val sx = sum(when(both, x)).over(f)
+    val sy = sum(when(both, y)).over(f)
+    val sxy = sum(when(both, x * y)).over(f)
+    when(n > 1, (sxy - sx * sy / n) / (n - lit(1.0)))
+  }
+
+  /** Rolling sample stddev in closed form — used where the stddev
+    * VALUE feeds a cross-sectional rank: both engines then build the
+    * identical double from exact sums, avoiding Welford-vs-segment-
+    * tree ulp divergence (which breaks rank ties differently). */
+  private def tsStdCf(x: Column, d: Int): Column = {
+    val f = t(d)
+    val n = count(lit(1)).over(f).cast(DoubleType)
+    val vx = n * sum(x * x).over(f) - sum(x).over(f) * sum(x).over(f)
+    when(n > 1, sqrt(vx / (n * (n - lit(1.0)))))
+  }
+
   /** EXACT rank surrogate for rolling stddev: n·Σx² − (Σx)² is
     * integer-grain-exact for the panel's exact inputs and strictly
     * monotone with stddev at fixed n (n is uniform within a day), so
@@ -117,6 +140,21 @@ object Alpha101 {
       .withColumn("c_lag100", lag(col("close"), 100).over(W))
       .withColumn("vold", col("volume").cast(DoubleType))
       .withColumn("adv20", avg(col("amount")).over(t(20)))
+      // volume ratio: exact surrogate for rank(delta(log(volume),2))
+      // — IEEE division is correctly rounded, so equal true ratios
+      // give equal doubles in every engine (log deltas would not)
+      .withColumn("vr2", div(col("vold"), lag(col("vold"), 2).over(W)))
+      .withColumn("coo", div(col("close") - col("open"), col("open")))
+      .withColumn("vmc", col("vwap") - col("close"))
+      .withColumn("cmv", col("close") - col("vwap"))
+      .withColumn("dv3", (col("volume") - lag(col("volume"), 3).over(W)).cast(DoubleType))
+      .withColumn("absco", abs(col("close") - col("open")))
+      .withColumn("hc", col("high") - col("close"))
+      .withColumn("hl2", (col("high") + col("low")) / 2.0)
+      .withColumn("c5l", lag(col("close"), 5).over(W))
+      .withColumn("ibsv", div((col("close") - col("low")) - (col("high") - col("close")),
+        col("high") - col("low")) * col("vold"))
+      .withColumn("var17", div(col("vold"), col("adv20")))
     val s1 = s0
       .withColumn("dc1l", lag(col("dc1"), 1).over(W))
       .withColumn("dc1l2", lag(col("dc1"), 2).over(W))
@@ -145,6 +183,27 @@ object Alpha101 {
       .withColumn("tsminl12", min(col("low")).over(t(12)))
       .withColumn("tsmaxh12", max(col("high")).over(t(12)))
       .withColumn("corr_hv5", tsCorrCf(col("high"), col("vold"), 5))
+      .withColumn("dret3", col("ret") - lag(col("ret"), 3).over(W))
+      .withColumn("tsmax_vmc3", max(col("vmc")).over(t(3)))
+      .withColumn("tsmin_vmc3", min(col("vmc")).over(t(3)))
+      .withColumn("svw10", sum(col("vwap")).over(t(10)))
+      .withColumn("sc5", sum(col("close")).over(t(5)))
+      .withColumn("sc7", sum(col("close")).over(t(7)))
+      .withColumn("sc20", sum(col("close")).over(t(20)))
+      .withColumn("smdc520", sum(col("c5l")).over(t(20)))
+      .withColumn("a52min", min(col("low")).over(t(5)))
+      .withColumn("sr240", sum(col("ret")).over(t(240)))
+      .withColumn("sr20r", sum(col("ret")).over(t(20)))
+      .withColumn("std_absco5", tsStdCf(col("absco"), 5))
+      .withColumn("corr_co10", tsCorrCf(col("close"), col("open"), 10))
+      .withColumn("corr_c_v2", tsCorrCf(col("close"), col("vold"), 2))
+      .withColumn("corr_v_vw230", tsCorrCf(col("vwap"), col("c5l"), 230))
+      .withColumn("corr_adv_low5", tsCorrCf(col("adv20"), col("low"), 5))
+      .withColumn("argmax_c30", tsArgMaxIdx(col("close"), 30))
+      .withColumn("argmax_c10", tsArgMaxIdx(col("close"), 10))
+      .withColumn("tsr_v5", tsRankAvg(col("vold"), 5))
+      .withColumn("tsr_h5", tsRankAvg(col("high"), 5))
+      .withColumn("tsr_var17_5", tsRankAvg(col("var17"), 5))
     // ---- XS stage: input ranks; TS follow-ups on materialized cols
     val s2 = s1
       .withColumn("a8diff", col("a8base") - lag(col("a8base"), 10).over(W))
@@ -166,6 +225,14 @@ object Alpha101 {
       .withColumn("r_vwap", xr(col("vwap")))
       .withColumn("r_stdc20", xr(varSurrogate(col("close"), 20)))
       .withColumn("r_stdh10", xr(varSurrogate(col("high"), 10)))
+      .withColumn("ddc1", col("dc1") - col("dc1l"))
+      .withColumn("a52minl", lag(col("a52min"), 5).over(W))
+      .withColumn("corr_s5_s20", tsCorrCf(col("sc5"), col("sc20"), 2))
+      .withColumn("corr_tsr5", tsCorrCf(col("tsr_v5"), col("tsr_h5"), 5))
+      .withColumn("r_close", xr(col("close")))
+      .withColumn("r_high", xr(col("high")))
+      .withColumn("r_vr2", xr(col("vr2")))
+      .withColumn("r_coo", xr(col("coo")))
       .withColumn("r_dc1", xr(col("dc1")))
       .withColumn("r_oc", xr(col("oc")))
       .withColumn("r_sr250", xr(round(lit(1.0) + col("sr250"), 6)))
@@ -192,6 +259,11 @@ object Alpha101 {
       .withColumn("corr_hrv5", tsCorrCf(col("high"), col("r_vol"), 5))
       .withColumn("corr_rvv5", tsCorrCf(col("r_vol"), col("r_vwap"), 5))
       .withColumn("corr_rsv6", tsCorrCf(col("r_stoch"), col("r_vol"), 6))
+      .withColumn("cov_rc_rv5", tsCovCf(col("r_close"), col("r_vol"), 5))
+      .withColumn("cov_rh_rv5", tsCovCf(col("r_high"), col("r_vol"), 5))
+      .withColumn("corr_rh_rv3", tsCorrCf(col("r_high"), col("r_vol"), 3))
+      .withColumn("corr_002", tsCorrCf(col("r_vr2"), col("r_coo"), 6))
+      .withColumn("a26max", max(col("corr_tsr5")).over(t(3)))
     // ---- XS stage: final ranks + industry neutralization ----
     s3
       .withColumn("alpha_001", xr(col("a1arg")) - lit(0.5))
@@ -244,8 +316,42 @@ object Alpha101 {
         when(col("ladder") < -0.05, 1.0).otherwise(lit(-1.0) * col("dc1")))
       .withColumn("alpha_055", -col("corr_rsv6"))
       .withColumn("r_c50", xr(col("corr_rvv5")))
-      // ---- final TS pass: alpha_050's ts_max over the rank ----
+      // ---- tranche 3 ----
+      .withColumn("alpha_002", -col("corr_002"))
+      .withColumn("alpha_005",
+        xr(round(col("open") - col("svw10") / 10.0, 6)) * -abs(xr(col("cmv"))))
+      .withColumn("alpha_011",
+        (xr(col("tsmax_vmc3")) + xr(col("tsmin_vmc3"))) * xr(col("dv3")))
+      .withColumn("alpha_013", -xr(col("cov_rc_rv5")))
+      .withColumn("alpha_014", -xr(col("dret3")) * col("corr6"))
+      .withColumn("alpha_016", -xr(col("cov_rh_rv5")))
+      .withColumn("alpha_017",
+        -xr(col("tsr_close10")) * xr(col("ddc1")) * xr(col("tsr_var17_5")))
+      .withColumn("alpha_018",
+        -xr(col("std_absco5") + (col("close") - col("open")) + col("corr_co10")))
+      .withColumn("alpha_025",
+        xr(-col("ret") * col("adv20") * col("vwap") * col("hc")))
+      .withColumn("alpha_026", -col("a26max"))
+      .withColumn("a28x", col("corr_adv_low5") + col("hl2") - col("close"))
+      .withColumn("x32a", col("sc7") / 7.0 - col("close"))
+      .withColumn("alpha_045", -(xr(col("smdc520") / 20.0) * col("corr_c_v2")
+        * xr(col("corr_s5_s20"))))
+      .withColumn("alpha_052", (-col("a52min") + col("a52minl"))
+        * xr(round((col("sr240") - col("sr20r")) / 220.0, 6)) * col("tsr_v5"))
+      .withColumn("r_am30", xr(col("argmax_c30")))
+      .withColumn("r_am10", xr(col("argmax_c10")))
+      .withColumn("r_ibsv", xr(col("ibsv")))
+      .withColumn("r_c15", xr(col("corr_rh_rv3")))
+      // ---- final TS / scale pass over materialized ranks ----
       .withColumn("alpha_050", -max(col("r_c50")).over(t(5)))
+      .withColumn("alpha_015", -sum(col("r_c15")).over(t(3)))
+      .withColumn("alpha_057",
+        -div(col("close") - col("vwap"), graft.ops.TsOps.decayLinear(col("r_am30"), 2, W)))
+      .withColumn("alpha_028", XsOps.scale(col("a28x"), 1.0, col("day")))
+      .withColumn("alpha_032", XsOps.scale(col("x32a"), 1.0, col("day"))
+        + lit(20.0) * XsOps.scale(col("corr_v_vw230"), 1.0, col("day")))
+      .withColumn("alpha_060", -(lit(2.0) * XsOps.scale(col("r_ibsv"), 1.0, col("day"))
+        - XsOps.scale(col("r_am10"), 1.0, col("day"))))
   }
 
   /** Implemented alpha columns, batches 1-4 (q46/q47/q59/q60). */
@@ -261,5 +367,12 @@ object Alpha101 {
   val batch4: Seq[String] = Seq(
     "alpha_035", "alpha_037", "alpha_040", "alpha_043", "alpha_044",
     "alpha_046", "alpha_049", "alpha_050", "alpha_051", "alpha_055")
-  val columns: Seq[String] = batch1 ++ batch2 ++ batch3 ++ batch4
+  val batch5: Seq[String] = Seq(
+    "alpha_002", "alpha_005", "alpha_011", "alpha_013", "alpha_014",
+    "alpha_015", "alpha_016", "alpha_017")
+  val batch6: Seq[String] = Seq(
+    "alpha_018", "alpha_025", "alpha_026", "alpha_028", "alpha_032",
+    "alpha_045", "alpha_052", "alpha_057", "alpha_060")
+  val columns: Seq[String] =
+    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6
 }
