@@ -278,12 +278,18 @@ object FactorQueries {
   def columnDiscovery: Q = (s, dir) => {
     val a = Alpha101.compute(Quotes.panel(s, dir))
     val alphaCols = a.schema.fieldNames.filter(_.startsWith("alpha_")).sorted
-    val pairs = explode(array(alphaCols.map(c =>
-      struct(lit(c).as("alpha"), col(c).as("v"))): _*))
-    a.select(pairs.as("p"))
-      .select(col("p.alpha").as("alpha"), col("p.v").as("v"))
-      .groupBy("alpha")
-      .agg(count(col("v")).as("n_nonnull"), round(avg("v"), 6).as("avg_v"))
+    // aggregate all discovered columns in ONE pass, then melt the
+    // single result row — exploding (name, value) structs per input
+    // row would shuffle rows × alphas instead of one scan
+    val aggs = alphaCols.flatMap(c =>
+      Seq(count(col(c)).as(s"n_$c"), avg(col(c)).as(s"a_$c")))
+    val pairs = explode(array(alphaCols.map(c => struct(
+      lit(c).as("alpha"), col(s"n_$c").as("n_nonnull"),
+      round(col(s"a_$c"), 6).as("avg_v"))): _*))
+    a.agg(aggs.head, aggs.tail: _*)
+      .select(pairs.as("p"))
+      .select(col("p.alpha").as("alpha"), col("p.n_nonnull").as("n_nonnull"),
+        col("p.avg_v").as("avg_v"))
       .orderBy("alpha")
   }
 
@@ -313,10 +319,14 @@ object FactorQueries {
   // stage; see that file's pinned conventions) ----
 
   /** Null-safe pandas pct rank per day (nulls last = DuckDB default,
-    * excluded from numerator and denominator). */
+    * excluded from numerator and denominator). Ties counted as RANGE
+    * CURRENT ROW peers — shares the ordered window instead of adding
+    * a (day, x) partition per ranked expression (mirrors
+    * XsOps.rankPct). */
   private def xrSql(x: String): String =
     s"CASE WHEN ($x) IS NOT NULL THEN (rank() OVER (PARTITION BY day ORDER BY ($x))" +
-      s" + (count(*) OVER (PARTITION BY day, ($x)) - 1) / 2.0)" +
+      s" + (count(*) OVER (PARTITION BY day ORDER BY ($x)" +
+      s" RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1) / 2.0)" +
       s" / count(($x)) OVER (PARTITION BY day) END"
 
   /** Closed-form rolling Pearson corr over both-non-null pairs. */

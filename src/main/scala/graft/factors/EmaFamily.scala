@@ -45,7 +45,15 @@ object EmaFamily {
   val aMass = 2.0 / 10
 
   /** Adds macd_diff/macd_dea/kdj_k/kdj_d/kdj_j/trix_12/force_13/
-    * mass_25 to a quotes panel keyed (stock, day). */
+    * mass_25 to a quotes panel keyed (stock, day).
+    *
+    * ONE exchange end-to-end (FactorPlanSpec pins it): the explicit
+    * repartition+sort comes FIRST, the rsv/fin window pass then finds
+    * its required distribution/order already satisfied (no second
+    * exchange), and mass_25's rolling 25-sum runs inside the same
+    * streaming pass via a ring buffer instead of a post-pass window
+    * (mapPartitions erases partitioning info, so a window after it
+    * would re-shuffle). */
   def compute(quotes: DataFrame): DataFrame = {
     val W = Window.partitionBy("stock").orderBy("day")
     def t(d: Int) = W.rowsBetween(-(d - 1), 0)
@@ -53,6 +61,8 @@ object EmaFamily {
     val ll9 = min(col("low")).over(t(9))
 
     val pre = quotes
+      .repartition(col("stock"))
+      .sortWithinPartitions("stock", "day")
       .withColumn("rsv",
         when(hh9 - ll9 =!= 0.0, (col("close") - ll9) / (hh9 - ll9) * 100.0))
       .withColumn("fin",
@@ -61,7 +71,7 @@ object EmaFamily {
 
     val outSchema = StructType(pre.schema.fields ++ Seq(
       "macd_diff", "macd_dea", "kdj_k", "kdj_d", "kdj_j", "trix_12",
-      "force_13", "mass_ratio").map(StructField(_, DoubleType, nullable = true)))
+      "force_13", "mass_25").map(StructField(_, DoubleType, nullable = true)))
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     val iStock = pre.schema.fieldIndex("stock")
     val iClose = pre.schema.fieldIndex("close")
@@ -70,13 +80,15 @@ object EmaFamily {
     val iHl = pre.schema.fieldIndex("hl")
 
     val withRec = pre
-      .repartition(col("stock"))
-      .sortWithinPartitions("stock", "day")
       .mapPartitions { rows =>
         var key: Any = null
         var started = false
         // NaN = series not started yet
         var e12, e26, dea, sK, sD, t1, t2, t3, sF, mHl, mHl2 = Double.NaN
+        // ring buffer for the trailing-25 sum of the mass ratio
+        val ring = new Array[Double](25)
+        var ringN = 0
+        var ringIdx = 0
         def ema(prev: Double, x: Double, a: Double): Double =
           if (prev.isNaN) x else a * x + (1 - a) * prev
         def orNull(x: Double): Any = if (x.isNaN) null else x
@@ -88,6 +100,7 @@ object EmaFamily {
             sK = Double.NaN; sD = Double.NaN
             t1 = Double.NaN; t2 = Double.NaN; t3 = Double.NaN
             sF = Double.NaN; mHl = Double.NaN; mHl2 = Double.NaN
+            ringN = 0; ringIdx = 0
           }
           val close = r.getDouble(iClose)
           // macd chain
@@ -110,18 +123,26 @@ object EmaFamily {
             if (prevT3.isNaN || prevT3 == 0.0) null else (t3 - prevT3) / prevT3
           // force chain (input null on day 1)
           if (!r.isNullAt(iFin)) sF = ema(sF, r.getDouble(iFin), aForce)
-          // mass ratio chain
+          // mass ratio chain + trailing-25 sum (oldest-first re-sum
+          // matches the window frame-scan accumulation order)
           mHl = ema(mHl, r.getDouble(iHl), aMass)
           mHl2 = ema(mHl2, mHl, aMass)
-          val ratio = if (mHl2 == 0.0) null else mHl / mHl2
+          val mass: Any =
+            if (mHl2 == 0.0) null
+            else {
+              if (ringN < 25) { ring(ringN) = mHl / mHl2; ringN += 1 }
+              else { ring(ringIdx) = mHl / mHl2; ringIdx = (ringIdx + 1) % 25 }
+              var s = 0.0
+              var i = 0
+              while (i < ringN) { s += ring((ringIdx + i) % 25); i += 1 }
+              s
+            }
           Row.fromSeq(r.toSeq ++ Seq(diff, dea, orNull(sK), orNull(sD), j,
-            trix, orNull(sF), ratio))
+            trix, orNull(sF), mass))
         }
       }
 
-    withRec
-      .withColumn("mass_25", sum(col("mass_ratio")).over(t(25)))
-      .drop("rsv", "fin", "hl", "mass_ratio")
+    withRec.drop("rsv", "fin", "hl")
   }
 
   /** Output factor column names. */

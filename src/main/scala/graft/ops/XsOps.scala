@@ -17,14 +17,22 @@ import org.apache.spark.sql.types.DoubleType
   */
 object XsOps {
 
+  /** Tie count via RANGE CURRENT ROW peers: shares the SAME ordered
+    * window spec (one exchange + one sort) as the rank() itself —
+    * a `partitionBy(part :+ x)` count would add a whole extra hash
+    * exchange per ranked expression (45 ranks = 45 shuffles in the
+    * alpha pipeline before this). */
+  private def peers(ordered: WindowSpec): Column =
+    count(lit(1)).over(ordered.rangeBetween(Window.currentRow, Window.currentRow))
+
   /** Percentile rank in (0, 1] with pandas `rank(pct=True)` tie
     * semantics (average rank of ties / group size), matching
     * alpha101_engine.py:90-93: `rankPctBy(col("v"), col("trade_date"))`. */
   def rankPctBy(x: Column, partCols: Column*): Column = {
-    val r = rank().over(Window.partitionBy(partCols: _*).orderBy(x))
-    val ties = count(lit(1)).over(Window.partitionBy(partCols :+ x: _*))
+    val ordered = Window.partitionBy(partCols: _*).orderBy(x)
+    val r = rank().over(ordered)
     val n = count(lit(1)).over(Window.partitionBy(partCols: _*))
-    (r + (ties - lit(1)) / lit(2.0)) / n
+    (r + (peers(ordered) - lit(1)) / lit(2.0)) / n
   }
 
   /** Null-safe percentile rank with pandas `rank(pct=True)` NaN
@@ -34,9 +42,9 @@ object XsOps {
     * with DuckDB's default NULLS LAST. */
   def rankPct(x: Column, partCols: Column*): Column = {
     val part = Window.partitionBy(partCols: _*)
-    val r = rank().over(part.orderBy(x.asc_nulls_last))
-    val ties = count(lit(1)).over(Window.partitionBy(partCols :+ x: _*))
-    when(x.isNotNull, (r + (ties - lit(1)) / lit(2.0)) / count(x).over(part))
+    val ordered = part.orderBy(x.asc_nulls_last)
+    val r = rank().over(ordered)
+    when(x.isNotNull, (r + (peers(ordered) - lit(1)) / lit(2.0)) / count(x).over(part))
   }
 
   /** scale(x, a): rescale so Σ|x| = a within the partition
@@ -76,8 +84,8 @@ object XsOps {
   /** Spearman rank pre-transform: average-tie rank as a double, the
     * input to a Pearson corr for Rank-IC (SURVEY.md §2.4 A11-A12). */
   def avgRank(x: Column, partCols: Column*): Column = {
-    val r = rank().over(Window.partitionBy(partCols: _*).orderBy(x))
-    val ties = count(lit(1)).over(Window.partitionBy(partCols :+ x: _*))
-    (r + (ties - lit(1)) / lit(2.0)).cast(DoubleType)
+    val ordered = Window.partitionBy(partCols: _*).orderBy(x)
+    val r = rank().over(ordered)
+    (r + (peers(ordered) - lit(1)) / lit(2.0)).cast(DoubleType)
   }
 }

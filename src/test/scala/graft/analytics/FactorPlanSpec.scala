@@ -1,0 +1,36 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Plan audits for the factor pipelines: the scaladocs claim every
+  * rolling factor shares ONE stock-keyed exchange (and the alpha
+  * pipeline one more per cross-sectional axis flip) — pin it so a
+  * refactor cannot silently introduce per-factor shuffles. */
+class FactorPlanSpec extends SparkSpec {
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+      .linesIterator
+      .filter(l => l.contains("Exchange ") && !l.contains("ReusedExchange"))
+      .toSeq
+  }
+
+  test("technical factors: one stock-hash exchange feeds all 21 windows") {
+    val ex = exchanges(FactorQueries.technicalTrend(spark, "/root/testdata/sf0.001"))
+    val dataEx = ex.filterNot(_.contains("SinglePartition")) // final tiny sort
+    assert(dataEx.count(_.contains("hashpartitioning(stock")) <= 1, ex.mkString("\n"))
+  }
+
+  test("ema family: exactly one exchange for all recursive chains") {
+    val ex = exchanges(FactorQueries.emaFamilyEntry(spark, "/root/testdata/sf0.001"))
+    val dataEx = ex.filter(_.contains("hashpartitioning(stock"))
+    assert(dataEx.size <= 1, ex.mkString("\n"))
+  }
+
+  test("momentum factors: one stock-hash exchange") {
+    val ex = exchanges(FactorQueries.momentumEntry(spark, "/root/testdata/sf0.001"))
+    assert(ex.count(_.contains("hashpartitioning(stock")) <= 1, ex.mkString("\n"))
+  }
+}
