@@ -111,6 +111,11 @@ object FactorQueries {
       Seq(col("stock"), col("day")) ++ Alpha101.batch6.map(r6): _*)
       .orderBy("stock", "day")
 
+  def alphaBatch7: Q = (s, dir) =>
+    Alpha101.compute(Quotes.panel(s, dir)).select(
+      Seq(col("stock"), col("day")) ++ Alpha101.batch7.map(r6): _*)
+      .orderBy("stock", "day")
+
   /** q48: the flagship "History Mirror" similarity search
     * (`app/Quantlib/QuantDB.py:190-205`): weighted-Euclidean top-k
     * over the (rsi_14, bias_20, cci_14) technical vector of a target
@@ -306,6 +311,7 @@ object FactorQueries {
     "q60_alpha_batch4" -> alphaBatch4,
     "q62_alpha_batch5" -> alphaBatch5,
     "q63_alpha_batch6" -> alphaBatch6,
+    "q64_alpha_batch7" -> alphaBatch7,
     "q48_similarity_search" -> similaritySearch,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
@@ -399,10 +405,12 @@ object FactorQueries {
        |    (high + low) / 2.0 AS hl2,
        |    lag(close, 5) OVER ws AS c5l,
        |    ((close - low) - (high - close)) / nullif(high - low, 0)
-       |      * CAST(volume AS DOUBLE) AS ibsv
+       |      * CAST(volume AS DOUBLE) AS ibsv,
+       |    avg(amount) OVER f180 AS adv180
        |  FROM quotes
        |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
-       |    f20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+       |    f20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       |    f180 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 179 PRECEDING AND CURRENT ROW)),
        |a1 AS (
        |  SELECT *,
        |    lag(dc1, 1) OVER ws AS dc1l,
@@ -461,7 +469,16 @@ object FactorQueries {
        |    list(close) OVER f30 AS l_c30,
        |    list(close) OVER f10 AS l_c10,
        |    ${tsRankAvgSql("vold", 5)} AS tsr_v5,
-       |    ${tsRankAvgSql("high", 5)} AS tsr_h5
+       |    ${tsRankAvgSql("high", 5)} AS tsr_h5,
+       |    avg(close) OVER f8 AS mean_c8,
+       |    avg(close) OVER f2 AS mean_c2,
+       |    CASE WHEN count(*) OVER f8 > 1 THEN sqrt(
+       |      (CAST(count(*) OVER f8 AS DOUBLE) * sum(close * close) OVER f8
+       |        - sum(close) OVER f8 * sum(close) OVER f8)
+       |      / (CAST(count(*) OVER f8 AS DOUBLE)
+       |         * (CAST(count(*) OVER f8 AS DOUBLE) - 1.0))) END AS std_c8cf,
+       |    min(vwap) OVER f16 AS tsmin_vw16,
+       |    ${corrSql("vwap", "adv180", 18)} AS corr_vw_adv18
        |  FROM a0
        |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
        |    f2 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
@@ -474,6 +491,8 @@ object FactorQueries {
        |    f250 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 249 PRECEDING AND CURRENT ROW),
        |    f3 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
        |    f7 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       |    f8 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+       |    f16 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 15 PRECEDING AND CURRENT ROW),
        |    f30 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
        |    f240 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 239 PRECEDING AND CURRENT ROW)),
        |a2 AS (
@@ -505,12 +524,16 @@ object FactorQueries {
        |    ${xrSql("vr2")} AS r_vr2,
        |    ${xrSql("coo")} AS r_coo,
        |    ${tsRankAvgSql("var17", 5)} AS tsr_var17_5,
+       |    list_sum(list_transform(list(var17) OVER f9v, (x, i) -> x * i))
+       |      / (len(list(var17) OVER f9v) * (len(list(var17) OVER f9v) + 1) / 2.0)
+       |      AS dl_var17_9,
        |    ${xrSql("dc1")} AS r_dc1,
        |    ${xrSql("oc")} AS r_oc,
        |    ${xrSql("round(1.0 + sr250, 6)")} AS r_sr250,
        |    ${xrSql("round(stdr2 / nullif(stdr5, 0), 6)")} AS r_ratio34
        |  FROM a1
-       |  WINDOW ws AS (PARTITION BY stock ORDER BY day)),
+       |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
+       |    f9v AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
        |a3 AS (
        |  SELECT *,
        |    list_filter(list(a1sig) OVER f5, v -> v IS NOT NULL) AS a1l,
@@ -535,7 +558,8 @@ object FactorQueries {
        |    ${covSql("r_high", "r_vol", 5)} AS cov_rh_rv5,
        |    ${corrSql("r_high", "r_vol", 3)} AS corr_rh_rv3,
        |    ${corrSql("r_vr2", "r_coo", 6)} AS corr_002,
-       |    max(corr_tsr5) OVER f3 AS a26max
+       |    max(corr_tsr5) OVER f3 AS a26max,
+       |    ${corrSql("r_vol", "r_vwap", 6)} AS corr_rvv6
        |  FROM a2
        |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
        |    f3 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
@@ -543,7 +567,9 @@ object FactorQueries {
        |  SELECT *,
        |    CAST(list_indexof(a1l, list_aggregate(a1l, 'max')) - 1 AS DOUBLE) AS a1arg,
        |    (corr48 * dc1) / nullif(close, 0) AS a48num,
-       |    ${corrSql("r_stoch", "r_vol", 6)} AS corr_rsv6
+       |    ${corrSql("r_stoch", "r_vol", 6)} AS corr_rsv6,
+       |    sum(corr_rvv6) OVER (PARTITION BY stock ORDER BY day
+       |      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) / 2.0 AS s27
        |  FROM a3),
        |a5 AS (
        |  SELECT *,
@@ -581,7 +607,11 @@ object FactorQueries {
        |    ${xrSql("ibsv")} AS r_ibsv,
        |    ${xrSql("corr_rh_rv3")} AS r_c15,
        |    corr_adv_low5 + hl2 - close AS a28x,
-       |    sc7 / 7.0 - close AS x32a
+       |    sc7 / 7.0 - close AS x32a,
+       |    ${xrSql("s27")} AS r_s27,
+       |    ${xrSql("dl_var17_9")} AS r_dl39,
+       |    ${xrSql("vwap - tsmin_vw16")} AS r_v61a,
+       |    ${xrSql("corr_vw_adv18")} AS r_v61b
        |  FROM a4),
        |a6 AS (
        |  SELECT *,
@@ -594,7 +624,8 @@ object FactorQueries {
        |    r_am10 * 1.0 / sum(abs(r_am10)) OVER pd AS sc_am10,
        |    a28x * 1.0 / sum(abs(a28x)) OVER pd AS sc_a28,
        |    x32a * 1.0 / sum(abs(x32a)) OVER pd AS sc_x32,
-       |    corr_v_vw230 * 1.0 / sum(abs(corr_v_vw230)) OVER pd AS sc_c230
+       |    corr_v_vw230 * 1.0 / sum(abs(corr_v_vw230)) OVER pd AS sc_c230,
+       |    ${xrSql("dc7 * (1.0 - r_dl39)")} AS r_a39
        |  FROM a5
        |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
        |    f3r AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
@@ -836,7 +867,13 @@ object FactorQueries {
     "alpha_045" -> "-(r_mdc * corr_c_v2 * r_cs45)",
     "alpha_052" -> "(-a52min + a52minl) * r_a52 * tsr_v5",
     "alpha_057" -> "-((close - vwap) / nullif(dl_am30, 0))",
-    "alpha_060" -> "-(2.0 * sc_ibsv - sc_am10)")
+    "alpha_060" -> "-(2.0 * sc_ibsv - sc_am10)",
+    "alpha_021" -> ("CAST(CASE WHEN mean_c8 + std_c8cf < mean_c2 THEN -1.0" +
+      " WHEN mean_c2 < mean_c8 - std_c8cf THEN 1.0" +
+      " WHEN aratio < 1 THEN -1.0 ELSE 1.0 END AS DOUBLE)"),
+    "alpha_027" -> "CAST(CASE WHEN 0.5 < r_s27 THEN -1.0 ELSE 1.0 END AS DOUBLE)",
+    "alpha_039" -> "-r_a39 * (1.0 + r_sr250)",
+    "alpha_061" -> "CAST((r_v61a < r_v61b) AS DOUBLE)")
 
   /** Generate a batch's oracle SELECT from the shared expressions. */
   private def alphaBatchOracle(names: Seq[String]): String = {
@@ -1024,6 +1061,7 @@ object FactorQueries {
     "q60_alpha_batch4" -> alphaBatchOracle(Alpha101.batch4),
     "q62_alpha_batch5" -> alphaBatchOracle(Alpha101.batch5),
     "q63_alpha_batch6" -> alphaBatchOracle(Alpha101.batch6),
+    "q64_alpha_batch7" -> alphaBatchOracle(Alpha101.batch7),
     "q47_alpha_batch2" -> alphaBatchOracle(Alpha101.batch2),
     "q42_factor_risk" ->
       s"""$baseCte,

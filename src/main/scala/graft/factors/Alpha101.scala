@@ -155,6 +155,7 @@ object Alpha101 {
       .withColumn("ibsv", div((col("close") - col("low")) - (col("high") - col("close")),
         col("high") - col("low")) * col("vold"))
       .withColumn("var17", div(col("vold"), col("adv20")))
+      .withColumn("adv180", avg(col("amount")).over(t(180)))
     val s1 = s0
       .withColumn("dc1l", lag(col("dc1"), 1).over(W))
       .withColumn("dc1l2", lag(col("dc1"), 2).over(W))
@@ -204,6 +205,12 @@ object Alpha101 {
       .withColumn("tsr_v5", tsRankAvg(col("vold"), 5))
       .withColumn("tsr_h5", tsRankAvg(col("high"), 5))
       .withColumn("tsr_var17_5", tsRankAvg(col("var17"), 5))
+      .withColumn("mean_c8", avg(col("close")).over(t(8)))
+      .withColumn("mean_c2", avg(col("close")).over(t(2)))
+      .withColumn("std_c8cf", tsStdCf(col("close"), 8))
+      .withColumn("tsmin_vw16", min(col("vwap")).over(t(16)))
+      .withColumn("corr_vw_adv18", tsCorrCf(col("vwap"), col("adv180"), 18))
+      .withColumn("dl_var17_9", graft.ops.TsOps.decayLinear(col("var17"), 9, W))
     // ---- XS stage: input ranks; TS follow-ups on materialized cols
     val s2 = s1
       .withColumn("a8diff", col("a8base") - lag(col("a8base"), 10).over(W))
@@ -264,6 +271,8 @@ object Alpha101 {
       .withColumn("corr_rh_rv3", tsCorrCf(col("r_high"), col("r_vol"), 3))
       .withColumn("corr_002", tsCorrCf(col("r_vr2"), col("r_coo"), 6))
       .withColumn("a26max", max(col("corr_tsr5")).over(t(3)))
+      .withColumn("corr_rvv6", tsCorrCf(col("r_vol"), col("r_vwap"), 6))
+      .withColumn("s27", sum(col("corr_rvv6")).over(t(2)) / 2.0)
     // ---- XS stage: final ranks + industry neutralization ----
     s3
       .withColumn("alpha_001", xr(col("a1arg")) - lit(0.5))
@@ -342,6 +351,19 @@ object Alpha101 {
       .withColumn("r_am10", xr(col("argmax_c10")))
       .withColumn("r_ibsv", xr(col("ibsv")))
       .withColumn("r_c15", xr(col("corr_rh_rv3")))
+      // ---- tranche 4 ----
+      .withColumn("alpha_021",
+        when(col("mean_c8") + col("std_c8cf") < col("mean_c2"), -1.0)
+          .when(col("mean_c2") < col("mean_c8") - col("std_c8cf"), 1.0)
+          .when(col("aratio") < 1, -1.0).otherwise(1.0))
+      .withColumn("alpha_027",
+        when(lit(0.5) < xr(col("s27")), -1.0).otherwise(1.0))
+      .withColumn("r_dl39", xr(col("dl_var17_9")))
+      .withColumn("alpha_061",
+        (xr(col("vwap") - col("tsmin_vw16")) < xr(col("corr_vw_adv18")))
+          .cast(DoubleType))
+      .withColumn("alpha_039",
+        -xr(col("dc7") * (lit(1.0) - col("r_dl39"))) * (lit(1.0) + col("r_sr250")))
       // ---- final TS / scale pass over materialized ranks ----
       .withColumn("alpha_050", -max(col("r_c50")).over(t(5)))
       .withColumn("alpha_015", -sum(col("r_c15")).over(t(3)))
@@ -373,6 +395,8 @@ object Alpha101 {
   val batch6: Seq[String] = Seq(
     "alpha_018", "alpha_025", "alpha_026", "alpha_028", "alpha_032",
     "alpha_045", "alpha_052", "alpha_057", "alpha_060")
+  val batch7: Seq[String] = Seq(
+    "alpha_021", "alpha_027", "alpha_039", "alpha_061")
   val columns: Seq[String] =
-    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6
+    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7
 }
