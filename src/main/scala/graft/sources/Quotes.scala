@@ -90,4 +90,12 @@ object Quotes {
       |        SELECT user_id AS stock,
       |               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS day
       |        FROM events))))""".stripMargin
+
+  /** [[sqlCte]] restricted to a subset of entities — for entries that
+    * only exercise an operator SHAPE (e.g. schema-driven column
+    * discovery) and don't need the full panel's cost on both engines.
+    * The per-stock `day` axis is self-contained, so a stock-level
+    * filter commutes with the whole derivation. */
+  def sqlCteWhere(pred: String): String =
+    sqlCte.replace("FROM events", s"FROM events WHERE $pred")
 }
