@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst analysis recurses once per projection level; the
+  // ~200-intermediate Alpha101 plan needs more than the 1m default.
+  "-Xss64m",
 )

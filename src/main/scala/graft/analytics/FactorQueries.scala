@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.factors.{Alpha101, EmaFamily, Momentum, Technical, Value}
 import graft.sources.Quotes
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,15 @@ object FactorQueries {
       Seq(col("stock"), col("day")) ++ Value.columns.map(r6): _*)
       .orderBy("stock", "day")
 
+  /** Floor-based 6-dp rounding: floor(x*1e6 + 0.5)/1e6 — every step
+    * is a single correctly-rounded IEEE op, so Spark and DuckDB
+    * produce bit-identical results from identical inputs. Engine
+    * round(x, 6) differs on exact decimal halves (Spark rounds the
+    * shortest decimal repr via BigDecimal; DuckDB scales by 1e6
+    * first), and rank-ratio alphas DO land on exact halves. */
+  private def rf6(name: String) =
+    (floor(col(name) * 1e6 + lit(0.5)) / 1e6).as(name)
+
   /** q90: the ENTIRE Alpha101 corpus as ONE entry — one DAG on the
     * Spark side, one CTE chain on the DuckDB side. The round-4 gate
     * timed out because 7 batch entries + q58 each rebuilt the whole
@@ -88,7 +97,7 @@ object FactorQueries {
     * across the corpus (round-4 verdict, What's-wrong #1b/#2). */
   def alphaAll: Q = (s, dir) =>
     Alpha101.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ Alpha101.columns.map(r6): _*)
+      Seq(col("stock"), col("day")) ++ Alpha101.columns.map(rf6): _*)
       .orderBy("stock", "day")
 
   /** q48: the flagship "History Mirror" similarity search
@@ -277,7 +286,57 @@ object FactorQueries {
       .orderBy("alpha")
   }
 
+  /** q91: the 101-wide Rank-IC flagship (C4, `QuantDB.py:248-277`,
+    * `pages/5_Alpha lab.py:43-141`): for EVERY schema-discovered
+    * alpha_* column, the per-day Spearman IC (average-tie ranks,
+    * closed-form Pearson over ranks — exact sums, so both engines
+    * produce bit-identical ICs) against next-day return, the
+    * cumulative IC series, and the decile spread (ntile(10) by alpha
+    * value, top-minus-bottom mean forward return). One melt shuffle
+    * keyed (day, alpha) carries ranks + deciles + the group aggregate
+    * — the shape that scales to a 101-column × full-market panel.
+    * Runs on the q58 stock subset (q90 verifies the alpha values). */
+  def rankIcScan: Q = (s, dir) => {
+    val a = Alpha101.compute(Quotes.panel(s, dir).filter(col("stock") <= 30))
+    val alphaCols = a.schema.fieldNames.filter(_.startsWith("alpha_")).sorted
+    val w = Window.partitionBy("stock").orderBy("day")
+    val dv = (n: Column, d: Column) => when(d =!= 0.0, n / d)
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val withFwd = a.withColumn("fwd",
+      dv(lead(col("close"), 1).over(w), col("close")) - lit(1.0))
+    val melted = withFwd.select(col("stock"), col("day"), col("fwd"),
+        explode(array(alphaCols.map(c =>
+          struct(lit(c).as("alpha"), fr6(col(c)).as("v"))): _*)).as("p"))
+      .select(col("stock"), col("day"), col("fwd"),
+        col("p.alpha").as("alpha"), col("p.v").as("v"))
+      .filter(col("v").isNotNull && col("fwd").isNotNull)
+    val ranked = melted
+      .withColumn("rv", graft.ops.XsOps.avgRank(col("v"), col("day"), col("alpha")))
+      .withColumn("rf", graft.ops.XsOps.avgRank(col("fwd"), col("day"), col("alpha")))
+      .withColumn("dec", ntile(10).over(
+        Window.partitionBy("day", "alpha").orderBy(col("v"), col("stock"))))
+    val g = ranked.groupBy("alpha", "day").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("rv")).as("sx"), sum(col("rf")).as("sy"),
+      sum(col("rv") * col("rv")).as("sxx"), sum(col("rf") * col("rf")).as("syy"),
+      sum(col("rv") * col("rf")).as("sxy"),
+      avg(when(col("dec") === 10, col("fwd"))).as("top_avg"),
+      avg(when(col("dec") === 1, col("fwd"))).as("bot_avg"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val icRaw = when(vx > 1e-9 && vy > 1e-9,
+      (col("n") * col("sxy") - col("sx") * col("sy")) / (sqrt(vx) * sqrt(vy)))
+    val wCum = Window.partitionBy("alpha").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("ic", fr6(icRaw))
+      .withColumn("cum_ic", fr6(sum(col("ic")).over(wCum)))
+      .withColumn("decile_spread", fr6(col("top_avg") - col("bot_avg")))
+      .select("alpha", "day", "ic", "cum_ic", "decile_spread")
+      .orderBy("alpha", "day")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q91_rank_ic" -> rankIcScan,
     "q40_factor_trend" -> technicalTrend,
     "q41_factor_osc" -> technicalOsc,
     "q42_factor_risk" -> technicalRisk,
@@ -346,13 +405,92 @@ object FactorQueries {
       s" + (CAST(len(list_filter(list($x) $f, v -> v = ($x))) AS DOUBLE) + 1.0) / 2.0 END"
   }
 
-  /** Shared Alpha101 oracle CTE chain (stages a0..a6), parameterized
+  /** decay_linear for nullable inputs, slot-preserving (mirrors
+    * Alpha101.dlNullSlot: nulls keep their weight slot, contribute 0,
+    * all-null window -> null). */
+  private def dlSql(x: String, d: Int): String = {
+    val f = s"OVER (PARTITION BY stock ORDER BY day ROWS BETWEEN ${d - 1} PRECEDING AND CURRENT ROW)"
+    s"CASE WHEN len(list_filter(list($x) $f, v -> v IS NOT NULL)) > 0 THEN" +
+      s" list_sum(list_transform(list($x) $f, (v, i) -> v * i))" +
+      s" / (len(list($x) $f) * (len(list($x) $f) + 1) / 2.0) END"
+  }
+
+  /** np.argmax/argmin over the trailing window, nulls dropped:
+    * 0-based FIRST-extremum index (mirrors Alpha101.tsArgMaxIdx /
+    * tsArgMinIdx, where collect_list drops nulls). */
+  private def argMaxSql(x: String, d: Int): String = {
+    val f = s"OVER (PARTITION BY stock ORDER BY day ROWS BETWEEN ${d - 1} PRECEDING AND CURRENT ROW)"
+    val lf = s"list_filter(list($x) $f, v -> v IS NOT NULL)"
+    s"CAST(list_indexof($lf, list_aggregate($lf, 'max')) - 1 AS DOUBLE)"
+  }
+  private def argMinSql(x: String, d: Int): String = {
+    val f = s"OVER (PARTITION BY stock ORDER BY day ROWS BETWEEN ${d - 1} PRECEDING AND CURRENT ROW)"
+    val lf = s"list_filter(list($x) $f, v -> v IS NOT NULL)"
+    s"CAST(list_indexof($lf, list_aggregate($lf, 'min')) - 1 AS DOUBLE)"
+  }
+
+  /** product(x, d): sequential fold over non-null window values,
+    * all-null -> null (mirrors Alpha101.tsProd). */
+  private def prodSql(x: String, d: Int): String = {
+    val f = s"OVER (PARTITION BY stock ORDER BY day ROWS BETWEEN ${d - 1} PRECEDING AND CURRENT ROW)"
+    val lf = s"list_filter(list($x) $f, v -> v IS NOT NULL)"
+    s"CASE WHEN len($lf) > 0 THEN list_aggregate($lf, 'product') END"
+  }
+
+  /** Null-skipping pairwise max/min via the same explicit CASE chain
+    * as Alpha101.maxN/minN (engine greatest/least differ on nulls). */
+  private def maxNSql(a: String, b: String): String =
+    s"CASE WHEN ($a) IS NULL THEN ($b) WHEN ($b) IS NULL THEN ($a)" +
+      s" WHEN ($a) >= ($b) THEN ($a) ELSE ($b) END"
+  private def minNSql(a: String, b: String): String =
+    s"CASE WHEN ($a) IS NULL THEN ($b) WHEN ($b) IS NULL THEN ($a)" +
+      s" WHEN ($a) <= ($b) THEN ($a) ELSE ($b) END"
+
+  /** Shared Alpha101 oracle CTE chain (stages a0..a9), parameterized
     * by the quotes CTE so q58's stock-subset variant reuses the same
     * text (one source of truth for the whole corpus oracle). */
   private def alphaCteWith(quotesCte: String): String =
     s"""WITH $quotesCte,
        |a0 AS (
        |  SELECT stock, day, industry, open, close, high, low, volume, vwap, amount,
+       |    total_mv,
+       |    close - lag(close, 4) OVER ws AS dc4,
+       |    vwap - lag(vwap, 5) OVER ws AS dvw5,
+       |    lag(CAST(volume AS DOUBLE), 1) OVER ws AS voldl1,
+       |    avg(amount) OVER fa5 AS adv5,
+       |    avg(amount) OVER fa10 AS adv10,
+       |    avg(amount) OVER fa15 AS adv15,
+       |    avg(amount) OVER fa30 AS adv30,
+       |    avg(amount) OVER fa40 AS adv40,
+       |    avg(amount) OVER fa50 AS adv50,
+       |    avg(amount) OVER fa60 AS adv60,
+       |    avg(amount) OVER fa81 AS adv81,
+       |    avg(amount) OVER fa120 AS adv120,
+       |    avg(amount) OVER fa150 AS adv150,
+       |    vwap - lag(vwap, 1) OVER ws AS dvw1,
+       |    vwap - lag(vwap, 3) OVER ws AS dvw3,
+       |    vwap - lag(vwap, 4) OVER ws AS dvw4,
+       |    open - lag(open, 1) OVER ws AS do1,
+       |    open - lag(open, 2) OVER ws AS do2,
+       |    open - min(open) OVER fa13 AS o_min13,
+       |    open - min(open) OVER fa12 AS om12,
+       |    vwap - min(vwap) OVER fa11 AS vm11,
+       |    sum(open) OVER fa12 AS so12,
+       |    sum((high + low) / 2.0) OVER fa19 AS s19hl2,
+       |    high * 0.0261661 + vwap * (1 - 0.0261661) AS wp74,
+       |    low * 0.352233 + vwap * (1 - 0.352233) AS wp78,
+       |    high * 0.876703 + close * (1 - 0.876703) AS wp85,
+       |    CASE WHEN ((high + low) / 2.0 + close) < (low + open)
+       |      THEN 1.0 ELSE 0.0 END AS b92,
+       |    (low + open) - (2.0 * vwap) AS x71,
+       |    (high + low) / 2.0 - vwap AS x77,
+       |    close * 0.60733 + open * (1 - 0.60733) AS wp79,
+       |    open * 0.868128 + high * (1 - 0.868128) AS wp80,
+       |    close * 0.369701 + vwap * (1 - 0.369701) AS wp87,
+       |    close * 0.524434 + vwap * (1 - 0.524434) AS wp93,
+       |    low * 0.721001 + vwap * (1 - 0.721001) AS wp97,
+       |    high - max(high) OVER fa2 AS hm2,
+       |    close - max(close) OVER fa4 AS cm4,
        |    close / nullif(lag(close, 1) OVER ws, 0) - 1.0 AS ret,
        |    close - lag(close, 1) OVER ws AS dc1,
        |    CAST(volume - lag(volume, 1) OVER ws AS DOUBLE) AS dv1,
@@ -385,7 +523,23 @@ object FactorQueries {
        |  FROM quotes
        |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
        |    f20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-       |    f180 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 179 PRECEDING AND CURRENT ROW)),
+       |    f180 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 179 PRECEDING AND CURRENT ROW),
+       |    fa5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       |    fa10 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       |    fa11 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 10 PRECEDING AND CURRENT ROW),
+       |    fa12 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+       |    fa13 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 12 PRECEDING AND CURRENT ROW),
+       |    fa15 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
+       |    fa19 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 18 PRECEDING AND CURRENT ROW),
+       |    fa30 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+       |    fa40 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 39 PRECEDING AND CURRENT ROW),
+       |    fa50 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+       |    fa60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
+       |    fa81 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 80 PRECEDING AND CURRENT ROW),
+       |    fa120 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 119 PRECEDING AND CURRENT ROW),
+       |    fa150 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 149 PRECEDING AND CURRENT ROW),
+       |    fa2 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+       |    fa4 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
        |a1 AS (
        |  SELECT *,
        |    lag(dc1, 1) OVER ws AS dc1l,
@@ -453,7 +607,66 @@ object FactorQueries {
        |      / (CAST(count(*) OVER f8 AS DOUBLE)
        |         * (CAST(count(*) OVER f8 AS DOUBLE) - 1.0))) END AS std_c8cf,
        |    min(vwap) OVER f16 AS tsmin_vw16,
-       |    ${corrSql("vwap", "adv180", 18)} AS corr_vw_adv18
+       |    ${corrSql("vwap", "adv180", 18)} AS corr_vw_adv18,
+       |    lag(-ret, 6) OVER ws AS nretl6,
+       |    ret * total_mv AS capret,
+       |    close - c5l AS dc5,
+       |    close - c_lag10 AS dc10,
+       |    ${tsRankAvgSql("abs(dc7)", 60)} AS tsr_absdc7_60,
+       |    avg(close) OVER f200 AS mean_c200,
+       |    sum(high) OVER f5 AS sh5,
+       |    vwap - max(vwap) OVER f15 AS vmax15,
+       |    sum(ret) OVER f10 AS sr10,
+       |    sum(ret) OVER f2 AS sret2,
+       |    ${corrSql("(-oc)", "voldl1", 15)} AS c36a,
+       |    round(${corrSql("vwap", "adv20", 6)}, 6) AS c36b,
+       |    round(${corrSql("adv20", "low", 12)}, 6) AS c31,
+       |    hl2 - lag(hl2, 3) OVER ws AS dhl3,
+       |    CASE WHEN open - hl2 <> 0 THEN (low - vwap) / (open - hl2) END AS ibs66,
+       |    CASE WHEN open <> 0 THEN (-do2) / open END AS x73,
+       |    ${tsRankAvgSql("close", 3)} AS tsr_c3,
+       |    ${tsRankAvgSql("adv180", 12)} AS tsr_adv180_12,
+       |    ${tsRankAvgSql("vwap", 3)} AS tsr_vw3,
+       |    ${tsRankAvgSql("vold", 18)} AS tsr_v18,
+       |    ${tsRankAvgSql("close", 8)} AS tsr_c8,
+       |    ${tsRankAvgSql("adv60", 20)} AS tsr_adv60_20,
+       |    ${tsRankAvgSql("vwap", 19)} AS tsr_vw19,
+       |    ${tsRankAvgSql("adv60", 4)} AS tsr_adv60_4,
+       |    ${tsRankAvgSql("close", 7)} AS tsr_c7,
+       |    ${tsRankAvgSql("hl2", 3)} AS tsr_hl2_3,
+       |    ${tsRankAvgSql("vold", 10)} AS tsr_v10,
+       |    sum(adv20) OVER f22 AS s22adv20,
+       |    sum(adv20) OVER f14 AS s14adv20,
+       |    sum(adv30) OVER f37 AS s37adv30,
+       |    sum(adv60) OVER f8 AS s8adv60,
+       |    sum(adv60) OVER f19 AS s19adv60,
+       |    sum(adv120) OVER f12 AS s12adv120,
+       |    sum(adv40) OVER f19 AS s19adv40,
+       |    sum(adv5) OVER f26 AS s26adv5,
+       |    sum(wp78) OVER f19 AS s19wp78,
+       |    ${dlSql("dvw3", 7)} AS dl66a,
+       |    ${dlSql("dvw4", 2)} AS dl73a,
+       |    ${dlSql("x77", 20)} AS dl77a,
+       |    ${dlSql("b92", 14)} AS dl92a,
+       |    round(${corrSql("hl2", "adv40", 8)}, 6) AS c72a,
+       |    round(${corrSql("hl2", "adv40", 3)}, 6) AS c77,
+       |    round(${corrSql("wp85", "adv30", 9)}, 6) AS c85a,
+       |    ${corrSql("vwap", "vold", 4)} AS c75a,
+       |    ${corrSql("low", "vold", 6)} AS c99b,
+       |    sum(adv180) OVER f37 AS s37adv180,
+       |    sum(adv10) OVER f49 AS s49adv10,
+       |    ${tsRankAvgSql("adv150", 9)} AS tsr_adv150_9,
+       |    ${tsRankAvgSql("low", 7)} AS tsr_low7,
+       |    ${tsRankAvgSql("adv60", 17)} AS tsr_adv60_17,
+       |    round(${corrSql("close", "adv20", 4)}, 6) AS c69,
+       |    round(${corrSql("high", "adv10", 5)}, 6) AS c80,
+       |    round(${corrSql("low", "adv10", 6)}, 6) AS c89,
+       |    round(${corrSql("vwap", "adv30", 4)}, 6) AS c91b,
+       |    ${dlSql("dvw1", 11)} AS dl76a,
+       |    ${dlSql("do1", 14)} AS dl82a,
+       |    round(wp87 - lag(wp87, 1) OVER ws, 6) AS d87,
+       |    round(wp93 - lag(wp93, 2) OVER ws, 6) AS d93,
+       |    ${argMinSql("close", 30)} AS amn100
        |  FROM a0
        |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
        |    f2 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
@@ -469,7 +682,15 @@ object FactorQueries {
        |    f8 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
        |    f16 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 15 PRECEDING AND CURRENT ROW),
        |    f30 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
-       |    f240 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 239 PRECEDING AND CURRENT ROW)),
+       |    f240 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 239 PRECEDING AND CURRENT ROW),
+       |    f15 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
+       |    f200 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 199 PRECEDING AND CURRENT ROW),
+       |    f14 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+       |    f19 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 18 PRECEDING AND CURRENT ROW),
+       |    f22 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 21 PRECEDING AND CURRENT ROW),
+       |    f26 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+       |    f37 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 36 PRECEDING AND CURRENT ROW),
+       |    f49 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 48 PRECEDING AND CURRENT ROW)),
        |a2 AS (
        |  SELECT *,
        |    a8base - lag(a8base, 10) OVER ws AS a8diff,
@@ -505,10 +726,91 @@ object FactorQueries {
        |    ${xrSql("dc1")} AS r_dc1,
        |    ${xrSql("oc")} AS r_oc,
        |    ${xrSql("round(1.0 + sr250, 6)")} AS r_sr250,
-       |    ${xrSql("round(stdr2 / nullif(stdr5, 0), 6)")} AS r_ratio34
+       |    ${xrSql("round(stdr2 / nullif(stdr5, 0), 6)")} AS r_ratio34,
+       |    ${xrSql("dc5")} AS r29a,
+       |    ${xrSql("dc10")} AS r31a,
+       |    ${xrSql("(-dc3)")} AS r31f,
+       |    ${xrSql("c36a")} AS r36a,
+       |    ${xrSql("abs(c36b)")} AS r36d,
+       |    ${xrSql("(mean_c200 - open) * (close - open)")} AS r36e,
+       |    ${xrSql("1.0 / close")} AS r47a,
+       |    ${xrSql("hc")} AS r47b,
+       |    ${xrSql("dvw5")} AS r47c,
+       |    ${xrSql("capret")} AS r56b,
+       |    sum(sret2) OVER f3s AS ss23,
+       |    ${tsRankAvgSql("vmax15", 20)} AS tsr84,
+       |    ${tsRankAvgSql("nretl6", 5)} AS tsr_nret6_5,
+       |    sign(CASE WHEN sum(abs(c31)) OVER (PARTITION BY day) <> 0
+       |      THEN c31 / sum(abs(c31)) OVER (PARTITION BY day) END) AS sign31,
+       |    (high - low) / (sc5 / 5.0) AS hlr,
+       |    ${xrSql("hl2")} AS r_hl2,
+       |    ${xrSql("adv15")} AS r_adv15,
+       |    ${xrSql("adv30")} AS r_adv30,
+       |    ${xrSql("adv50")} AS r_adv50,
+       |    ${xrSql("dhl3")} AS r64b,
+       |    ${xrSql("o_min13")} AS r65b,
+       |    ${xrSql("om12")} AS r95a,
+       |    ${xrSql("vm11")} AS r94a,
+       |    ${xrSql("x71")} AS r71b,
+       |    ${xrSql("dl66a")} AS r66a,
+       |    ${xrSql("dl73a")} AS r73a,
+       |    ${xrSql("dl77a")} AS r77a,
+       |    ${xrSql("wp74")} AS r_wp74,
+       |    ${xrSql("c85a")} AS r85a,
+       |    ${xrSql("c75a")} AS r75a,
+       |    ${xrSql("c99b")} AS r99b,
+       |    ${tsRankAvgSql("dl92a", 18)} AS tsr92a,
+       |    ${dlSql("ibs66", 11)} AS dl66b,
+       |    ${dlSql("x73", 3)} AS dl73b,
+       |    ${dlSql("c72a", 10)} AS dl72a,
+       |    ${dlSql("c77", 5)} AS dl77b,
+       |    round(${corrSql("vwap", "s22adv20", 9)}, 6) AS c62,
+       |    round(${corrSql("so12", "s12adv120", 16)}, 6) AS c64,
+       |    round(${corrSql("open", "s8adv60", 6)}, 6) AS c65,
+       |    round(${corrSql("close", "s14adv20", 6)}, 6) AS c86,
+       |    round(${corrSql("close", "s37adv30", 15)}, 6) AS c74a,
+       |    round(${corrSql("s19wp78", "s19adv40", 6)}, 6) AS c78a,
+       |    round(${corrSql("s19hl2", "s19adv40", 12)}, 6) AS c95,
+       |    round(${corrSql("vwap", "s26adv5", 4)}, 6) AS c98a,
+       |    round(${corrSql("s19hl2", "s19adv60", 8)}, 6) AS c99a,
+       |    ${corrSql("tsr_c3", "tsr_adv180_12", 18)} AS c71,
+       |    ${corrSql("tsr_vw3", "tsr_v18", 6)} AS c72b,
+       |    ${corrSql("tsr_hl2_3", "tsr_v10", 7)} AS c85b,
+       |    ${corrSql("tsr_c8", "tsr_adv60_20", 8)} AS c88b,
+       |    ${corrSql("tsr_vw19", "tsr_adv60_4", 18)} AS c94b,
+       |    ${corrSql("tsr_c7", "tsr_adv60_4", 3)} AS c96b,
+       |    vwap - avg(vwap) OVER pdi AS nvwap,
+       |    close - avg(close) OVER pdi AS nclose,
+       |    low - avg(low) OVER pdi AS nlow,
+       |    vold - avg(vold) OVER pdi AS nvol,
+       |    adv20 - avg(adv20) OVER pdi AS nadv20,
+       |    adv40 - avg(adv40) OVER pdi AS nadv40,
+       |    adv81 - avg(adv81) OVER pdi AS nadv81,
+       |    wp79 - avg(wp79) OVER pdi AS nwp79,
+       |    wp80 - avg(wp80) OVER pdi AS nwp80,
+       |    wp97 - avg(wp97) OVER pdi AS nwp97,
+       |    ${xrSql("hm2")} AS r67a,
+       |    ${xrSql("dvw1")} AS r70a,
+       |    ${xrSql("cm4")} AS r90a,
+       |    ${xrSql("dl76a")} AS r76a,
+       |    ${xrSql("dl82a")} AS r82a,
+       |    ${xrSql("amn100")} AS r100b,
+       |    ${xrSql("adv20")} AS r_adv20x,
+       |    ${tsRankAvgSql("c69", 9)} AS tsr69,
+       |    ${tsRankAvgSql("c80", 5)} AS tsr80,
+       |    ${dlSql("c89", 5)} AS dl89a,
+       |    ${dlSql("c91b", 2)} AS dl91c,
+       |    ${dlSql("d87", 2)} AS dl87a,
+       |    ${dlSql("d93", 16)} AS dl93b,
+       |    ${corrSql("tsr_vw3", "tsr_adv150_9", 14)} AS c79,
+       |    ${corrSql("tsr_low7", "tsr_adv60_17", 4)} AS c97x,
+       |    round(${corrSql("vwap", "s49adv10", 8)}, 6) AS c81,
+       |    round(${corrSql("vwap", "s37adv180", 13)}, 6) AS c63
        |  FROM a1
        |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
-       |    f9v AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+       |    f9v AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+       |    f3s AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       |    pdi AS (PARTITION BY day, industry)),
        |a3 AS (
        |  SELECT *,
        |    list_filter(list(a1sig) OVER f5, v -> v IS NOT NULL) AS a1l,
@@ -534,7 +836,67 @@ object FactorQueries {
        |    ${corrSql("r_high", "r_vol", 3)} AS corr_rh_rv3,
        |    ${corrSql("r_vr2", "r_coo", 6)} AS corr_002,
        |    max(corr_tsr5) OVER f3 AS a26max,
-       |    ${corrSql("r_vol", "r_vwap", 6)} AS corr_rvv6
+       |    ${corrSql("r_vol", "r_vwap", 6)} AS corr_rvv6,
+       |    ${xrSql("(-r29a)")} AS r29b,
+       |    ${xrSql("r31a")} AS r31b,
+       |    ${xrSql("tsr_nret6_5")} AS r36c,
+       |    round(CASE WHEN ss23 <> 0 THEN sr10 / ss23 END, 6) AS q56x,
+       |    lag(hlr, 2) OVER (PARTITION BY stock ORDER BY day) AS hlr_l2,
+       |    ${xrSql("r_vol")} AS r83b,
+       |    pow(tsr84, dc4) AS p84,
+       |    ${xrSql("c62")} AS r62a,
+       |    ${xrSql("c64")} AS r64a,
+       |    ${xrSql("c65")} AS r65a,
+       |    ${tsRankAvgSql("c86", 20)} AS tsr86,
+       |    ${xrSql("c74a")} AS r74a,
+       |    round(${corrSql("r_wp74", "r_vol", 11)}, 6) AS c74b,
+       |    round(${corrSql("r_low", "r_adv50", 12)}, 6) AS c75b,
+       |    ${xrSql("c78a")} AS r78a,
+       |    ${xrSql("c95")} AS r95b,
+       |    ${dlSql("c98a", 7)} AS dl98a,
+       |    ${xrSql("c99a")} AS r99a,
+       |    ${dlSql("c71", 4)} AS dl71a,
+       |    ${dlSql("(r71b * r71b)", 16)} AS dl71b,
+       |    ${dlSql("c72b", 2)} AS dl72b,
+       |    ${xrSql("c85b")} AS r85b,
+       |    ((r_open + r_low) - r_high) - r_close AS x88,
+       |    ${dlSql("c88b", 6)} AS dl88b,
+       |    ${tsRankAvgSql("c94b", 2)} AS tsr94,
+       |    ${argMaxSql("c96b", 12)} AS am96,
+       |    round(${corrSql("r_vwap", "r_vol", 3)}, 6) AS c96a,
+       |    round(${corrSql("r_open", "r_adv15", 20)}, 6) AS c98b,
+       |    round(${corrSql("r_low", "r_adv30", 7)}, 6) AS c92,
+       |    round(${corrSql("r_high", "r_adv15", 8)}, 6) AS c68,
+       |    CASE WHEN (r_open * 2) < (r_hl2 + r_high) THEN 1.0 ELSE 0.0 END AS b62,
+       |    ${tsRankAvgSql("dl66b", 6)} AS tsr66,
+       |    ${tsRankAvgSql("dl73b", 16)} AS tsr73,
+       |    ${xrSql("dl72a")} AS r72a,
+       |    ${xrSql("dl77b")} AS r77b,
+       |    round(${corrSql("nvwap", "vold", 3)}, 6) AS c58,
+       |    round(${corrSql("nvwap", "vold", 4)}, 6) AS c59,
+       |    round(${corrSql("nvwap", "nadv20", 6)}, 6) AS c67,
+       |    round(${corrSql("nclose", "adv50", 17)}, 6) AS c70,
+       |    round(${corrSql("nlow", "adv81", 8)}, 6) AS c76,
+       |    round(${corrSql("nvol", "open", 17)}, 6) AS c82,
+       |    round(${corrSql("nadv81", "close", 13)}, 6) AS c87,
+       |    round(${corrSql("nadv40", "low", 5)}, 6) AS c90,
+       |    round(${corrSql("nclose", "vold", 9)}, 6) AS c91a,
+       |    round(${corrSql("nvwap", "adv81", 17)}, 6) AS c93,
+       |    round(${corrSql("close", "r_adv20x", 5)}, 6) AS c100,
+       |    round(nclose - lag(nclose, 2) OVER (PARTITION BY stock ORDER BY day), 6) AS d63r,
+       |    nvwap - lag(nvwap, 2) OVER (PARTITION BY stock ORDER BY day) AS dnv2,
+       |    round(nwp79 - lag(nwp79, 1) OVER (PARTITION BY stock ORDER BY day), 6) AS d79r,
+       |    sign(round(nwp80 - lag(nwp80, 4) OVER (PARTITION BY stock ORDER BY day), 6)) AS s80,
+       |    round(nvwap - lag(nvwap, 3) OVER (PARTITION BY stock ORDER BY day), 6) AS dnv3r,
+       |    round(nwp97 - lag(nwp97, 3) OVER (PARTITION BY stock ORDER BY day), 6) AS d97r,
+       |    ${tsRankAvgSql("dl89a", 3)} AS tsr89a,
+       |    ${xrSql("dl91c")} AS r91b,
+       |    ${xrSql("dl87a")} AS r87a,
+       |    ${xrSql("dl93b")} AS r93b,
+       |    ${xrSql("c79")} AS r79b,
+       |    ${tsRankAvgSql("c97x", 18)} AS tsr97a,
+       |    ${xrSql("c81")} AS r81a,
+       |    ${dlSql("c63", 12)} AS dl63b
        |  FROM a2
        |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
        |    f3 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
@@ -544,7 +906,47 @@ object FactorQueries {
        |    (corr48 * dc1) / nullif(close, 0) AS a48num,
        |    ${corrSql("r_stoch", "r_vol", 6)} AS corr_rsv6,
        |    sum(corr_rvv6) OVER (PARTITION BY stock ORDER BY day
-       |      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) / 2.0 AS s27
+       |      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) / 2.0 AS s27,
+       |    ${xrSql("r29b")} AS r29c,
+       |    ${dlSql("(-r31b)", 10)} AS dl31,
+       |    ${xrSql("q56x")} AS r56a,
+       |    ${xrSql("hlr_l2")} AS r83a,
+       |    ${xrSql("b62")} AS r62b,
+       |    ${xrSql("c74b")} AS r74c,
+       |    ${xrSql("c75b")} AS r75b,
+       |    ${tsRankAvgSql("(((r95b * r95b) * (r95b * r95b)) * r95b)", 11)} AS tsr95,
+       |    ${tsRankAvgSql("c68", 13)} AS tsr68,
+       |    ${dlSql("c92", 6)} AS dl92b,
+       |    ${dlSql("c96a", 4)} AS dl96a,
+       |    ${argMinSql("c98b", 8)} AS amn98,
+       |    ${dlSql("x88", 8)} AS dl88a,
+       |    ${dlSql("am96", 14)} AS dl96b,
+       |    ${tsRankAvgSql("dl71a", 15)} AS tsr71a,
+       |    ${tsRankAvgSql("dl71b", 4)} AS tsr71b,
+       |    ${xrSql("dl72b")} AS r72b,
+       |    ${tsRankAvgSql("dl88b", 2)} AS tsr88,
+       |    ${xrSql("dl98a")} AS r98a,
+       |    ${dlSql("c58", 7)} AS dl58,
+       |    ${dlSql("c59", 16)} AS dl59,
+       |    ${dlSql("d63r", 8)} AS dl63a,
+       |    ${xrSql("dl63b")} AS r63b,
+       |    ${xrSql("c67")} AS r67b,
+       |    round(max(dnv2) OVER (PARTITION BY stock ORDER BY day
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS m69,
+       |    ${tsRankAvgSql("c70", 17)} AS tsr70,
+       |    ${tsRankAvgSql("c76", 19)} AS tsr76a,
+       |    ${xrSql("d79r")} AS r79a,
+       |    ${xrSql("s80")} AS r80a,
+       |    ${dlSql("c82", 6)} AS dl82b,
+       |    ${dlSql("abs(c87)", 4)} AS dl87b,
+       |    ${dlSql("dnv3r", 10)} AS dl89b,
+       |    ${tsRankAvgSql("c90", 3)} AS tsr90,
+       |    ${dlSql("c91a", 16)} AS dl91a,
+       |    ${dlSql("c93", 19)} AS dl93a,
+       |    ${dlSql("d97r", 20)} AS dl97a,
+       |    ${dlSql("tsr97a", 15)} AS dl97b,
+       |    c100 - r100b AS inner100,
+       |    ${xrSql("((r81a * r81a) * (r81a * r81a))")} AS r81b
        |  FROM a3),
        |a5 AS (
        |  SELECT *,
@@ -586,7 +988,29 @@ object FactorQueries {
        |    ${xrSql("s27")} AS r_s27,
        |    ${xrSql("dl_var17_9")} AS r_dl39,
        |    ${xrSql("vwap - tsmin_vw16")} AS r_v61a,
-       |    ${xrSql("corr_vw_adv18")} AS r_v61b
+       |    ${xrSql("corr_vw_adv18")} AS r_v61b,
+       |    min(r29c) OVER (PARTITION BY stock ORDER BY day
+       |      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS m29,
+       |    ${xrSql("dl31")} AS r31c,
+       |    ${xrSql("dl88a")} AS r88a,
+       |    ${tsRankAvgSql("dl92b", 6)} AS tsr92b,
+       |    ${tsRankAvgSql("dl96a", 8)} AS tsr96a,
+       |    ${tsRankAvgSql("dl96b", 13)} AS tsr96b,
+       |    ${tsRankAvgSql("amn98", 6)} AS tsr98,
+       |    ${tsRankAvgSql("dl58", 5)} AS tsr58,
+       |    ${tsRankAvgSql("dl59", 8)} AS tsr59,
+       |    ${xrSql("dl63a")} AS r63a,
+       |    ${xrSql("m69")} AS r69a,
+       |    ${dlSql("tsr76a", 17)} AS dl76b,
+       |    ${tsRankAvgSql("dl82b", 13)} AS tsr82,
+       |    ${tsRankAvgSql("dl87b", 14)} AS tsr87,
+       |    ${tsRankAvgSql("dl89b", 15)} AS tsr89b,
+       |    ${dlSql("dl91a", 3)} AS dl91b,
+       |    ${tsRankAvgSql("dl93a", 7)} AS tsr93,
+       |    ${xrSql("dl97a")} AS r97a,
+       |    ${tsRankAvgSql("dl97b", 6)} AS tsr97b,
+       |    inner100 - avg(inner100) OVER (PARTITION BY day, industry) AS n100b,
+       |    ${prodSql("r81b", 14)} AS pr81
        |  FROM a4),
        |a6 AS (
        |  SELECT *,
@@ -600,12 +1024,40 @@ object FactorQueries {
        |    a28x * 1.0 / sum(abs(a28x)) OVER pd AS sc_a28,
        |    x32a * 1.0 / sum(abs(x32a)) OVER pd AS sc_x32,
        |    corr_v_vw230 * 1.0 / sum(abs(corr_v_vw230)) OVER pd AS sc_c230,
-       |    ${xrSql("dc7 * (1.0 - r_dl39)")} AS r_a39
+       |    ${xrSql("dc7 * (1.0 - r_dl39)")} AS r_a39,
+       |    round(CASE WHEN sum(abs(ln(m29))) OVER pd <> 0
+       |      THEN ln(m29) / sum(abs(ln(m29))) OVER pd END, 6) AS sc29r,
+       |    ${xrSql("r31c")} AS r31d,
+       |    ${dlSql("tsr98", 8)} AS dl98b,
+       |    ${tsRankAvgSql("dl76b", 19)} AS tsr76b,
+       |    ${tsRankAvgSql("dl91b", 4)} AS tsr91,
+       |    CASE WHEN sum(abs(n100b)) OVER pd <> 0
+       |      THEN n100b / sum(abs(n100b)) OVER pd END AS sc100b,
+       |    r_ibsv - avg(r_ibsv) OVER (PARTITION BY day, industry) AS nn100,
+       |    ${xrSql("round(ln(pr81), 6)")} AS r81c
        |  FROM a5
        |  WINDOW f5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
        |    f3r AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
        |    f2r AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
-       |    pd AS (PARTITION BY day))""".stripMargin
+       |    pd AS (PARTITION BY day)),
+       |a7 AS (
+       |  SELECT *,
+       |    ${xrSql("sc29r")} AS r29d,
+       |    ${xrSql("r31d")} AS r31e,
+       |    ${xrSql("dl98b")} AS r98b,
+       |    nn100 - avg(nn100) OVER (PARTITION BY day, industry) AS n100a
+       |  FROM a6),
+       |a8 AS (
+       |  SELECT *,
+       |    ${xrSql("r29d")} AS r29e,
+       |    CASE WHEN sum(abs(n100a)) OVER (PARTITION BY day) <> 0
+       |      THEN n100a / sum(abs(n100a)) OVER (PARTITION BY day) END AS sc100a
+       |  FROM a7),
+       |a9 AS (
+       |  SELECT *,
+       |    min(r29e) OVER (PARTITION BY stock ORDER BY day
+       |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m29b
+       |  FROM a8)""".stripMargin
 
   private val alphaCte: String = alphaCteWith(Quotes.sqlCte)
 
@@ -850,14 +1302,66 @@ object FactorQueries {
       " WHEN aratio < 1 THEN -1.0 ELSE 1.0 END AS DOUBLE)"),
     "alpha_027" -> "CAST(CASE WHEN 0.5 < r_s27 THEN -1.0 ELSE 1.0 END AS DOUBLE)",
     "alpha_039" -> "-r_a39 * (1.0 + r_sr250)",
-    "alpha_061" -> "CAST((r_v61a < r_v61b) AS DOUBLE)")
+    "alpha_061" -> "CAST((r_v61a < r_v61b) AS DOUBLE)",
+    "alpha_007" -> ("CASE WHEN adv20 < amount" +
+      " THEN -tsr_absdc7_60 * sign(dc7) ELSE -1.0 END"),
+    "alpha_029" -> "m29b + tsr_nret6_5",
+    "alpha_031" -> "r31e + r31f + sign31",
+    "alpha_036" -> ("((((2.21 * r36a) + (0.7 * r_oc)) + (0.73 * r36c))" +
+      " + r36d) + (0.6 * r36e)"),
+    "alpha_047" -> ("((r47a * aratio) * (high * r47b))" +
+      " / nullif(sh5 / 5.0, 0) - r47c"),
+    "alpha_056" -> "-(r56a * r56b)",
+    "alpha_083" -> "(r83a * r83b) / nullif(hlr / nullif(vmc + 0.001, 0), 0)",
+    "alpha_084" -> ("CASE WHEN p84 > 1e6 THEN 1e6" +
+      " WHEN p84 < -1e6 THEN -1e6 ELSE p84 END"),
+    "alpha_062" -> "CASE WHEN r62a < r62b THEN -1.0 ELSE 0.0 END",
+    "alpha_064" -> "CASE WHEN r64a < r64b THEN -1.0 ELSE 0.0 END",
+    "alpha_065" -> "CASE WHEN r65a < r65b THEN -1.0 ELSE 0.0 END",
+    "alpha_066" -> "-(r66a + tsr66)",
+    "alpha_068" -> "CASE WHEN tsr68 < r_dc1 THEN -1.0 ELSE 0.0 END",
+    "alpha_071" -> maxNSql("tsr71a", "tsr71b"),
+    "alpha_072" -> "CASE WHEN r72b <> 0 THEN r72a / r72b END",
+    "alpha_073" -> s"-(${maxNSql("r73a", "tsr73")})",
+    "alpha_074" -> "CASE WHEN r74a < r74c THEN -1.0 ELSE 0.0 END",
+    "alpha_075" -> "CASE WHEN r75a < r75b THEN 1.0 ELSE 0.0 END",
+    "alpha_077" -> minNSql("r77a", "r77b"),
+    "alpha_078" -> "pow(r78a, r_c50)",
+    "alpha_085" -> "pow(r85a, r85b)",
+    "alpha_086" -> "CASE WHEN tsr86 < r_cmv THEN -1.0 ELSE 0.0 END",
+    "alpha_088" -> minNSql("r88a", "tsr88"),
+    "alpha_092" -> minNSql("tsr92a", "tsr92b"),
+    "alpha_094" -> "-pow(r94a, tsr94)",
+    "alpha_095" -> "CASE WHEN r95a < tsr95 THEN 1.0 ELSE 0.0 END",
+    "alpha_096" -> s"-(${maxNSql("tsr96a", "tsr96b")})",
+    "alpha_098" -> "r98a - r98b",
+    "alpha_099" -> "CASE WHEN r99a < r99b THEN -1.0 ELSE 0.0 END",
+    "alpha_058" -> "-tsr58",
+    "alpha_059" -> "-tsr59",
+    "alpha_063" -> "-(r63a - r63b)",
+    "alpha_067" -> "-pow(r67a, r67b)",
+    "alpha_069" -> "-pow(r69a, tsr69)",
+    "alpha_070" -> "-pow(r70a, tsr70)",
+    "alpha_076" -> s"-(${maxNSql("r76a", "tsr76b")})",
+    "alpha_079" -> "CASE WHEN r79a < r79b THEN 1.0 ELSE 0.0 END",
+    "alpha_080" -> "-pow(r80a, tsr80)",
+    "alpha_081" -> "CASE WHEN r81c < r_c50 THEN -1.0 ELSE 0.0 END",
+    "alpha_082" -> s"-(${minNSql("r82a", "tsr82")})",
+    "alpha_087" -> s"-(${maxNSql("r87a", "tsr87")})",
+    "alpha_089" -> "tsr89a - tsr89b",
+    "alpha_090" -> "-pow(r90a, tsr90)",
+    "alpha_091" -> "-(tsr91 - r91b)",
+    "alpha_093" -> "CASE WHEN r93b <> 0 THEN tsr93 / r93b END",
+    "alpha_097" -> "-(r97a - tsr97b)",
+    "alpha_100" -> "-(((1.5 * sc100a) - sc100b) * aratio)")
 
   /** Generate a batch's oracle SELECT from the shared expressions. */
   private def alphaBatchOracle(names: Seq[String]): String = {
     val exprs = alphaExprSql.toMap
     s"$alphaCte\nSELECT stock, day,\n" +
-      names.map(n => s" round(${exprs(n)}, 6) + 0.0 AS $n").mkString(",\n") +
-      "\nFROM a6\nORDER BY stock, day"
+      names.map(n => s" floor((${exprs(n)}) * 1e6 + 0.5) / 1e6 + 0.0 AS $n")
+        .mkString(",\n") +
+      "\nFROM a9\nORDER BY stock, day"
   }
 
   val oracles: Map[String, String] = Map(
@@ -924,6 +1428,56 @@ object FactorQueries {
          |LEFT JOIN t6 USING (stock, day)
          |WHERE stock = 7 AND day BETWEEN 20 AND 60
          |ORDER BY day""".stripMargin,
+    "q91_rank_ic" -> {
+      val sorted = alphaExprSql.sortBy(_._1)
+      val rankOf = (x: String) =>
+        s"rank() OVER (PARTITION BY day, alpha ORDER BY $x)" +
+          s" + (count(*) OVER (PARTITION BY day, alpha ORDER BY $x" +
+          s" RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1) / 2.0"
+      s"""${alphaCteWith(Quotes.sqlCteWhere("user_id <= 30"))},
+         |fin AS (
+         |  SELECT stock, day,
+         |    CASE WHEN close <> 0.0 THEN lead(close, 1)
+         |      OVER (PARTITION BY stock ORDER BY day) / close END - 1.0 AS fwd,
+         |  ${sorted.map { case (n, e) =>
+                s"floor(($e) * 1e6 + 0.5) / 1e6 AS $n" }.mkString(",\n  ")}
+         |  FROM a9),
+         |m AS (
+         |  SELECT stock, day, fwd,
+         |    unnest([${sorted.map(n => s"'${n._1}'").mkString(", ")}]) AS alpha,
+         |    unnest([${sorted.map(_._1).mkString(", ")}]) AS v
+         |  FROM fin),
+         |f2 AS (SELECT * FROM m WHERE v IS NOT NULL AND fwd IS NOT NULL),
+         |r AS (
+         |  SELECT *,
+         |    ${rankOf("v")} AS rv,
+         |    ${rankOf("fwd")} AS rf,
+         |    ntile(10) OVER (PARTITION BY day, alpha ORDER BY v, stock) AS dec
+         |  FROM f2),
+         |g AS (
+         |  SELECT alpha, day,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    sum(rv) AS sx, sum(rf) AS sy,
+         |    sum(rv * rv) AS sxx, sum(rf * rf) AS syy, sum(rv * rf) AS sxy,
+         |    avg(CASE WHEN dec = 10 THEN fwd END) AS top_avg,
+         |    avg(CASE WHEN dec = 1 THEN fwd END) AS bot_avg
+         |  FROM r GROUP BY alpha, day),
+         |i AS (
+         |  SELECT alpha, day,
+         |    floor((CASE WHEN (n * sxx - sx * sx) > 1e-9 AND (n * syy - sy * sy) > 1e-9
+         |      THEN (n * sxy - sx * sy)
+         |           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END)
+         |      * 1e6 + 0.5) / 1e6 + 0.0 AS ic,
+         |    floor((top_avg - bot_avg) * 1e6 + 0.5) / 1e6 + 0.0 AS decile_spread
+         |  FROM g)
+         |SELECT alpha, day, ic,
+         | floor(sum(ic) OVER (PARTITION BY alpha ORDER BY day
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e6 + 0.5) / 1e6 + 0.0
+         |   AS cum_ic,
+         | decile_spread
+         |FROM i
+         |ORDER BY alpha, day""".stripMargin
+    },
     // zipped-unnest melt: ONE aggregate pass over the (subset) CTE —
     // a per-alpha UNION ALL would let DuckDB's optimizer inline the
     // CTE once per branch (N× the whole pipeline)
@@ -933,7 +1487,7 @@ object FactorQueries {
          |fin AS (
          |  SELECT stock, day,
          |  ${sorted.map { case (n, e) => s"($e) AS $n" }.mkString(",\n  ")}
-         |  FROM a6)
+         |  FROM a9)
          |SELECT unnest([${sorted.map(n => s"'${n._1}'").mkString(", ")}]) AS alpha,
          | unnest([${sorted.map(n => s"count(${n._1})").mkString(", ")}]) AS n_nonnull,
          | unnest([${sorted.map(n => s"round(avg(${n._1}), 6) + 0.0").mkString(", ")}]) AS avg_v

@@ -82,6 +82,51 @@ object Alpha101 {
     (array_position(arr, array_max(arr)) - 1).cast(DoubleType)
   }
 
+  /** np.argmin over the trailing window: 0-based first-min index
+    * from the window start (nulls dropped by collect_list). */
+  private def tsArgMinIdx(x: Column, d: Int): Column = {
+    val arr = collect_list(x).over(t(d))
+    (array_position(arr, array_min(arr)) - 1).cast(DoubleType)
+  }
+
+  /** decay_linear for NULLABLE inputs with slot-preserving weights:
+    * null entries keep their weight slot but contribute 0 (mirrors
+    * the DuckDB `list()` + `list_sum` oracle, where nulls stay in the
+    * list and the sum skips them); all-null window -> null. NaN is
+    * the in-flight null marker (the pipeline never produces NaN). */
+  private def dlNullSlot(x: Column, d: Int): Column = {
+    val arr = collect_list(coalesce(x, lit(Double.NaN))).over(t(d))
+    val n = size(arr)
+    val wsum = aggregate(
+      zip_with(arr, sequence(lit(1), n), (v, wt) => v * wt),
+      lit(0.0), (acc, v) => when(isnan(v), acc).otherwise(acc + v))
+    when(exists(arr, v => !isnan(v)), wsum / (n * (n + 1) / lit(2.0)))
+  }
+
+  /** product(x, d): sequential fold over the non-null window values
+    * (alpha101_engine.py:69-72); all-null window -> null, matching
+    * DuckDB's aggregate-over-empty-list. */
+  private def tsProd(x: Column, d: Int): Column = {
+    val arr = collect_list(x).over(t(d))
+    when(size(arr) > 0, aggregate(arr, lit(1.0), (acc, v) => acc * v))
+  }
+
+  /** Null-skipping pairwise max/min with EXPLICIT case logic — Spark
+    * greatest/least and DuckDB greatest/least differ on null inputs,
+    * so both sides spell out the same CASE chain. */
+  private def maxN(a: Column, b: Column): Column =
+    when(a.isNull, b).when(b.isNull, a).when(a >= b, a).otherwise(b)
+  private def minN(a: Column, b: Column): Column =
+    when(a.isNull, b).when(b.isNull, a).when(a <= b, a).otherwise(b)
+
+  /** Pinned signedpower guard for alpha_084: the synthetic panel's
+    * close deltas reach +-200, so rank^delta spans ~1e-300..1e300 —
+    * far past where a 6-dp rounded compare is meaningful. Outputs are
+    * clamped to +-1e6 (documented divergence; real-market deltas are
+    * single digits and never clamp). */
+  private def clamp1e6(x: Column): Column =
+    when(x > 1e6, 1e6).when(x < -1e6, -1e6).otherwise(x)
+
   /** Rolling sample covariance, closed form over both-non-null pairs
     * (alpha101_engine.py:33-36). */
   private def tsCovCf(x: Column, y: Column, d: Int): Column = {
@@ -156,6 +201,46 @@ object Alpha101 {
         col("high") - col("low")) * col("vold"))
       .withColumn("var17", div(col("vold"), col("adv20")))
       .withColumn("adv180", avg(col("amount")).over(t(180)))
+      .withColumn("dc4", col("close") - lag(col("close"), 4).over(W))
+      .withColumn("dvw5", col("vwap") - lag(col("vwap"), 5).over(W))
+      .withColumn("voldl1", lag(col("vold"), 1).over(W))
+      .withColumn("nretl6", lag(-col("ret"), 6).over(W))
+      .withColumn("capret", col("ret") * col("total_mv"))
+      // adv{d} family for the 062-100 band
+      .withColumn("adv5", avg(col("amount")).over(t(5)))
+      .withColumn("adv10", avg(col("amount")).over(t(10)))
+      .withColumn("adv15", avg(col("amount")).over(t(15)))
+      .withColumn("adv30", avg(col("amount")).over(t(30)))
+      .withColumn("adv40", avg(col("amount")).over(t(40)))
+      .withColumn("adv50", avg(col("amount")).over(t(50)))
+      .withColumn("adv60", avg(col("amount")).over(t(60)))
+      .withColumn("adv81", avg(col("amount")).over(t(81)))
+      .withColumn("adv120", avg(col("amount")).over(t(120)))
+      .withColumn("adv150", avg(col("amount")).over(t(150)))
+      .withColumn("dvw1", col("vwap") - lag(col("vwap"), 1).over(W))
+      .withColumn("dvw3", col("vwap") - lag(col("vwap"), 3).over(W))
+      .withColumn("dvw4", col("vwap") - lag(col("vwap"), 4).over(W))
+      .withColumn("do1", col("open") - lag(col("open"), 1).over(W))
+      .withColumn("do2", col("open") - lag(col("open"), 2).over(W))
+      .withColumn("o_min13", col("open") - min(col("open")).over(t(13)))
+      .withColumn("om12", col("open") - min(col("open")).over(t(12)))
+      .withColumn("vm11", col("vwap") - min(col("vwap")).over(t(11)))
+      .withColumn("so12", sum(col("open")).over(t(12)))
+      .withColumn("s19hl2", sum(col("hl2")).over(t(19)))
+      .withColumn("wp74", col("high") * 0.0261661 + col("vwap") * (1 - 0.0261661))
+      .withColumn("wp78", col("low") * 0.352233 + col("vwap") * (1 - 0.352233))
+      .withColumn("wp85", col("high") * 0.876703 + col("close") * (1 - 0.876703))
+      .withColumn("b92",
+        when((col("hl2") + col("close")) < (col("low") + col("open")), 1.0).otherwise(0.0))
+      .withColumn("x71", (col("low") + col("open")) - (lit(2.0) * col("vwap")))
+      .withColumn("x77", col("hl2") - col("vwap"))
+      .withColumn("wp79", col("close") * 0.60733 + col("open") * (1 - 0.60733))
+      .withColumn("wp80", col("open") * 0.868128 + col("high") * (1 - 0.868128))
+      .withColumn("wp87", col("close") * 0.369701 + col("vwap") * (1 - 0.369701))
+      .withColumn("wp93", col("close") * 0.524434 + col("vwap") * (1 - 0.524434))
+      .withColumn("wp97", col("low") * 0.721001 + col("vwap") * (1 - 0.721001))
+      .withColumn("hm2", col("high") - max(col("high")).over(t(2)))
+      .withColumn("cm4", col("close") - max(col("close")).over(t(4)))
     val s1 = s0
       .withColumn("dc1l", lag(col("dc1"), 1).over(W))
       .withColumn("dc1l2", lag(col("dc1"), 2).over(W))
@@ -211,6 +296,67 @@ object Alpha101 {
       .withColumn("tsmin_vw16", min(col("vwap")).over(t(16)))
       .withColumn("corr_vw_adv18", tsCorrCf(col("vwap"), col("adv180"), 18))
       .withColumn("dl_var17_9", graft.ops.TsOps.decayLinear(col("var17"), 9, W))
+      .withColumn("dc5", col("close") - col("c5l"))
+      .withColumn("dc10", col("close") - col("c_lag10"))
+      .withColumn("tsr_absdc7_60", tsRankAvg(abs(col("dc7")), 60))
+      .withColumn("mean_c200", avg(col("close")).over(t(200)))
+      .withColumn("sh5", sum(col("high")).over(t(5)))
+      .withColumn("vmax15", col("vwap") - max(col("vwap")).over(t(15)))
+      .withColumn("sr10", sum(col("ret")).over(t(10)))
+      .withColumn("sret2", sum(col("ret")).over(t(2)))
+      .withColumn("c36a", tsCorrCf(-col("oc"), col("voldl1"), 15))
+      .withColumn("c36b", round(tsCorrCf(col("vwap"), col("adv20"), 6), 6))
+      .withColumn("c31", round(tsCorrCf(col("adv20"), col("low"), 12), 6))
+      .withColumn("tsr_nret6_5", tsRankAvg(col("nretl6"), 5))
+      .withColumn("dhl3", col("hl2") - lag(col("hl2"), 3).over(W))
+      .withColumn("ibs66", div(col("low") - col("vwap"), col("open") - col("hl2")))
+      .withColumn("x73", div(-col("do2"), col("open")))
+      .withColumn("tsr_c3", tsRankAvg(col("close"), 3))
+      .withColumn("tsr_adv180_12", tsRankAvg(col("adv180"), 12))
+      .withColumn("tsr_vw3", tsRankAvg(col("vwap"), 3))
+      .withColumn("tsr_v18", tsRankAvg(col("vold"), 18))
+      .withColumn("tsr_c8", tsRankAvg(col("close"), 8))
+      .withColumn("tsr_adv60_20", tsRankAvg(col("adv60"), 20))
+      .withColumn("tsr_vw19", tsRankAvg(col("vwap"), 19))
+      .withColumn("tsr_adv60_4", tsRankAvg(col("adv60"), 4))
+      .withColumn("tsr_c7", tsRankAvg(col("close"), 7))
+      .withColumn("tsr_hl2_3", tsRankAvg(col("hl2"), 3))
+      .withColumn("tsr_v10", tsRankAvg(col("vold"), 10))
+      .withColumn("s22adv20", sum(col("adv20")).over(t(22)))
+      .withColumn("s14adv20", sum(col("adv20")).over(t(14)))
+      .withColumn("s37adv30", sum(col("adv30")).over(t(37)))
+      .withColumn("s8adv60", sum(col("adv60")).over(t(8)))
+      .withColumn("s19adv60", sum(col("adv60")).over(t(19)))
+      .withColumn("s12adv120", sum(col("adv120")).over(t(12)))
+      .withColumn("s19adv40", sum(col("adv40")).over(t(19)))
+      .withColumn("s26adv5", sum(col("adv5")).over(t(26)))
+      .withColumn("s19wp78", sum(col("wp78")).over(t(19)))
+      .withColumn("dl66a", dlNullSlot(col("dvw3"), 7))
+      .withColumn("dl73a", dlNullSlot(col("dvw4"), 2))
+      .withColumn("dl77a", dlNullSlot(col("x77"), 20))
+      .withColumn("dl92a", dlNullSlot(col("b92"), 14))
+      .withColumn("c72a", round(tsCorrCf(col("hl2"), col("adv40"), 8), 6))
+      .withColumn("c77", round(tsCorrCf(col("hl2"), col("adv40"), 3), 6))
+      .withColumn("c85a", round(tsCorrCf(col("wp85"), col("adv30"), 9), 6))
+      .withColumn("c75a", tsCorrCf(col("vwap"), col("vold"), 4))
+      .withColumn("c99b", tsCorrCf(col("low"), col("vold"), 6))
+      .withColumn("s37adv180", sum(col("adv180")).over(t(37)))
+      .withColumn("s49adv10", sum(col("adv10")).over(t(49)))
+      .withColumn("tsr_adv150_9", tsRankAvg(col("adv150"), 9))
+      .withColumn("tsr_low7", tsRankAvg(col("low"), 7))
+      .withColumn("tsr_adv60_17", tsRankAvg(col("adv60"), 17))
+      .withColumn("c69", round(tsCorrCf(col("close"), col("adv20"), 4), 6))
+      .withColumn("c80", round(tsCorrCf(col("high"), col("adv10"), 5), 6))
+      .withColumn("c89", round(tsCorrCf(col("low"), col("adv10"), 6), 6))
+      .withColumn("c91b", round(tsCorrCf(col("vwap"), col("adv30"), 4), 6))
+      .withColumn("dl76a", dlNullSlot(col("dvw1"), 11))
+      .withColumn("dl82a", dlNullSlot(col("do1"), 14))
+      // rounded: engine FMA contraction puts ~1e-14 noise on the
+      // float-coefficient wp products, which flips rank order of
+      // mathematically-tied deltas (same reason d79r/d97r round)
+      .withColumn("d87", round(col("wp87") - lag(col("wp87"), 1).over(W), 6))
+      .withColumn("d93", round(col("wp93") - lag(col("wp93"), 2).over(W), 6))
+      .withColumn("amn100", tsArgMinIdx(col("close"), 30))
     // ---- XS stage: input ranks; TS follow-ups on materialized cols
     val s2 = s1
       .withColumn("a8diff", col("a8base") - lag(col("a8base"), 10).over(W))
@@ -244,6 +390,88 @@ object Alpha101 {
       .withColumn("r_oc", xr(col("oc")))
       .withColumn("r_sr250", xr(round(lit(1.0) + col("sr250"), 6)))
       .withColumn("r_ratio34", xr(round(div(col("stdr2"), col("stdr5")), 6)))
+      .withColumn("r29a", xr(col("dc5")))
+      .withColumn("r31a", xr(col("dc10")))
+      .withColumn("r31f", xr(-col("dc3")))
+      .withColumn("r36a", xr(col("c36a")))
+      .withColumn("r36d", xr(abs(col("c36b"))))
+      .withColumn("r36e",
+        xr((col("mean_c200") - col("open")) * (col("close") - col("open"))))
+      .withColumn("r47a", xr(lit(1.0) / col("close")))
+      .withColumn("r47b", xr(col("hc")))
+      .withColumn("r47c", xr(col("dvw5")))
+      .withColumn("r56b", xr(col("capret")))
+      .withColumn("ss23", sum(col("sret2")).over(t(3)))
+      .withColumn("tsr84", tsRankAvg(col("vmax15"), 20))
+      .withColumn("sign31",
+        signum(div(col("c31"), sum(abs(col("c31"))).over(Window.partitionBy("day")))))
+      .withColumn("hlr", (col("high") - col("low")) / (col("sc5") / 5.0))
+      .withColumn("r_hl2", xr(col("hl2")))
+      .withColumn("r_adv15", xr(col("adv15")))
+      .withColumn("r_adv30", xr(col("adv30")))
+      .withColumn("r_adv50", xr(col("adv50")))
+      .withColumn("r64b", xr(col("dhl3")))
+      .withColumn("r65b", xr(col("o_min13")))
+      .withColumn("r95a", xr(col("om12")))
+      .withColumn("r94a", xr(col("vm11")))
+      .withColumn("r71b", xr(col("x71")))
+      .withColumn("r66a", xr(col("dl66a")))
+      .withColumn("r73a", xr(col("dl73a")))
+      .withColumn("r77a", xr(col("dl77a")))
+      .withColumn("r_wp74", xr(col("wp74")))
+      .withColumn("r85a", xr(col("c85a")))
+      .withColumn("r75a", xr(col("c75a")))
+      .withColumn("r99b", xr(col("c99b")))
+      .withColumn("tsr92a", tsRankAvg(col("dl92a"), 18))
+      .withColumn("dl66b", dlNullSlot(col("ibs66"), 11))
+      .withColumn("dl73b", dlNullSlot(col("x73"), 3))
+      .withColumn("dl72a", dlNullSlot(col("c72a"), 10))
+      .withColumn("dl77b", dlNullSlot(col("c77"), 5))
+      .withColumn("c62", round(tsCorrCf(col("vwap"), col("s22adv20"), 9), 6))
+      .withColumn("c64", round(tsCorrCf(col("so12"), col("s12adv120"), 16), 6))
+      .withColumn("c65", round(tsCorrCf(col("open"), col("s8adv60"), 6), 6))
+      .withColumn("c86", round(tsCorrCf(col("close"), col("s14adv20"), 6), 6))
+      .withColumn("c74a", round(tsCorrCf(col("close"), col("s37adv30"), 15), 6))
+      .withColumn("c78a", round(tsCorrCf(col("s19wp78"), col("s19adv40"), 6), 6))
+      .withColumn("c95", round(tsCorrCf(col("s19hl2"), col("s19adv40"), 12), 6))
+      .withColumn("c98a", round(tsCorrCf(col("vwap"), col("s26adv5"), 4), 6))
+      .withColumn("c99a", round(tsCorrCf(col("s19hl2"), col("s19adv60"), 8), 6))
+      .withColumn("c71", tsCorrCf(col("tsr_c3"), col("tsr_adv180_12"), 18))
+      .withColumn("c72b", tsCorrCf(col("tsr_vw3"), col("tsr_v18"), 6))
+      .withColumn("c85b", tsCorrCf(col("tsr_hl2_3"), col("tsr_v10"), 7))
+      .withColumn("c88b", tsCorrCf(col("tsr_c8"), col("tsr_adv60_20"), 8))
+      .withColumn("c94b", tsCorrCf(col("tsr_vw19"), col("tsr_adv60_4"), 18))
+      .withColumn("c96b", tsCorrCf(col("tsr_c7"), col("tsr_adv60_4"), 3))
+      // IndClass.sector/industry/subindustry all map to the panel's
+      // single `industry` grouping (the reference's neut(), Project
+      // report.md:749-757)
+      .withColumn("nvwap", XsOps.demean(col("vwap"), col("day"), col("industry")))
+      .withColumn("nclose", XsOps.demean(col("close"), col("day"), col("industry")))
+      .withColumn("nlow", XsOps.demean(col("low"), col("day"), col("industry")))
+      .withColumn("nvol", XsOps.demean(col("vold"), col("day"), col("industry")))
+      .withColumn("nadv20", XsOps.demean(col("adv20"), col("day"), col("industry")))
+      .withColumn("nadv40", XsOps.demean(col("adv40"), col("day"), col("industry")))
+      .withColumn("nadv81", XsOps.demean(col("adv81"), col("day"), col("industry")))
+      .withColumn("nwp79", XsOps.demean(col("wp79"), col("day"), col("industry")))
+      .withColumn("nwp80", XsOps.demean(col("wp80"), col("day"), col("industry")))
+      .withColumn("nwp97", XsOps.demean(col("wp97"), col("day"), col("industry")))
+      .withColumn("r67a", xr(col("hm2")))
+      .withColumn("r70a", xr(col("dvw1")))
+      .withColumn("r90a", xr(col("cm4")))
+      .withColumn("r76a", xr(col("dl76a")))
+      .withColumn("r82a", xr(col("dl82a")))
+      .withColumn("r100b", xr(col("amn100")))
+      .withColumn("r_adv20x", xr(col("adv20")))
+      .withColumn("tsr69", tsRankAvg(col("c69"), 9))
+      .withColumn("tsr80", tsRankAvg(col("c80"), 5))
+      .withColumn("dl89a", dlNullSlot(col("c89"), 5))
+      .withColumn("dl91c", dlNullSlot(col("c91b"), 2))
+      .withColumn("dl87a", dlNullSlot(col("d87"), 2))
+      .withColumn("dl93b", dlNullSlot(col("d93"), 16))
+      .withColumn("c79", tsCorrCf(col("tsr_vw3"), col("tsr_adv150_9"), 14))
+      .withColumn("c97x", tsCorrCf(col("tsr_low7"), col("tsr_adv60_17"), 4))
+      .withColumn("c81", round(tsCorrCf(col("vwap"), col("s49adv10"), 8), 6))
+      .withColumn("c63", round(tsCorrCf(col("vwap"), col("s37adv180"), 13), 6))
     // ---- TS stage: correlations, ts_ranks, argmax ----
     val s3 = s2
       .withColumn("a1arg", tsArgMaxIdx(col("a1sig"), 5))
@@ -273,8 +501,69 @@ object Alpha101 {
       .withColumn("a26max", max(col("corr_tsr5")).over(t(3)))
       .withColumn("corr_rvv6", tsCorrCf(col("r_vol"), col("r_vwap"), 6))
       .withColumn("s27", sum(col("corr_rvv6")).over(t(2)) / 2.0)
+      .withColumn("r29b", xr(-col("r29a")))
+      .withColumn("r31b", xr(col("r31a")))
+      .withColumn("r36c", xr(col("tsr_nret6_5")))
+      .withColumn("q56x", round(div(col("sr10"), col("ss23")), 6))
+      .withColumn("hlr_l2", lag(col("hlr"), 2).over(W))
+      .withColumn("r83b", xr(col("r_vol")))
+      .withColumn("p84", pow(col("tsr84"), col("dc4")))
+      .withColumn("r62a", xr(col("c62")))
+      .withColumn("r64a", xr(col("c64")))
+      .withColumn("r65a", xr(col("c65")))
+      .withColumn("tsr86", tsRankAvg(col("c86"), 20))
+      .withColumn("r74a", xr(col("c74a")))
+      .withColumn("c74b", round(tsCorrCf(col("r_wp74"), col("r_vol"), 11), 6))
+      .withColumn("c75b", round(tsCorrCf(col("r_low"), col("r_adv50"), 12), 6))
+      .withColumn("r78a", xr(col("c78a")))
+      .withColumn("r95b", xr(col("c95")))
+      .withColumn("dl98a", dlNullSlot(col("c98a"), 7))
+      .withColumn("r99a", xr(col("c99a")))
+      .withColumn("dl71a", dlNullSlot(col("c71"), 4))
+      .withColumn("dl71b", dlNullSlot(col("r71b") * col("r71b"), 16))
+      .withColumn("dl72b", dlNullSlot(col("c72b"), 2))
+      .withColumn("r85b", xr(col("c85b")))
+      .withColumn("x88", ((col("r_open") + col("r_low")) - col("r_high")) - col("r_close"))
+      .withColumn("dl88b", dlNullSlot(col("c88b"), 6))
+      .withColumn("tsr94", tsRankAvg(col("c94b"), 2))
+      .withColumn("am96", tsArgMaxIdx(col("c96b"), 12))
+      .withColumn("c96a", round(tsCorrCf(col("r_vwap"), col("r_vol"), 3), 6))
+      .withColumn("c98b", round(tsCorrCf(col("r_open"), col("r_adv15"), 20), 6))
+      .withColumn("c92", round(tsCorrCf(col("r_low"), col("r_adv30"), 7), 6))
+      .withColumn("c68", round(tsCorrCf(col("r_high"), col("r_adv15"), 8), 6))
+      .withColumn("b62",
+        when((col("r_open") * 2) < (col("r_hl2") + col("r_high")), 1.0).otherwise(0.0))
+      .withColumn("tsr66", tsRankAvg(col("dl66b"), 6))
+      .withColumn("tsr73", tsRankAvg(col("dl73b"), 16))
+      .withColumn("r72a", xr(col("dl72a")))
+      .withColumn("r77b", xr(col("dl77b")))
+      .withColumn("c58", round(tsCorrCf(col("nvwap"), col("vold"), 3), 6))
+      .withColumn("c59", round(tsCorrCf(col("nvwap"), col("vold"), 4), 6))
+      .withColumn("c67", round(tsCorrCf(col("nvwap"), col("nadv20"), 6), 6))
+      .withColumn("c70", round(tsCorrCf(col("nclose"), col("adv50"), 17), 6))
+      .withColumn("c76", round(tsCorrCf(col("nlow"), col("adv81"), 8), 6))
+      .withColumn("c82", round(tsCorrCf(col("nvol"), col("open"), 17), 6))
+      .withColumn("c87", round(tsCorrCf(col("nadv81"), col("close"), 13), 6))
+      .withColumn("c90", round(tsCorrCf(col("nadv40"), col("low"), 5), 6))
+      .withColumn("c91a", round(tsCorrCf(col("nclose"), col("vold"), 9), 6))
+      .withColumn("c93", round(tsCorrCf(col("nvwap"), col("adv81"), 17), 6))
+      .withColumn("c100", round(tsCorrCf(col("close"), col("r_adv20x"), 5), 6))
+      .withColumn("d63r", round(col("nclose") - lag(col("nclose"), 2).over(W), 6))
+      .withColumn("dnv2", col("nvwap") - lag(col("nvwap"), 2).over(W))
+      .withColumn("d79r", round(col("nwp79") - lag(col("nwp79"), 1).over(W), 6))
+      .withColumn("s80", signum(round(col("nwp80") - lag(col("nwp80"), 4).over(W), 6)))
+      .withColumn("dnv3r", round(col("nvwap") - lag(col("nvwap"), 3).over(W), 6))
+      .withColumn("d97r", round(col("nwp97") - lag(col("nwp97"), 3).over(W), 6))
+      .withColumn("tsr89a", tsRankAvg(col("dl89a"), 3))
+      .withColumn("r91b", xr(col("dl91c")))
+      .withColumn("r87a", xr(col("dl87a")))
+      .withColumn("r93b", xr(col("dl93b")))
+      .withColumn("r79b", xr(col("c79")))
+      .withColumn("tsr97a", tsRankAvg(col("c97x"), 18))
+      .withColumn("r81a", xr(col("c81")))
+      .withColumn("dl63b", dlNullSlot(col("c63"), 12))
     // ---- XS stage: final ranks + industry neutralization ----
-    s3
+    val s4 = s3
       .withColumn("alpha_001", xr(col("a1arg")) - lit(0.5))
       .withColumn("alpha_003", -col("corr3"))
       .withColumn("alpha_004", -col("tsr_low9"))
@@ -374,6 +663,150 @@ object Alpha101 {
         + lit(20.0) * XsOps.scale(col("corr_v_vw230"), 1.0, col("day")))
       .withColumn("alpha_060", -(lit(2.0) * XsOps.scale(col("r_ibsv"), 1.0, col("day"))
         - XsOps.scale(col("r_am10"), 1.0, col("day"))))
+    // ---- tranches 5-6: the 062-100 band + deep-nesting alphas ----
+    // each val below is one more window-nesting level
+    val s5 = s4
+      .withColumn("r29c", xr(col("r29b")))
+      .withColumn("dl31", dlNullSlot(-col("r31b"), 10))
+      .withColumn("r56a", xr(col("q56x")))
+      .withColumn("r83a", xr(col("hlr_l2")))
+      .withColumn("r62b", xr(col("b62")))
+      .withColumn("r74c", xr(col("c74b")))
+      .withColumn("r75b", xr(col("c75b")))
+      .withColumn("tsr95", tsRankAvg(
+        ((col("r95b") * col("r95b")) * (col("r95b") * col("r95b"))) * col("r95b"), 11))
+      .withColumn("tsr68", tsRankAvg(col("c68"), 13))
+      .withColumn("dl92b", dlNullSlot(col("c92"), 6))
+      .withColumn("dl96a", dlNullSlot(col("c96a"), 4))
+      .withColumn("amn98", tsArgMinIdx(col("c98b"), 8))
+      .withColumn("dl88a", dlNullSlot(col("x88"), 8))
+      .withColumn("dl96b", dlNullSlot(col("am96"), 14))
+      .withColumn("tsr71a", tsRankAvg(col("dl71a"), 15))
+      .withColumn("tsr71b", tsRankAvg(col("dl71b"), 4))
+      .withColumn("r72b", xr(col("dl72b")))
+      .withColumn("tsr88", tsRankAvg(col("dl88b"), 2))
+      .withColumn("r98a", xr(col("dl98a")))
+      .withColumn("dl58", dlNullSlot(col("c58"), 7))
+      .withColumn("dl59", dlNullSlot(col("c59"), 16))
+      .withColumn("dl63a", dlNullSlot(col("d63r"), 8))
+      .withColumn("r63b", xr(col("dl63b")))
+      .withColumn("r67b", xr(col("c67")))
+      .withColumn("m69", round(max(col("dnv2")).over(t(4)), 6))
+      .withColumn("tsr70", tsRankAvg(col("c70"), 17))
+      .withColumn("tsr76a", tsRankAvg(col("c76"), 19))
+      .withColumn("r79a", xr(col("d79r")))
+      .withColumn("r80a", xr(col("s80")))
+      .withColumn("dl82b", dlNullSlot(col("c82"), 6))
+      .withColumn("dl87b", dlNullSlot(abs(col("c87")), 4))
+      .withColumn("dl89b", dlNullSlot(col("dnv3r"), 10))
+      .withColumn("tsr90", tsRankAvg(col("c90"), 3))
+      .withColumn("dl91a", dlNullSlot(col("c91a"), 16))
+      .withColumn("dl93a", dlNullSlot(col("c93"), 19))
+      .withColumn("dl97a", dlNullSlot(col("d97r"), 20))
+      .withColumn("dl97b", dlNullSlot(col("tsr97a"), 15))
+      .withColumn("inner100", col("c100") - col("r100b"))
+      .withColumn("r81b", xr((col("r81a") * col("r81a")) * (col("r81a") * col("r81a"))))
+    val s6 = s5
+      .withColumn("m29", min(col("r29c")).over(t(2)))
+      .withColumn("r31c", xr(col("dl31")))
+      .withColumn("r88a", xr(col("dl88a")))
+      .withColumn("tsr92b", tsRankAvg(col("dl92b"), 6))
+      .withColumn("tsr96a", tsRankAvg(col("dl96a"), 8))
+      .withColumn("tsr96b", tsRankAvg(col("dl96b"), 13))
+      .withColumn("tsr98", tsRankAvg(col("amn98"), 6))
+      .withColumn("tsr58", tsRankAvg(col("dl58"), 5))
+      .withColumn("tsr59", tsRankAvg(col("dl59"), 8))
+      .withColumn("r63a", xr(col("dl63a")))
+      .withColumn("r69a", xr(col("m69")))
+      .withColumn("dl76b", dlNullSlot(col("tsr76a"), 17))
+      .withColumn("tsr82", tsRankAvg(col("dl82b"), 13))
+      .withColumn("tsr87", tsRankAvg(col("dl87b"), 14))
+      .withColumn("tsr89b", tsRankAvg(col("dl89b"), 15))
+      .withColumn("dl91b", dlNullSlot(col("dl91a"), 3))
+      .withColumn("tsr93", tsRankAvg(col("dl93a"), 7))
+      .withColumn("r97a", xr(col("dl97a")))
+      .withColumn("tsr97b", tsRankAvg(col("dl97b"), 6))
+      .withColumn("n100b", XsOps.demean(col("inner100"), col("day"), col("industry")))
+      .withColumn("pr81", tsProd(col("r81b"), 14))
+    val s7 = s6
+      .withColumn("sc29r", round(div(log(col("m29")),
+        sum(abs(log(col("m29")))).over(Window.partitionBy("day"))), 6))
+      .withColumn("r31d", xr(col("r31c")))
+      .withColumn("dl98b", dlNullSlot(col("tsr98"), 8))
+      .withColumn("tsr76b", tsRankAvg(col("dl76b"), 19))
+      .withColumn("tsr91", tsRankAvg(col("dl91b"), 4))
+      .withColumn("sc100b",
+        div(col("n100b"), sum(abs(col("n100b"))).over(Window.partitionBy("day"))))
+      .withColumn("nn100", XsOps.demean(col("r_ibsv"), col("day"), col("industry")))
+      .withColumn("r81c", xr(round(log(col("pr81")), 6)))
+    val s8 = s7
+      .withColumn("r29d", xr(col("sc29r")))
+      .withColumn("r31e", xr(col("r31d")))
+      .withColumn("r98b", xr(col("dl98b")))
+      .withColumn("n100a", XsOps.demean(col("nn100"), col("day"), col("industry")))
+    val s9 = s8
+      .withColumn("r29e", xr(col("r29d")))
+      .withColumn("sc100a",
+        div(col("n100a"), sum(abs(col("n100a"))).over(Window.partitionBy("day"))))
+    val s10 = s9
+      .withColumn("m29b", min(col("r29e")).over(t(5)))
+    s10
+      .withColumn("alpha_007",
+        when(col("adv20") < col("amount"),
+          -col("tsr_absdc7_60") * signum(col("dc7"))).otherwise(-1.0))
+      .withColumn("alpha_029", col("m29b") + col("tsr_nret6_5"))
+      .withColumn("alpha_031", col("r31e") + col("r31f") + col("sign31"))
+      .withColumn("alpha_036",
+        ((((lit(2.21) * col("r36a")) + (lit(0.7) * col("r_oc")))
+          + (lit(0.73) * col("r36c"))) + col("r36d")) + (lit(0.6) * col("r36e")))
+      .withColumn("alpha_047",
+        div((col("r47a") * col("aratio")) * (col("high") * col("r47b")),
+          col("sh5") / 5.0) - col("r47c"))
+      .withColumn("alpha_056", -(col("r56a") * col("r56b")))
+      .withColumn("alpha_083",
+        div(col("r83a") * col("r83b"), div(col("hlr"), col("vmc") + 0.001)))
+      .withColumn("alpha_084", clamp1e6(col("p84")))
+      .withColumn("r_cmv", xr(col("cmv")))
+      .withColumn("alpha_062", when(col("r62a") < col("r62b"), -1.0).otherwise(0.0))
+      .withColumn("alpha_064", when(col("r64a") < col("r64b"), -1.0).otherwise(0.0))
+      .withColumn("alpha_065", when(col("r65a") < col("r65b"), -1.0).otherwise(0.0))
+      .withColumn("alpha_066", -(col("r66a") + col("tsr66")))
+      .withColumn("alpha_068", when(col("tsr68") < col("r_dc1"), -1.0).otherwise(0.0))
+      .withColumn("alpha_071", maxN(col("tsr71a"), col("tsr71b")))
+      .withColumn("alpha_072", div(col("r72a"), col("r72b")))
+      .withColumn("alpha_073", -maxN(col("r73a"), col("tsr73")))
+      .withColumn("alpha_074", when(col("r74a") < col("r74c"), -1.0).otherwise(0.0))
+      .withColumn("alpha_075", when(col("r75a") < col("r75b"), 1.0).otherwise(0.0))
+      .withColumn("alpha_077", minN(col("r77a"), col("r77b")))
+      .withColumn("alpha_078", pow(col("r78a"), col("r_c50")))
+      .withColumn("alpha_085", pow(col("r85a"), col("r85b")))
+      .withColumn("alpha_086", when(col("tsr86") < col("r_cmv"), -1.0).otherwise(0.0))
+      .withColumn("alpha_088", minN(col("r88a"), col("tsr88")))
+      .withColumn("alpha_092", minN(col("tsr92a"), col("tsr92b")))
+      .withColumn("alpha_094", -pow(col("r94a"), col("tsr94")))
+      .withColumn("alpha_095", when(col("r95a") < col("tsr95"), 1.0).otherwise(0.0))
+      .withColumn("alpha_096", -maxN(col("tsr96a"), col("tsr96b")))
+      .withColumn("alpha_098", col("r98a") - col("r98b"))
+      .withColumn("alpha_099", when(col("r99a") < col("r99b"), -1.0).otherwise(0.0))
+      .withColumn("alpha_058", -col("tsr58"))
+      .withColumn("alpha_059", -col("tsr59"))
+      .withColumn("alpha_063", -(col("r63a") - col("r63b")))
+      .withColumn("alpha_067", -pow(col("r67a"), col("r67b")))
+      .withColumn("alpha_069", -pow(col("r69a"), col("tsr69")))
+      .withColumn("alpha_070", -pow(col("r70a"), col("tsr70")))
+      .withColumn("alpha_076", -maxN(col("r76a"), col("tsr76b")))
+      .withColumn("alpha_079", when(col("r79a") < col("r79b"), 1.0).otherwise(0.0))
+      .withColumn("alpha_080", -pow(col("r80a"), col("tsr80")))
+      .withColumn("alpha_081", when(col("r81c") < col("r_c50"), -1.0).otherwise(0.0))
+      .withColumn("alpha_082", -minN(col("r82a"), col("tsr82")))
+      .withColumn("alpha_087", -maxN(col("r87a"), col("tsr87")))
+      .withColumn("alpha_089", col("tsr89a") - col("tsr89b"))
+      .withColumn("alpha_090", -pow(col("r90a"), col("tsr90")))
+      .withColumn("alpha_091", -(col("tsr91") - col("r91b")))
+      .withColumn("alpha_093", div(col("tsr93"), col("r93b")))
+      .withColumn("alpha_097", -(col("r97a") - col("tsr97b")))
+      .withColumn("alpha_100",
+        -(((lit(1.5) * col("sc100a")) - col("sc100b")) * col("aratio")))
   }
 
   /** Implemented alpha columns, batches 1-4 (q46/q47/q59/q60). */
@@ -397,6 +830,21 @@ object Alpha101 {
     "alpha_045", "alpha_052", "alpha_057", "alpha_060")
   val batch7: Seq[String] = Seq(
     "alpha_021", "alpha_027", "alpha_039", "alpha_061")
+  val batch8: Seq[String] = Seq(
+    "alpha_007", "alpha_029", "alpha_031", "alpha_036", "alpha_047",
+    "alpha_056", "alpha_083", "alpha_084")
+  val batch9: Seq[String] = Seq(
+    "alpha_062", "alpha_064", "alpha_065", "alpha_066", "alpha_068",
+    "alpha_071", "alpha_072", "alpha_073", "alpha_074", "alpha_075",
+    "alpha_077", "alpha_078", "alpha_085", "alpha_086", "alpha_088",
+    "alpha_092", "alpha_094", "alpha_095", "alpha_096", "alpha_098",
+    "alpha_099")
+  val batch10: Seq[String] = Seq(
+    "alpha_058", "alpha_059", "alpha_063", "alpha_067", "alpha_069",
+    "alpha_070", "alpha_076", "alpha_079", "alpha_080", "alpha_081",
+    "alpha_082", "alpha_087", "alpha_089", "alpha_090", "alpha_091",
+    "alpha_093", "alpha_097", "alpha_100")
   val columns: Seq[String] =
-    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7
+    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
+      batch8 ++ batch9 ++ batch10
 }

@@ -29,6 +29,7 @@ def norm(v):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
@@ -36,6 +37,8 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if only is not None and name not in only:
+            continue
         sql = oracles[name]
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
