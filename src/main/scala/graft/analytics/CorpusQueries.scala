@@ -230,7 +230,10 @@ object CorpusQueries {
         |  md5(text) AS checksum -- = md5 of the UTF-8 payload bytes
         | FROM documents)
         |SELECT modality, count(*) AS n,
-        | sum(octet_length(payload)) AS total_bytes,
+        | -- BIGINT, not DuckDB's HUGEINT sum default: a pandas-side
+        | -- conversion turns HUGEINT into float64 and the driver's
+        | -- value hash then sees 59454.0 vs Spark's 59454
+        | CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
         | count(DISTINCT checksum) AS n_distinct,
         | max(CAST(ceil(octet_length(payload) / 256.0) AS BIGINT)) AS max_frames
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,

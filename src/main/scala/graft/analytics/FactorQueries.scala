@@ -278,7 +278,10 @@ object FactorQueries {
       Seq(count(col(c)).as(s"n_$c"), avg(col(c)).as(s"a_$c")))
     val pairs = explode(array(alphaCols.map(c => struct(
       lit(c).as("alpha"), col(s"n_$c").as("n_nonnull"),
-      round(col(s"a_$c"), 6).as("avg_v"))): _*))
+      // floor-based, not engine round(): integer-valued alphas make
+      // averages land on exact decimal halves, where Spark and DuckDB
+      // round() disagree (same hazard as rf6's doc comment)
+      (floor(col(s"a_$c") * 1e6 + lit(0.5)) / 1e6).as("avg_v"))): _*))
     a.agg(aggs.head, aggs.tail: _*)
       .select(pairs.as("p"))
       .select(col("p.alpha").as("alpha"), col("p.n_nonnull").as("n_nonnull"),
@@ -451,6 +454,9 @@ object FactorQueries {
     * text (one source of truth for the whole corpus oracle). */
   private def alphaCteWith(quotesCte: String): String =
     s"""WITH $quotesCte,
+       |aq AS (  -- vwap quantized to the 2^-20 grain (see Alpha101.q20)
+       |  SELECT * REPLACE (floor(vwap * 1048576.0 + 0.5) / 1048576.0 AS vwap)
+       |  FROM quotes),
        |a0 AS (
        |  SELECT stock, day, industry, open, close, high, low, volume, vwap, amount,
        |    total_mv,
@@ -477,18 +483,18 @@ object FactorQueries {
        |    vwap - min(vwap) OVER fa11 AS vm11,
        |    sum(open) OVER fa12 AS so12,
        |    sum((high + low) / 2.0) OVER fa19 AS s19hl2,
-       |    high * 0.0261661 + vwap * (1 - 0.0261661) AS wp74,
-       |    low * 0.352233 + vwap * (1 - 0.352233) AS wp78,
-       |    high * 0.876703 + close * (1 - 0.876703) AS wp85,
+       |    floor((high * 0.0261661 + vwap * 0.9738339) * 1048576.0 + 0.5) / 1048576.0 AS wp74,
+       |    floor((low * 0.352233 + vwap * 0.647767) * 1048576.0 + 0.5) / 1048576.0 AS wp78,
+       |    floor((high * 0.876703 + close * 0.123297) * 1048576.0 + 0.5) / 1048576.0 AS wp85,
        |    CASE WHEN ((high + low) / 2.0 + close) < (low + open)
        |      THEN 1.0 ELSE 0.0 END AS b92,
        |    (low + open) - (2.0 * vwap) AS x71,
        |    (high + low) / 2.0 - vwap AS x77,
-       |    close * 0.60733 + open * (1 - 0.60733) AS wp79,
-       |    open * 0.868128 + high * (1 - 0.868128) AS wp80,
-       |    close * 0.369701 + vwap * (1 - 0.369701) AS wp87,
-       |    close * 0.524434 + vwap * (1 - 0.524434) AS wp93,
-       |    low * 0.721001 + vwap * (1 - 0.721001) AS wp97,
+       |    floor((close * 0.60733 + open * 0.39267) * 1048576.0 + 0.5) / 1048576.0 AS wp79,
+       |    floor((open * 0.868128 + high * 0.131872) * 1048576.0 + 0.5) / 1048576.0 AS wp80,
+       |    floor((close * 0.369701 + vwap * 0.630299) * 1048576.0 + 0.5) / 1048576.0 AS wp87,
+       |    floor((close * 0.524434 + vwap * 0.475566) * 1048576.0 + 0.5) / 1048576.0 AS wp93,
+       |    floor((low * 0.721001 + vwap * 0.278999) * 1048576.0 + 0.5) / 1048576.0 AS wp97,
        |    high - max(high) OVER fa2 AS hm2,
        |    close - max(close) OVER fa4 AS cm4,
        |    close / nullif(lag(close, 1) OVER ws, 0) - 1.0 AS ret,
@@ -1490,7 +1496,7 @@ object FactorQueries {
          |  FROM a9)
          |SELECT unnest([${sorted.map(n => s"'${n._1}'").mkString(", ")}]) AS alpha,
          | unnest([${sorted.map(n => s"count(${n._1})").mkString(", ")}]) AS n_nonnull,
-         | unnest([${sorted.map(n => s"round(avg(${n._1}), 6) + 0.0").mkString(", ")}]) AS avg_v
+         | unnest([${sorted.map(n => s"floor(avg(${n._1}) * 1e6 + 0.5) / 1e6 + 0.0").mkString(", ")}]) AS avg_v
          |FROM fin
          |ORDER BY alpha""".stripMargin
     },

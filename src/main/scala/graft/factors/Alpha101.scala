@@ -150,6 +150,20 @@ object Alpha101 {
     when(n > 1, sqrt(vx / (n * (n - lit(1.0)))))
   }
 
+  /** Quantize to the 2^-20 grain (floor(x·2^20 + 0.5)/2^20): every
+    * step is a single correctly-rounded IEEE op (×2^20 and /2^20 are
+    * exact exponent shifts), so identical inputs give bit-identical
+    * results in every engine — AND the result is a multiple of 2^-20,
+    * i.e. exactly representable, so window/group SUMS over it are
+    * exact and summation-order-independent. Applied to vwap and the
+    * weighted-price wp* columns, whose raw values are full-precision
+    * products: avg(wp79) over (day, industry) differed between
+    * Spark's running accumulation and DuckDB's segment tree at ~1e-13,
+    * which flipped the 6-dp rounding of d79r on ~200/10k rows
+    * (alpha_079's round-5 hash mismatch). */
+  private def q20(x: Column): Column =
+    floor(x * 1048576.0 + lit(0.5)) / 1048576.0
+
   /** EXACT rank surrogate for rolling stddev: n·Σx² − (Σx)² is
     * integer-grain-exact for the panel's exact inputs and strictly
     * monotone with stddev at fixed n (n is uniform within a day), so
@@ -164,8 +178,15 @@ object Alpha101 {
   }
 
   def compute(quotes: DataFrame): DataFrame = {
+    // The whole pipeline is recorded as ONE deferred chain and built
+    // as batched dependency layers ([[graft.ops.PlanOps.ColChain]]):
+    // per-column withColumn analysis at ~330 derived columns was
+    // ~5 min of driver-side planning per entry (round-5 bench).
+    // The s0..s10 vals remain purely documentation of the TS/XS
+    // stage alternation; batching is dependency-driven.
     // ---- TS stage 0: lags, deltas, running sums ----
-    val s0 = quotes
+    val s0 = graft.ops.PlanOps.ColChain(quotes)
+      .withColumn("vwap", q20(col("vwap")))
       .withColumn("ret", div(col("close"), lag(col("close"), 1).over(W)) - lit(1.0))
       .withColumn("dc1", col("close") - lag(col("close"), 1).over(W))
       .withColumn("dv1", (col("volume") - lag(col("volume"), 1).over(W)).cast(DoubleType))
@@ -227,18 +248,18 @@ object Alpha101 {
       .withColumn("vm11", col("vwap") - min(col("vwap")).over(t(11)))
       .withColumn("so12", sum(col("open")).over(t(12)))
       .withColumn("s19hl2", sum(col("hl2")).over(t(19)))
-      .withColumn("wp74", col("high") * 0.0261661 + col("vwap") * (1 - 0.0261661))
-      .withColumn("wp78", col("low") * 0.352233 + col("vwap") * (1 - 0.352233))
-      .withColumn("wp85", col("high") * 0.876703 + col("close") * (1 - 0.876703))
+      .withColumn("wp74", q20(col("high") * 0.0261661 + col("vwap") * 0.9738339))
+      .withColumn("wp78", q20(col("low") * 0.352233 + col("vwap") * 0.647767))
+      .withColumn("wp85", q20(col("high") * 0.876703 + col("close") * 0.123297))
       .withColumn("b92",
         when((col("hl2") + col("close")) < (col("low") + col("open")), 1.0).otherwise(0.0))
       .withColumn("x71", (col("low") + col("open")) - (lit(2.0) * col("vwap")))
       .withColumn("x77", col("hl2") - col("vwap"))
-      .withColumn("wp79", col("close") * 0.60733 + col("open") * (1 - 0.60733))
-      .withColumn("wp80", col("open") * 0.868128 + col("high") * (1 - 0.868128))
-      .withColumn("wp87", col("close") * 0.369701 + col("vwap") * (1 - 0.369701))
-      .withColumn("wp93", col("close") * 0.524434 + col("vwap") * (1 - 0.524434))
-      .withColumn("wp97", col("low") * 0.721001 + col("vwap") * (1 - 0.721001))
+      .withColumn("wp79", q20(col("close") * 0.60733 + col("open") * 0.39267))
+      .withColumn("wp80", q20(col("open") * 0.868128 + col("high") * 0.131872))
+      .withColumn("wp87", q20(col("close") * 0.369701 + col("vwap") * 0.630299))
+      .withColumn("wp93", q20(col("close") * 0.524434 + col("vwap") * 0.475566))
+      .withColumn("wp97", q20(col("low") * 0.721001 + col("vwap") * 0.278999))
       .withColumn("hm2", col("high") - max(col("high")).over(t(2)))
       .withColumn("cm4", col("close") - max(col("close")).over(t(4)))
     val s1 = s0
@@ -750,7 +771,7 @@ object Alpha101 {
         div(col("n100a"), sum(abs(col("n100a"))).over(Window.partitionBy("day"))))
     val s10 = s9
       .withColumn("m29b", min(col("r29e")).over(t(5)))
-    s10
+    (s10
       .withColumn("alpha_007",
         when(col("adv20") < col("amount"),
           -col("tsr_absdc7_60") * signum(col("dc7"))).otherwise(-1.0))
@@ -807,6 +828,7 @@ object Alpha101 {
       .withColumn("alpha_097", -(col("r97a") - col("tsr97b")))
       .withColumn("alpha_100",
         -(((lit(1.5) * col("sc100a")) - col("sc100b")) * col("aratio")))
+      ).build
   }
 
   /** Implemented alpha columns, batches 1-4 (q46/q47/q59/q60). */

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import scala.collection.immutable.ListMap
+
+/** Plan-size control for wide derived-column pipelines.
+  *
+  * A chain of N `.withColumn` calls creates N nested Projects and —
+  * because Dataset construction analyzes eagerly — costs N full
+  * re-analyses of a growing plan: O(N²·cols) driver time. At the
+  * Alpha101 pipeline's ~330 derived columns that was ~5 minutes of
+  * pure planning per query BEFORE any data moved (round-5 bench:
+  * q90/q58/q91 each ~490-730 s at sf0.1, almost all driver-side).
+  *
+  * [[withColumnsBatched]] folds consecutive definitions into one
+  * `withColumns` projection per dependency layer: a new batch starts
+  * only when a definition references (or redefines) a name created
+  * earlier in the SAME batch. Analysis then runs once per layer
+  * (~30 layers instead of ~330 chained projections), and each layer
+  * is a single flat Project that Catalyst collapses cheaply.
+  */
+object PlanOps {
+
+  /** Unresolved column names referenced by an expression tree
+    * (window partition/order specs and lambda bodies included). */
+  private def refs(c: Column): Set[String] =
+    org.apache.spark.sql.graftbridge.ColumnBridge.referencedNames(c)
+
+  def withColumnsBatched(df: DataFrame, defs: Seq[(String, Column)]): DataFrame = {
+    val batches = Vector.newBuilder[ListMap[String, Column]]
+    var cur = ListMap.empty[String, Column]
+    defs.foreach { case (name, c) =>
+      if (cur.contains(name) || refs(c).exists(cur.contains)) {
+        batches += cur; cur = ListMap(name -> c)
+      } else cur = cur + (name -> c)
+    }
+    if (cur.nonEmpty) batches += cur
+    batches.result().foldLeft(df)((d, b) => d.withColumns(b))
+  }
+
+  /** Drop-in deferred builder for long `.withColumn` chains: records
+    * definitions without touching the plan, then [[build]] emits the
+    * batched layers. Lets a 330-column pipeline keep its readable
+    * one-column-per-line shape while paying analyzer cost per LAYER,
+    * not per column. */
+  final case class ColChain(df: DataFrame, defs: Vector[(String, Column)] = Vector.empty) {
+    def withColumn(name: String, c: Column): ColChain = copy(defs = defs :+ (name -> c))
+    def build: DataFrame = withColumnsBatched(df, defs)
+  }
+}

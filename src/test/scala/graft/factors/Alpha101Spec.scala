@@ -15,9 +15,9 @@ class Alpha101Spec extends SparkSpec {
                          2L -> Seq(20.0, 20.0, 20.0, 20.0, 20.0))
       (c, i) <- closes.zipWithIndex
     } yield (s, (i + 1).toLong, s % 2, c, c + 1.0, c + 1.5, c - 1.0,
-      100L + i, c, c * (100.0 + i))
+      100L + i, c, c * (100.0 + i), c * 10000.0)
     val df = rows.toDF("stock", "day", "industry", "open", "close",
-      "high", "low", "volume", "vwap", "amount")
+      "high", "low", "volume", "vwap", "amount", "total_mv")
     Alpha101.compute(df).collect()
       .map(r => (r.getAs[Long]("stock"), r.getAs[Long]("day")) -> r).toMap
   }
