@@ -35,7 +35,33 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Bulk-load throughput vs BASELINE.md:12 (native CSV pipe,
+    // 0.8-1.2M rows/s): zip fixture -> encoding-sniffing parse ->
+    // code normalization -> partitioned sorted parquet sink. Fixture
+    // generation is excluded from the timed window.
+    val (ingestRows, ingestRps) =
+      try {
+        val perMember = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "5000").toInt
+        val root = java.nio.file.Files.createTempDirectory("graft_bench_ingest").toString
+        // 16 zips x 16 codes: read parallelism = one task per zip,
+        // write parallelism = one shuffle partition per code
+        val nGood = graft.analytics.IngestQueries.writeFixture(
+          s"$root/zips", nZips = 16, rowsPerMember = perMember, nCodes = 16)
+        val t0 = System.nanoTime()
+        val ticks = graft.sources.Ingest.readZippedCsv(spark, s"$root/zips/*.zip").toDF()
+          .withColumn("code", graft.sources.Ingest.normalizeCode(
+            org.apache.spark.sql.functions.regexp_extract(
+              org.apache.spark.sql.functions.col("src_file"), "(\\d+)", 1)))
+        graft.sources.Ingest.writeSortedParquet(ticks, s"$root/out",
+          partCols = Seq("code"), sortCols = Seq("trade_time"))
+        (nGood, nGood / ((System.nanoTime() - t0) / 1e9))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"BENCH FAIL ingest: ${e.getClass.getName}: ${e.getMessage}")
+          failed ::= "ingest_bulk_load"
+          (0L, -1.0)
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{CorpusQueries, FactorQueries, RelationalQueries, TimeSeriesQueries}
+import graft.analytics.{CorpusQueries, FactorQueries, IngestQueries, RelationalQueries, TimeSeriesQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.entries ++ TimeSeriesQueries.entries ++
-      CorpusQueries.entries ++ FactorQueries.entries
+      CorpusQueries.entries ++ FactorQueries.entries ++ IngestQueries.entries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++
-      CorpusQueries.oracles ++ FactorQueries.oracles
+      CorpusQueries.oracles ++ FactorQueries.oracles ++ IngestQueries.oracles
 }

@@ -338,8 +338,97 @@ object FactorQueries {
       .orderBy("alpha", "day")
   }
 
+  /** q92: the screener's chained boolean-mask filter surface (P7,
+    * `pages/3_Smart screener.py:92-126`): the factor wide table at a
+    * snapshot day with the reference's full AND-mask chain applied —
+    * market-cap band, PE band, ROE floor, daily-change band, turnover
+    * floor, RSI floor, momentum floor, volatility cap, streak floor —
+    * then sorted by the selected dimension (momentum). Masks compare
+    * the ROUNDED factor values (identical bits in both engines), so
+    * the filtered set is deterministic. MA alignment is emitted as a
+    * column (the reference's checkbox defaults to off).
+    *
+    * Scale: each factor surface is one windowed pass over the stock
+    * shuffle; the snapshot filter lands on the join key and prunes
+    * every side; the mask chain is a residual filter — no extra
+    * shuffle beyond the factor joins themselves. */
+  def screenerMask: Q = (s, dir) => {
+    val fr6c = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val W = Window.partitionBy("stock").orderBy("day")
+    val prevC = lag(col("close"), 1).over(W)
+    val base = Quotes.panel(s, dir)
+      .withColumn("pct_chg",
+        fr6c((when(prevC =!= 0.0, col("close") / prevC) - lit(1.0)) * 100.0))
+      .select(col("stock"), col("day"), col("pe"),
+        fr6c(col("total_mv") / 1e8).as("mv_yi"),
+        col("turnover").as("turnover_rate"), col("pct_chg"))
+      .filter(col("day") === 60)
+    val t2 = technicalTrend(s, dir)
+      .select("stock", "day", "ma_5", "ma_20", "ma_60", "rsi_14")
+      .filter(col("day") === 60)
+    val t5 = momentumEntry(s, dir)
+      .select(col("stock"), col("day"), col("roc_20").as("month_mom"),
+        col("volatility_20").as("volatility"))
+      .filter(col("day") === 60)
+    val t6 = valueEntry(s, dir).select("stock", "day", "roe_ttm")
+      .filter(col("day") === 60)
+    val sent = sentimentFactors(s, dir)
+      .select("stock", "day", "limit_up_streak", "is_limit_up")
+      .filter(col("day") === 60)
+    base
+      .join(t2, Seq("stock", "day"), "left")
+      .join(t5, Seq("stock", "day"), "left")
+      .join(t6, Seq("stock", "day"), "left")
+      .join(sent, Seq("stock", "day"), "left")
+      .withColumn("ma_aligned",
+        (col("ma_5") > col("ma_20") && col("ma_20") > col("ma_60")).cast("int"))
+      .filter(col("mv_yi").between(0.01, 10.0))
+      .filter(col("pe").between(10.0, 48.0))
+      .filter(col("roe_ttm") >= 0.05)
+      .filter(col("pct_chg").between(-5.0, 10.0))
+      .filter(col("turnover_rate") >= 0.02)
+      .filter(col("rsi_14") >= 40.0)
+      .filter(col("month_mom") >= -0.20)
+      .filter(col("volatility") <= 1.0)
+      .filter(col("limit_up_streak") >= 0)
+      .select("stock", "mv_yi", "pe", "roe_ttm", "pct_chg", "turnover_rate",
+        "rsi_14", "ma_aligned", "month_mom", "volatility",
+        "limit_up_streak", "is_limit_up")
+      .orderBy(col("month_mom").desc, col("stock"))
+  }
+
+  /** q94: the sector-rotation equity curve (V2,
+    * `pages/6_Sector rotation.py:154`): per-(industry, day) mean
+    * constituent return and mean PE, then
+    * equity = cumprod(1 + sector_chg) via the log-sum trick
+    * ([[graft.ops.TsOps.cumProdPositive]] — frame-expressible, no
+    * recursion). One groupBy shuffle on (industry, day) + one window
+    * pass keyed on industry. */
+  def sectorEquityCurve: Q = (s, dir) => {
+    val fr6c = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val W = Window.partitionBy("stock").orderBy("day")
+    val prevC = lag(col("close"), 1).over(W)
+    val r = Quotes.panel(s, dir)
+      .withColumn("ret", when(prevC =!= 0.0, col("close") / prevC) - lit(1.0))
+      .filter(col("day") > 1)
+    val g = r.groupBy("industry", "day").agg(
+      count(lit(1)).as("n_constituents"),
+      avg(col("ret")).as("chg"),
+      avg(col("pe")).as("pe_raw"))
+    val wI = Window.partitionBy("industry").orderBy("day")
+    g.withColumn("equity",
+        fr6c(graft.ops.TsOps.cumProdPositive(lit(1.0) + col("chg"), wI)))
+      .select(col("industry"), col("day"), col("n_constituents"),
+        fr6c(col("chg") * 100.0).as("sector_chg"),
+        fr6c(col("pe_raw")).as("sector_pe"),
+        col("equity"))
+      .orderBy("industry", "day")
+  }
+
   val entries: Map[String, Q] = Map(
     "q91_rank_ic" -> rankIcScan,
+    "q92_screener_mask" -> screenerMask,
+    "q94_sector_equity" -> sectorEquityCurve,
     "q40_factor_trend" -> technicalTrend,
     "q41_factor_osc" -> technicalOsc,
     "q42_factor_risk" -> technicalRisk,
@@ -1370,8 +1459,7 @@ object FactorQueries {
       "\nFROM a9\nORDER BY stock, day"
   }
 
-  val oracles: Map[String, String] = Map(
-    "q61_sentiment_factors" ->
+  private val q61Oracle: String =
       s"""WITH ${Quotes.sqlCte},
          |b AS (
          |  SELECT stock, day, open, close, high, volume,
@@ -1397,7 +1485,64 @@ object FactorQueries {
          |      ELSE 0 END AS limit_up_streak,
          | money_flow_main
          |FROM d
-         |ORDER BY stock, day""".stripMargin,
+         |ORDER BY stock, day""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q61_sentiment_factors" -> q61Oracle,
+    "q92_screener_mask" ->
+      s"""WITH t2 AS ($q40Oracle),
+         |t5 AS ($q44Oracle),
+         |t6 AS ($q45Oracle),
+         |sent AS ($q61Oracle),
+         |q AS (WITH ${Quotes.sqlCte}
+         |  SELECT stock, day, pe,
+         |    floor((total_mv / 1e8) * 1e6 + 0.5) / 1e6 + 0.0 AS mv_yi,
+         |    turnover AS turnover_rate,
+         |    floor(((CASE WHEN lag(close, 1) OVER ws <> 0
+         |        THEN close / lag(close, 1) OVER ws END - 1.0) * 100.0)
+         |      * 1e6 + 0.5) / 1e6 + 0.0 AS pct_chg
+         |  FROM quotes
+         |  WINDOW ws AS (PARTITION BY stock ORDER BY day))
+         |SELECT stock, mv_yi, pe, roe_ttm, pct_chg, turnover_rate, rsi_14,
+         | CAST(ma_5 > ma_20 AND ma_20 > ma_60 AS INT) AS ma_aligned,
+         | roc_20 AS month_mom, volatility_20 AS volatility,
+         | limit_up_streak, is_limit_up
+         |FROM q
+         |LEFT JOIN t2 USING (stock, day)
+         |LEFT JOIN t5 USING (stock, day)
+         |LEFT JOIN t6 USING (stock, day)
+         |LEFT JOIN sent USING (stock, day)
+         |WHERE day = 60
+         |  AND mv_yi BETWEEN 0.01 AND 10.0
+         |  AND pe BETWEEN 10.0 AND 48.0
+         |  AND roe_ttm >= 0.05
+         |  AND pct_chg BETWEEN -5.0 AND 10.0
+         |  AND turnover_rate >= 0.02
+         |  AND rsi_14 >= 40.0
+         |  AND roc_20 >= -0.20
+         |  AND volatility_20 <= 1.0
+         |  AND limit_up_streak >= 0
+         |ORDER BY month_mom DESC, stock""".stripMargin,
+    "q94_sector_equity" ->
+      s"""WITH ${Quotes.sqlCte},
+         |r AS (
+         |  SELECT industry, day, pe,
+         |    CASE WHEN lag(close, 1) OVER ws <> 0
+         |      THEN close / lag(close, 1) OVER ws END - 1.0 AS ret
+         |  FROM quotes
+         |  WINDOW ws AS (PARTITION BY stock ORDER BY day)),
+         |g AS (
+         |  SELECT industry, day, count(*) AS n_constituents,
+         |    avg(ret) AS chg, avg(pe) AS pe_raw
+         |  FROM r WHERE day > 1 GROUP BY 1, 2)
+         |SELECT industry, day, n_constituents,
+         | floor((chg * 100.0) * 1e6 + 0.5) / 1e6 + 0.0 AS sector_chg,
+         | floor(pe_raw * 1e6 + 0.5) / 1e6 + 0.0 AS sector_pe,
+         | floor(exp(sum(ln(1.0 + chg)) OVER (PARTITION BY industry ORDER BY day
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6
+         |   + 0.0 AS equity
+         |FROM g
+         |ORDER BY industry, day""".stripMargin,
     "q55_peers_snapshot" ->
       s"""WITH ${Quotes.sqlCte}
          |SELECT stock, round(total_mv / 1e8, 6) + 0.0 AS mv_yi, pe, pb, dv_ratio,

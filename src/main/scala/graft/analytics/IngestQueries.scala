@@ -1,0 +1,116 @@
+package graft.analytics
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q93: the Plane-C ingest pipeline as a driver-visible entry
+  * (`Project report.md §4.1-4.2`): a deterministic zip/CSV fixture is
+  * written to a temp dir, then the full chain runs —
+  * `readZippedCsv` (S2/S3, encoding sniffing + bad-line skip) →
+  * `normalizeCode` (X6) → `mergeAdjusted` (J10, qfq/hfq suffixed
+  * joins) → `writeSortedParquet` (S4) → read-back — and the entry
+  * returns a per-code summary of the read-back table. Rows-only by
+  * design: the fixture lives outside the driver's DuckDB-visible
+  * parquet dir, but every value is deterministic, so regressions
+  * still flip the row hash the driver records.
+  *
+  * Scale: one task per zip (binaryFile), hive-partitioned sorted
+  * sink — the same plan shape that ingests a directory of thousands
+  * of daily zips on a real cluster.
+  */
+object IngestQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic tick CSV fixture: `nZips` zip files × one member
+    * per code × `rowsPerMember` ticks. Member `000002.csv` of each
+    * zip is GB18030-encoded with a Chinese direction column (the
+    * legacy-encoding path); the rest are UTF-8. Two bad lines per
+    * member exercise on_bad_lines=skip. Returns total GOOD rows. */
+  def writeFixture(dir: String, nZips: Int, rowsPerMember: Int,
+                   nCodes: Int = 4): Long = {
+    Files.createDirectories(Paths.get(dir))
+    val gb = Charset.forName("GB18030")
+    val codes =
+      if (nCodes == 4) Seq("600001", "000002", "430047", "688001")
+      else (0 until nCodes).map(i =>
+        f"${Seq("600", "000", "430", "688")(i % 4)}${i / 4}%03d")
+    var good = 0L
+    for (z <- 0 until nZips) {
+      val zos = new ZipOutputStream(new FileOutputStream(s"$dir/ticks_$z.zip"))
+      for (code <- codes) {
+        val legacy = code == "000002"
+        val sb = new StringBuilder("trade_time,price,volume,direction\n")
+        for (i <- 0 until rowsPerMember) {
+          val t = f"2024-01-02 09:${30 + (z * 7 + i) % 30}%02d:${i % 60}%02d.$z$i"
+          val px = 10.0 + (code.head - '0') + ((z * 13 + i * 7) % 64) / 64.0
+          val vol = 100 + (z * 31 + i * 17) % 900
+          val dirn = if (legacy) (if (i % 2 == 0) "买" else "卖")
+                     else (if (i % 2 == 0) "B" else "S")
+          sb.append(s"$t,$px,$vol,$dirn\n")
+          good += 1
+        }
+        sb.append("bad,line\n")             // wrong arity -> skipped
+        sb.append("2024-01-02,notanum,1,B\n") // bad numeric -> skipped
+        zos.putNextEntry(new ZipEntry(s"$code.csv"))
+        val bytes = if (legacy) sb.toString.getBytes(gb)
+                    else sb.toString.getBytes("UTF-8")
+        zos.write(bytes)
+        zos.closeEntry()
+      }
+      zos.close()
+    }
+    good
+  }
+
+  /** The ingest chain over a fixture at `root`; returns the cleaned
+    * merged frame (pre-sink). Shared by q93 and the bench's
+    * throughput measurement. */
+  def ingestChain(s: SparkSession, root: String): DataFrame = {
+    val ticks = Ingest.readZippedCsv(s, s"$root/zips/*.zip").toDF()
+      .withColumn("code",
+        Ingest.normalizeCode(regexp_extract(col("src_file"), "(\\d+)", 1)))
+    val raw = ticks.select(col("code"), col("trade_time"), col("price"),
+      col("volume"), col("direction"))
+    // qfq/hfq surfaces derived from the raw frame (the reference's
+    // three per-adjustment files carry the same keys; here the
+    // adjusted prices are deterministic transforms so the merge is
+    // verifiable without extra fixtures)
+    val qfq = raw.select(col("code"), col("trade_time"),
+      (col("price") * 0.5).as("price"))
+    val hfq = raw.select(col("code"), col("trade_time"),
+      (col("price") * 2.0).as("price"))
+    Ingest.mergeAdjusted(raw, qfq, hfq,
+      keys = Seq("code", "trade_time"), priceCols = Seq("price"))
+  }
+
+  /** q93: fixture → full chain → sorted hive sink → read-back →
+    * per-code deterministic summary. */
+  def ingestRoundtrip: Q = (s, _) => {
+    val root = Files.createTempDirectory("graft_ingest").toString
+    writeFixture(s"$root/zips", nZips = 3, rowsPerMember = 200)
+    val merged = ingestChain(s, root)
+    Ingest.writeSortedParquet(merged, s"$root/out",
+      partCols = Seq("code"), sortCols = Seq("trade_time"))
+    val back = s.read.parquet(s"$root/out")
+    back.groupBy("code").agg(
+      count(lit(1)).as("n"),
+      sum(col("volume")).as("sum_vol"),
+      (floor(sum(col("price")) * 1e6 + lit(0.5)) / 1e6).as("sum_px"),
+      (floor(sum(col("price_qfq")) * 1e6 + lit(0.5)) / 1e6).as("sum_px_qfq"),
+      (floor(sum(col("price_hfq")) * 1e6 + lit(0.5)) / 1e6).as("sum_px_hfq"),
+      min(col("trade_time")).as("t_min"),
+      max(col("trade_time")).as("t_max"))
+      .orderBy("code")
+  }
+
+  val entries: Map[String, Q] = Map("q93_ingest_roundtrip" -> ingestRoundtrip)
+
+  /** Rows-only: the zip fixture is not visible to the driver's DuckDB. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -77,7 +77,11 @@ object TimeSeriesQueries {
         TsOps.tsArgMax(col("value"), 5, w).as("argmax5"),
         TsOps.tsArgMin(col("value"), 5, w).as("argmin5"),
         round(TsOps.tsRank(col("value"), 5, w), 6).as("tsrank5"),
-        round(TsOps.decayLinear(col("value"), 5, w), 4).as("decay5"))
+        round(TsOps.decayLinear(col("value"), 5, w), 4).as("decay5"),
+        // rolling product (W9) on a bounded factor so the 5-term
+        // product stays in round-6 range
+        round(TsOps.tsProduct(lit(1.0) + col("value") / 1000.0, 5, w), 6)
+          .as("roll_prod5"))
       .orderBy("user_id", "event_id")
   }
 
@@ -172,7 +176,9 @@ object TimeSeriesQueries {
         | CAST(len(l) - list_indexof(l, list_aggregate(l, 'min')) AS DOUBLE) AS argmin5,
         | round(CAST(len(list_filter(l, x -> x <= value)) AS DOUBLE) / len(l), 6) AS tsrank5,
         | round(list_sum(list_transform(l, (x, i) -> x * i))
-        |   / (len(l) * (len(l) + 1) / 2.0), 4) AS decay5
+        |   / (len(l) * (len(l) + 1) / 2.0), 4) AS decay5,
+        | round(list_product(list_transform(l, x -> 1.0 + x / 1000.0)), 6)
+        |   AS roll_prod5
         |FROM t ORDER BY user_id, event_id""".stripMargin,
     "q24_xs_rank_scale" ->
       """SELECT event_type, event_id,

@@ -62,7 +62,15 @@ object Ingest {
     * and bad-line-filtered in a single in-memory pass. */
   def readZippedCsv(spark: SparkSession, pathGlob: String): Dataset[TickRow] = {
     implicit val enc = Encoders.product[TickRow]
-    spark.read.format("binaryFile").load(pathGlob)
+    // expand the glob driver-side and load explicit files: a glob
+    // literal in load() makes Spark 4.1's single-pass resolver throw
+    // and fall back to fixed-point analysis (correct but noisy), and
+    // a bare directory would drag sibling subdirs into partition
+    // discovery
+    val p = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.globStatus(p).map(_.getPath.toString)
+    spark.read.format("binaryFile").load(files: _*)
       .select(col("path"), col("content"))
       .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .flatMap { case (path, bytes) =>
