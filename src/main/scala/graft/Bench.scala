@@ -41,12 +41,12 @@ object Bench {
     // generation is excluded from the timed window.
     val (ingestRows, ingestRps) =
       try {
-        val perMember = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "5000").toInt
+        val perMember = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "10000").toInt
         val root = java.nio.file.Files.createTempDirectory("graft_bench_ingest").toString
-        // 16 zips x 16 codes: read parallelism = one task per zip,
-        // write parallelism = one shuffle partition per code
+        // one task per zip -> match the 32 local cores; 32 codes =
+        // full write parallelism under range partitioning
         val nGood = graft.analytics.IngestQueries.writeFixture(
-          s"$root/zips", nZips = 16, rowsPerMember = perMember, nCodes = 16)
+          s"$root/zips", nZips = 32, rowsPerMember = perMember, nCodes = 32)
         val t0 = System.nanoTime()
         val ticks = graft.sources.Ingest.readZippedCsv(spark, s"$root/zips/*.zip").toDF()
           .withColumn("code", graft.sources.Ingest.normalizeCode(

@@ -62,32 +62,37 @@ object Ingest {
     * and bad-line-filtered in a single in-memory pass. */
   def readZippedCsv(spark: SparkSession, pathGlob: String): Dataset[TickRow] = {
     implicit val enc = Encoders.product[TickRow]
-    // expand the glob driver-side and load explicit files: a glob
-    // literal in load() makes Spark 4.1's single-pass resolver throw
-    // and fall back to fixed-point analysis (correct but noisy), and
-    // a bare directory would drag sibling subdirs into partition
-    // discovery
+    // expand the glob driver-side and parallelize the explicit file
+    // list, ONE TASK PER ZIP regardless of zip size: both the
+    // DataFrame binaryFile source and sc.binaryFiles pack small
+    // files together (maxPartitionBytes / openCostInBytes sizing),
+    // which serializes a whole directory of small exchange bundles
+    // onto a few cores — the exact fan-out the reference hand-rolls
+    // with its 28-process pool (Project report.md:474-479)
     val p = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = fs.globStatus(p).map(_.getPath.toString)
-    spark.read.format("binaryFile").load(files: _*)
-      .select(col("path"), col("content"))
-      .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-      .flatMap { case (path, bytes) =>
-        val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
-        val rows = Iterator.continually(zis.getNextEntry)
+    val files = fs.globStatus(p).map(_.getPath.toString).sorted.toSeq
+    val rdd = spark.sparkContext
+      .parallelize(files, files.length.max(1))
+      .flatMap { path =>
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val zis = new ZipInputStream(
+          hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp))
+        // single buffer materialized before the stream closes (one
+        // allocation, not a list per member + a list per zip)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[TickRow]
+        Iterator.continually(zis.getNextEntry)
           .takeWhile(_ != null)
           .filter(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
-          .flatMap { e =>
+          .foreach { e =>
             val text = decodeSmart(zis.readAllBytes())
             text.linesIterator.drop(1) // header
-              .flatMap(parseLine(path, e.getName, _))
-              .toList
+              .foreach(l => parseLine(path, e.getName, l).foreach(rows += _))
           }
-          .toList // materialize before the stream closes
         zis.close()
         rows
       }
+    spark.createDataset(rdd)
   }
 
   /** X6 `normalize_code` (Project report.md:547-560, 612-618): force
@@ -125,10 +130,18 @@ object Ingest {
     * shuffle partition, sort within, emit hive-partitioned files —
     * readers get partition pruning + per-file sort order. */
   def writeSortedParquet(df: DataFrame, path: String,
-                         partCols: Seq[String], sortCols: Seq[String]): Unit =
-    df.repartition(partCols.map(col): _*)
+                         partCols: Seq[String], sortCols: Seq[String]): Unit = {
+    // hash-partition into 4x the shuffle parallelism: with a low-
+    // cardinality partition key, 1x hashing leaves collision gaps
+    // that idle writers, and over-partitioning closes them at the
+    // cost of empty (free) partitions. NOT repartitionByRange — the
+    // range sampler runs a separate job over the child, re-executing
+    // an expensive parse lineage end to end.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions * 4
+    df.repartition(n, partCols.map(col): _*)
       .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
       .write.partitionBy(partCols: _*).mode("overwrite").parquet(path)
+  }
 
   /** S5: parquet checkpoint between pipeline stages — truncates the
     * lineage so an expensive cleaned table is computed once and
