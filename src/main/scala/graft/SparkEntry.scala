@@ -21,9 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.entries ++ TimeSeriesQueries.entries ++
-      CorpusQueries.entries ++ FactorQueries.entries ++ IngestQueries.entries
+      CorpusQueries.entries ++ FactorQueries.entries ++
+      IngestQueries.entries ++ graft.streaming.StreamQueries.entries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++
-      CorpusQueries.oracles ++ FactorQueries.oracles ++ IngestQueries.oracles
+      CorpusQueries.oracles ++ FactorQueries.oracles ++
+      IngestQueries.oracles ++ graft.streaming.StreamQueries.oracles
 }

@@ -34,6 +34,14 @@ class EntryShapeSpec extends SparkSpec {
     }
   }
 
+  test("q95 streaming EMA: bit-exact parity with the batch recursion") {
+    val r = graft.streaming.StreamQueries.emaStreamParity(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_rows") > 0)
+    assert(r.getAs[Long]("n_bitexact") == r.getAs[Long]("n_rows"))
+    assert(r.getAs[Long]("n_unmatched") == 0)
+    assert(r.getAs[Double]("max_abs_diff") == 0.0)
+  }
+
   test("q93 ingest roundtrip: counts, merge sums and code suffixes") {
     val rows = IngestQueries.ingestRoundtrip(spark, sf).collect()
     assert(rows.length == 4)
