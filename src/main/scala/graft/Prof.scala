@@ -26,6 +26,13 @@ object Prof {
       println(f"PROF $label: ${(now - t) / 1e9}%.1f s")
       t = now
     }
+    // PROF_QUERY=<entry name>: explain any SparkEntry query and exit
+    sys.env.get("PROF_QUERY").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.explain("formatted")
+      spark.stop()
+      return
+    }
     val full = graft.factors.Alpha101.compute(graft.sources.Quotes.panel(spark, sfDir))
     val df = sys.env.get("PROF_SELECT") match {
       case Some(cols) =>
