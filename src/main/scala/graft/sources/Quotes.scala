@@ -31,9 +31,15 @@ object Quotes {
 
   def panel(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.load(spark, sfDir, "events")
-    val w = Window.partitionBy("user_id").orderBy("event_id")
-    val base = e.select(col("user_id").as("stock"),
-      row_number().over(w).cast("bigint").as("day"))
+    // alias BEFORE the window so the row_number exchange is keyed on
+    // `stock` itself: partitioning by user_id and renaming afterwards
+    // leaves HashPartitioning(user_id) unrecognizable to downstream
+    // stock-keyed windows (the alias lives below the exchange), which
+    // costs every factor pipeline a second full-panel shuffle
+    val w = Window.partitionBy("stock").orderBy("event_id")
+    val base = e.select(col("user_id").as("stock"), col("event_id"))
+      .select(col("stock"),
+        row_number().over(w).cast("bigint").as("day"))
 
     def f(a: Int, b: Int): Column =
       ((col("stock") * a + col("day") * b) % 64).cast("double") / 64.0

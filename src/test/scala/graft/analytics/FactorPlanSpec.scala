@@ -33,4 +33,26 @@ class FactorPlanSpec extends SparkSpec {
     val ex = exchanges(FactorQueries.momentumEntry(spark, "/root/testdata/sf0.001"))
     assert(ex.count(_.contains("hashpartitioning(stock")) <= 1, ex.mkString("\n"))
   }
+
+  test("screener mask: factor sides broadcast, no residual shuffle joins") {
+    val df = FactorQueries.screenerMask(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the day-snapshot filter makes every factor side tiny -> all four
+    // joins must be broadcast (null-rejecting mask lets Catalyst turn
+    // the LEFT joins inner; either join type is fine, shuffle is not)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4, plan)
+  }
+
+  test("sector equity: one industry-day agg exchange + one industry window") {
+    val df = FactorQueries.sectorEquityCurve(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val ex = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")).toSeq
+    // stock window + (industry, day) agg + industry window = 3 keyed
+    // exchanges end-to-end; anything more is a regression
+    assert(ex.size <= 3, ex.mkString("\n"))
+  }
 }
