@@ -12,6 +12,11 @@ object IngestProf {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing floor: the panel exchange shuffles only the
+      // narrow key columns (~1.6 MB at sf0.1), but feeds hundreds of
+      // derived-column windows — the default 1 MB floor coalesces it
+      // to ~5 partitions and strangles compute parallelism
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,11 @@ object Prof {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing floor: the panel exchange shuffles only the
+      // narrow key columns (~1.6 MB at sf0.1), but feeds hundreds of
+      // derived-column windows — the default 1 MB floor coalesces it
+      // to ~5 partitions and strangles compute parallelism
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("PROF_CODEGEN", "true"))
       .config("spark.sql.codegen.factoryMode",
@@ -26,10 +31,17 @@ object Prof {
       println(f"PROF $label: ${(now - t) / 1e9}%.1f s")
       t = now
     }
-    // PROF_QUERY=<entry name>: explain any SparkEntry query and exit
+    // PROF_QUERY=<entry name>: time (or with PROF_EXPLAIN=1, explain)
+    // any SparkEntry query and exit
     sys.env.get("PROF_QUERY").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.explain("formatted")
+      if (sys.env.contains("PROF_EXPLAIN")) df.explain("formatted")
+      else {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"PROF $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+          s"partitions=${df.rdd.getNumPartitions}")
+      }
       spark.stop()
       return
     }

@@ -27,39 +27,30 @@ object PlanOps {
   private def refs(c: Column): Set[String] =
     org.apache.spark.sql.graftbridge.ColumnBridge.referencedNames(c)
 
-  /** TRUE topological layering, not greedy contiguous batching: each
-    * definition lands in `max(dep layers) + 1`, so definitions that
-    * don't depend on each other share a layer regardless of their
-    * position in the authored chain. This matters beyond analyzer
-    * cost: the analyzer merges same-(partition, order) window
-    * expressions of ONE projection into ONE Window operator, and the
-    * per-operator execution overhead of a 300-column plan dominates
-    * small-to-mid scale runs (measured: each Window/Sort operator
-    * costs ~0.3 s per execution in projection code generation alone —
-    * greedy batching left 160 window ops where the dependency
-    * structure only needs ~half that, because the authored ts/xs
-    * stage alternation scattered same-spec windows across batches).
-    *
-    * Redefinition of an existing name is ordered conservatively AFTER
-    * every earlier layer (`maxLayer + 1`), which preserves sequential
-    * read-old-then-redefine semantics (processing is in authored
-    * order, so every earlier reader's layer <= maxLayer). */
+  /** Greedy CONTIGUOUS batching — measured better than true
+    * topological layering, keep it. A/B on the full alpha corpus at
+    * sf0.1 (same commit, only the schedule swapped): greedy 136 s vs
+    * 234 s for BOTH as-early-as-possible and as-late-as-possible
+    * topological schedules, despite near-identical Window-operator
+    * counts (160 vs ~154). Mechanism: topological layers put ~150
+    * definitions in ONE projection, and the analyzer extracts that
+    * projection's window specs as one stack of adjacent Window
+    * operators with no Project between them — every operator in the
+    * stack then carries the full layer width. Greedy's many small
+    * batches leave Project boundaries between window stacks where
+    * ColumnPruning drops dead intermediates, so per-operator
+    * projection codegen (the dominant cost, ~0.3 s/op) runs over
+    * narrower schemas. */
   def withColumnsBatched(df: DataFrame, defs: Seq[(String, Column)]): DataFrame = {
-    val layerOf = scala.collection.mutable.Map.empty[String, Int]
-    var maxLayer = -1
-    val layers = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Column)]]
+    val batches = Vector.newBuilder[ListMap[String, Column]]
+    var cur = ListMap.empty[String, Column]
     defs.foreach { case (name, c) =>
-      val depLayers = refs(c).flatMap(layerOf.get)
-      var layer = if (depLayers.isEmpty) 0 else depLayers.max + 1
-      if (layerOf.contains(name)) layer = math.max(layer, maxLayer + 1)
-      while (layers.size <= layer) layers += Vector.empty
-      layers(layer) :+= (name -> c)
-      layerOf(name) = layer
-      maxLayer = math.max(maxLayer, layer)
+      if (cur.contains(name) || refs(c).exists(cur.contains)) {
+        batches += cur; cur = ListMap(name -> c)
+      } else cur = cur + (name -> c)
     }
-    if (sys.env.contains("GRAFT_PLAN_DEBUG"))
-      println(s"PLANOPS layers=${layers.size} sizes=${layers.map(_.size).mkString(",")}")
-    layers.foldLeft(df)((d, b) => d.withColumns(ListMap(b: _*)))
+    if (cur.nonEmpty) batches += cur
+    batches.result().foldLeft(df)((d, b) => d.withColumns(b))
   }
 
   /** Drop-in deferred builder for long `.withColumn` chains: records
