@@ -17,6 +17,10 @@ object IngestProf {
       // derived-column windows — the default 1 MB floor coalesces it
       // to ~5 partitions and strangles compute parallelism
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // the JVM-wide generated-class cache defaults to 100 entries;
+      // a multi-query session evicts everything before the ~450-
+      // projection alpha pipeline runs, recompiling per task
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

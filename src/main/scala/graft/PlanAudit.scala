@@ -18,6 +18,10 @@ object PlanAudit {
       // derived-column windows — the default 1 MB floor coalesces it
       // to ~5 partitions and strangles compute parallelism
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // the JVM-wide generated-class cache defaults to 100 entries;
+      // a multi-query session evicts everything before the ~450-
+      // projection alpha pipeline runs, recompiling per task
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
