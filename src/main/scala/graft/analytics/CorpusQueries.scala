@@ -20,6 +20,7 @@ object CorpusQueries {
     val d = Tables.load(s, dir, "documents")
     d.select(col("doc_id"),
         TextFns.tokenCount(col("text")).as("n_tokens"),
+        TextFns.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         TextFns.uniqueTokenCount(col("text")).as("n_uniq_tokens"),
         length(col("text")).as("n_chars_actual"),
         round(TextFns.avgTokenLen(col("text")), 6).as("avg_token_len"),
@@ -168,6 +169,9 @@ object CorpusQueries {
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
         |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        | len(regexp_extract_all(text,
+        |   '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |   AS n_bpe_tokens,
         | CASE WHEN length(trim(text)) = 0 THEN 0
         |      ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END
         |   AS n_uniq_tokens,

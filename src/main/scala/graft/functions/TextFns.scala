@@ -20,6 +20,20 @@ object TextFns {
 
   def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** GPT-2-style pre-tokenizer alternation (public gpt-2 encoder.py
+    * pattern): contractions | space-prefixed letter runs | digit
+    * runs | punctuation runs | whitespace runs. Lookahead-free
+    * variant (the original's `\\s+(?!\\S)` is unsupported by RE2) so
+    * the SAME pattern runs identically on Java regex and the
+    * oracle's RE2. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish subword count: how many pre-tokenizer pieces the text
+    * splits into — the standard proxy for LLM token budgets. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
   /** Mean token length = non-whitespace chars / token count. */
   def avgTokenLen(text: Column): Column = {
     val n = tokenCount(text)
