@@ -124,6 +124,47 @@ object CorpusQueries {
         dim = 64, nBits = 12, tables = 3, minCos = 0.35)
       .orderBy("id_a", "id_b")
 
+  /** q96: LSH-bucketed ANN top-k search — the SCALE PATH for
+    * similarity search next to q35's exact brute-force baseline
+    * (builder brief: "IVF or LSH-bucketed variant"). The query
+    * vector's hyperplane buckets (same 3-table × 12-bit index as
+    * q38) are broadcast; the index side keeps only rows sharing a
+    * bucket in ANY table (OR-amplified multiprobe; 6-bit buckets —
+    * coarser than q38's 12-bit dedup index, because search wants
+    * recall over a top-k while dedup wants tiny buckets), and candidates
+    * are re-ranked by EXACT cosine. At 100 TB this is a broadcast of
+    * one row + a bucket-selective scan instead of an all-pairs join;
+    * the same bucket columns can be a parquet partition/bucketing key
+    * for true pruning. Fully oracled: the planes are deterministic
+    * literals, so DuckDB rebuilds the identical index. */
+  def annSearch: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    def withBuckets(df: DataFrame, p: String): DataFrame =
+      (0 until 3).foldLeft(df)((d, t) => d.withColumn(s"$p$t",
+        VectorFns.hyperplaneBucket(col("v"), dim = 64, nBits = 6, seed = 42L + 1000L * t)))
+    val q = withBuckets(e.filter(col("vec_id") === 7), "qb")
+      .select(col("v").as("qv"), col("qb0"), col("qb1"), col("qb2"))
+    withBuckets(e, "b").crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 7 &&
+        (col("b0") === col("qb0") || col("b1") === col("qb1") || col("b2") === col("qb2")))
+      .select(col("vec_id").as("cand_id"),
+        round(VectorFns.cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("cand_id"))
+      .limit(10)
+  }
+
+  /** DuckDB bucket expression mirroring [[VectorFns.hyperplaneBucket]]
+    * over a DOUBLE[] column: Σ 2^b over non-negative plane
+    * projections, with the plane constants embedded as literals
+    * (Double.toString round-trips bit-exactly through DuckDB's
+    * decimal parser). */
+  private def bucketSql(vExpr: String, seed: Long): String =
+    VectorFns.planes(dim = 64, nBits = 6, seed).zipWithIndex.map { case (p, b) =>
+      s"CASE WHEN list_dot_product($vExpr, [${p.mkString(", ")}]) >= 0" +
+        s" THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   /** Multimodal metadata rollup over the binary media table
     * ([[graft.sources.Multimodal]]): byte lengths, frame counts and
     * checksums per modality — the typed-metadata side of the
@@ -162,6 +203,7 @@ object CorpusQueries {
     "q38_embedding_neardups" -> embeddingNearDups,
     "q53_multimodal_meta" -> multimodalMeta,
     "q54_multimodal_features" -> multimodalFeatures,
+    "q96_ann_search" -> annSearch,
   )
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +296,22 @@ object CorpusQueries {
         |    ORDER BY cos DESC, cand_id) AS rn FROM sim)
         |SELECT q_id, cand_id, rn, cos FROM ranked WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
+    "q96_ann_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v,
+         |    ${bucketSql("v", 42L)} AS b0,
+         |    ${bucketSql("v", 1042L)} AS b1,
+         |    ${bucketSql("v", 2042L)} AS b2
+         |  FROM e),
+         |q AS (SELECT v AS qv, b0 AS qb0, b1 AS qb1, b2 AS qb2
+         |      FROM b WHERE vec_id = 7)
+         |SELECT b.vec_id AS cand_id,
+         | round(list_dot_product(b.v, qv)
+         |   / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(qv, qv))), 6)
+         |   AS cos
+         |FROM b, q
+         |WHERE b.vec_id <> 7 AND (b.b0 = qb0 OR b.b1 = qb1 OR b.b2 = qb2)
+         |ORDER BY cos DESC, cand_id LIMIT 10""".stripMargin,
   )
 }

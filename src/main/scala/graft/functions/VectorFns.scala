@@ -53,6 +53,11 @@ object VectorFns {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** The deterministic plane constants, for embedding the SAME
+    * hyperplanes into an external oracle's SQL. */
+  def planes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] =
+    (0 until nBits).map(b => (0 until dim).map(j => splitmix(seed, b, j)))
+
   /** SimHash-style LSH bucket id for a dense vector: `nBits` random
     * hyperplane signs packed into a long. Deterministic across runs.
     * dim must cover the vector length. */
