@@ -120,7 +120,25 @@ object TimeSeriesQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** q97: AS-OF join — every daily panel row picks up the latest
+    * fundamental snapshot known at-or-before its day (snapshots every
+    * 5th day, starting day 6 so days 1-5 exercise the null/LEFT-OUTER
+    * path and day 6 the time-tie path). [[graft.ops.AsOfOps.asOfJoin]]
+    * composes it as union → one key shuffle → running last-non-null
+    * window; the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the
+    * semantics are pinned against an independent implementation. */
+  def asOfJoinEntry: Q = (s, dir) => {
+    val q = graft.sources.Quotes.panel(s, dir)
+    val left = q.select(col("stock"), col("day"), round(col("close"), 6).as("close"))
+    val right = q.filter(col("day") % 5 === 1 && col("day") > 1)
+      .select(col("stock"), col("day").as("f_day"), col("pe").as("f_pe"))
+    graft.ops.AsOfOps.asOfJoin(left, right, keys = Seq("stock"),
+        leftTime = "day", rightTime = "f_day", payload = Seq("f_day", "f_pe"))
+      .orderBy("stock", "day")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q97_asof_join" -> asOfJoinEntry,
     "q20_ts_lag_delta" -> tsLagDelta,
     "q21_ts_rolling" -> tsRolling,
     "q22_ts_corr_rolling" -> tsCorrRolling,
@@ -131,6 +149,15 @@ object TimeSeriesQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_asof_join" ->
+      s"""WITH ${graft.sources.Quotes.sqlCte},
+         |l AS (SELECT stock, day, round(close, 6) + 0.0 AS close FROM quotes),
+         |r AS (SELECT stock, day AS f_day, pe AS f_pe FROM quotes
+         |      WHERE day % 5 = 1 AND day > 1)
+         |SELECT l.stock, l.day, l.close, r.f_day, r.f_pe
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.stock = r.stock AND l.day >= r.f_day
+         |ORDER BY l.stock, l.day""".stripMargin,
     "q20_ts_lag_delta" ->
       """SELECT user_id, event_id, value,
         | round(lag(value, 1) OVER w, 2) AS lag1,
