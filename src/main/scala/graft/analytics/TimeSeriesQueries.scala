@@ -137,8 +137,32 @@ object TimeSeriesQueries {
       .orderBy("stock", "day")
   }
 
+  /** q98: OHLCV bar resampling, daily → 5-day (weekly) bars — the
+    * kline downsampling surface every quote store serves
+    * (`QuantDB.py` kline periods). Ordered first/last inside a group
+    * without a window pass: `min_by(open, day)` / `max_by(close,
+    * day)` run as ONE hash aggregation with map-side partials — at
+    * 100 TB this is a single shuffle keyed (stock, week), no
+    * per-group sort at all. `amount` sums are exact: the panel's
+    * amount is a multiple of 1/256, so accumulation order can't
+    * change the result. */
+  def ohlcResample: Q = (s, dir) => {
+    val q = graft.sources.Quotes.panel(s, dir)
+    q.groupBy(col("stock"), ((col("day") - 1) / lit(5L)).cast("bigint").as("week"))
+      .agg(
+        min_by(col("open"), col("day")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("day")).as("close"),
+        sum(col("volume")).as("volume"),
+        round(sum(col("amount")), 6).as("amount"),
+        count(lit(1)).as("n_days"))
+      .orderBy("stock", "week")
+  }
+
   val entries: Map[String, Q] = Map(
     "q97_asof_join" -> asOfJoinEntry,
+    "q98_ohlc_resample" -> ohlcResample,
     "q20_ts_lag_delta" -> tsLagDelta,
     "q21_ts_rolling" -> tsRolling,
     "q22_ts_corr_rolling" -> tsCorrRolling,
@@ -158,6 +182,19 @@ object TimeSeriesQueries {
          |FROM l ASOF LEFT JOIN r
          |  ON l.stock = r.stock AND l.day >= r.f_day
          |ORDER BY l.stock, l.day""".stripMargin,
+    "q98_ohlc_resample" ->
+      s"""WITH ${graft.sources.Quotes.sqlCte}
+         |SELECT stock, CAST((day - 1) // 5 AS BIGINT) AS week,
+         | min_by(open, day) AS open,
+         | max(high) AS high,
+         | min(low) AS low,
+         | max_by(close, day) AS close,
+         | sum(volume) AS volume,
+         | round(sum(amount), 6) + 0.0 AS amount,
+         | count(*) AS n_days
+         |FROM quotes
+         |GROUP BY 1, 2
+         |ORDER BY stock, week""".stripMargin,
     "q20_ts_lag_delta" ->
       """SELECT user_id, event_id, value,
         | round(lag(value, 1) OVER w, 2) AS lag1,
