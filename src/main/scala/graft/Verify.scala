@@ -46,17 +46,41 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query watchdog: one hung/regressed query must cost its own
+    // budget, not the whole gate's. Each query runs on a daemon
+    // worker thread under a job group; on timeout the group's Spark
+    // jobs are cancelled and the loop moves on (the slowest entry,
+    // the full alpha corpus, takes ~90 s at sf0.01 — 300 s is 3x
+    // headroom). Overridable for ad-hoc big-SF runs.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "300").toLong
+    // cached pool, daemon threads: a thread stuck in driver-side code
+    // (where job cancellation can't reach) is abandoned and the next
+    // query gets a fresh thread; daemons never block JVM exit
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(
+        java.util.concurrent.Executors.newCachedThreadPool { r =>
+          val t = new Thread(r, "verify-query"); t.setDaemon(true); t
+        })
     // run cheap queries first (names sort the expensive q9x entries
-    // last) so a timeout loses only the tail, not a random subset
+    // last) so a budget expiry loses only the tail, not a random subset
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-        e.getStackTrace.take(8).foreach(f => System.err.println(s"    at $f"))
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      val fut = scala.concurrent.Future {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       }
+      try scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(timeoutSec, "s"))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name TIMED OUT after ${timeoutSec}s — cancelled, moving on")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+          e.getStackTrace.take(8).foreach(f => System.err.println(s"    at $f"))
+      } finally spark.sparkContext.clearJobGroup()
     }
     spark.stop()
   }
