@@ -110,8 +110,12 @@ object TimeSeriesQueries {
       .orderBy("hour", "event_type")
   }
 
-  /** Recursive EMA (pandas ewm adjust=False) — not SQL-expressible,
-    * rows-only driver check; exact semantics pinned in TsOpsSpec. */
+  /** Recursive EMA (pandas ewm adjust=False). The recursion is not
+    * directly SQL-expressible, but it has the closed form
+    * y_i = b^i · Σ c_j (c_1 = x/b, c_j = a·x·b^(−j), i = per-key row
+    * number) — the same expansion q43's oracle uses, safe here
+    * because per-user series are short (≤86 rows at sf0.01, so
+    * b^(−i) stays ≪ overflow and the sum keeps full precision). */
   def emaSeries: Q = (s, dir) => {
     val e = Tables.load(s, dir, "events")
       .select("user_id", "event_id", "value")
@@ -137,32 +141,48 @@ object TimeSeriesQueries {
       .orderBy("stock", "day")
   }
 
-  /** q98: OHLCV bar resampling, daily → 5-day (weekly) bars — the
-    * kline downsampling surface every quote store serves
-    * (`QuantDB.py` kline periods). Ordered first/last inside a group
-    * without a window pass: `min_by(open, day)` / `max_by(close,
-    * day)` run as ONE hash aggregation with map-side partials — at
-    * 100 TB this is a single shuffle keyed (stock, week), no
-    * per-group sort at all. `amount` sums are exact: the panel's
-    * amount is a multiple of 1/256, so accumulation order can't
-    * change the result. */
-  def ohlcResample: Q = (s, dir) => {
+  /** q98/q101: OHLCV bar resampling, daily → N-day bars (5 = weekly,
+    * 21 = monthly in trading days) — the kline downsampling surface
+    * every quote store serves (`QuantDB.py` kline periods). Ordered
+    * first/last inside a group without a window pass: `min_by(open,
+    * day)` / `max_by(close, day)` run as ONE hash aggregation with
+    * map-side partials — at 100 TB this is a single shuffle keyed
+    * (stock, bar), no per-group sort at all. `amount` sums are exact:
+    * the panel's amount is a multiple of 1/256, so accumulation order
+    * can't change the result; the displayed value is floor-quantized
+    * (`fr6`) because engine round() disagrees on exact halves. */
+  def ohlcResample(period: Int): Q = (s, dir) => {
     val q = graft.sources.Quotes.panel(s, dir)
-    q.groupBy(col("stock"), ((col("day") - 1) / lit(5L)).cast("bigint").as("week"))
+    q.groupBy(col("stock"), ((col("day") - 1) / lit(period.toLong)).cast("bigint").as("bar"))
       .agg(
         min_by(col("open"), col("day")).as("open"),
         max(col("high")).as("high"),
         min(col("low")).as("low"),
         max_by(col("close"), col("day")).as("close"),
         sum(col("volume")).as("volume"),
-        round(sum(col("amount")), 6).as("amount"),
+        (floor(sum(col("amount")) * 1e6 + lit(0.5)) / 1e6).as("amount"),
         count(lit(1)).as("n_days"))
-      .orderBy("stock", "week")
+      .orderBy("stock", "bar")
   }
+
+  private def ohlcOracle(period: Int): String =
+    s"""WITH ${graft.sources.Quotes.sqlCte}
+       |SELECT stock, CAST((day - 1) // $period AS BIGINT) AS bar,
+       | min_by(open, day) AS open,
+       | max(high) AS high,
+       | min(low) AS low,
+       | max_by(close, day) AS close,
+       | CAST(sum(volume) AS BIGINT) AS volume,
+       | floor(sum(amount) * 1e6 + 0.5) / 1e6 AS amount,
+       | count(*) AS n_days
+       |FROM quotes
+       |GROUP BY 1, 2
+       |ORDER BY stock, bar""".stripMargin
 
   val entries: Map[String, Q] = Map(
     "q97_asof_join" -> asOfJoinEntry,
-    "q98_ohlc_resample" -> ohlcResample,
+    "q98_ohlc_resample" -> ohlcResample(5),
+    "q101_ohlc_monthly" -> ohlcResample(21),
     "q20_ts_lag_delta" -> tsLagDelta,
     "q21_ts_rolling" -> tsRolling,
     "q22_ts_corr_rolling" -> tsCorrRolling,
@@ -182,19 +202,22 @@ object TimeSeriesQueries {
          |FROM l ASOF LEFT JOIN r
          |  ON l.stock = r.stock AND l.day >= r.f_day
          |ORDER BY l.stock, l.day""".stripMargin,
-    "q98_ohlc_resample" ->
-      s"""WITH ${graft.sources.Quotes.sqlCte}
-         |SELECT stock, CAST((day - 1) // 5 AS BIGINT) AS week,
-         | min_by(open, day) AS open,
-         | max(high) AS high,
-         | min(low) AS low,
-         | max_by(close, day) AS close,
-         | sum(volume) AS volume,
-         | round(sum(amount), 6) + 0.0 AS amount,
-         | count(*) AS n_days
-         |FROM quotes
-         |GROUP BY 1, 2
-         |ORDER BY stock, week""".stripMargin,
+    "q98_ohlc_resample" -> ohlcOracle(5),
+    "q101_ohlc_monthly" -> ohlcOracle(21),
+    "q26_ema_series" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        | FROM events),
+        |e AS (
+        | SELECT user_id, event_id,
+        |  pow(0.8, rn) * sum(CASE WHEN rn = 1 THEN value / 0.8
+        |    ELSE 0.2 * value * pow(0.8, -rn) END)
+        |    OVER (PARTITION BY user_id ORDER BY rn
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ema
+        | FROM t)
+        |SELECT user_id, event_id, round(ema, 6) AS ema FROM e
+        |ORDER BY user_id, event_id""".stripMargin,
     "q20_ts_lag_delta" ->
       """SELECT user_id, event_id, value,
         | round(lag(value, 1) OVER w, 2) AS lag1,
