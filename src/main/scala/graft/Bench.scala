@@ -43,7 +43,6 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Bulk-load throughput vs BASELINE.md:12 (native CSV pipe,
     // 0.8-1.2M rows/s): zip fixture -> encoding-sniffing parse ->
     // code normalization -> partitioned sorted parquet sink. Fixture
@@ -51,7 +50,7 @@ object Bench {
     val (ingestRows, ingestRps) =
       try {
         val perMember = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "10000").toInt
-        val root = java.nio.file.Files.createTempDirectory("graft_bench_ingest").toString
+        val root = graft.TempDirs.scratch("graft_bench_ingest")
         // one task per zip -> match the 32 local cores; 32 codes =
         // full write parallelism under range partitioning
         val nGood = graft.analytics.IngestQueries.writeFixture(
@@ -70,6 +69,9 @@ object Bench {
           failed ::= "ingest_bulk_load"
           (0L, -1.0)
       }
+    // rendered AFTER the ingest try/catch so an ingest failure is
+    // reflected in the emitted JSON, not just the exit code
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

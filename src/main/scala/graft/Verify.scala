@@ -66,10 +66,15 @@ object Verify {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      // job group is a thread-LOCAL Spark property: it must be set on
+      // the worker thread that submits the jobs (a cached-pool thread
+      // reused across queries would otherwise carry a stale group and
+      // cancelJobGroup(name) would cancel nothing)
       val fut = scala.concurrent.Future {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
       }
       try scala.concurrent.Await.result(fut,
         scala.concurrent.duration.Duration(timeoutSec, "s"))
@@ -80,7 +85,7 @@ object Verify {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
           e.getStackTrace.take(8).foreach(f => System.err.println(s"    at $f"))
-      } finally spark.sparkContext.clearJobGroup()
+      }
     }
     spark.stop()
   }

@@ -27,25 +27,35 @@ object AsOfOps {
     * @param leftTime  left ordering column
     * @param rightTime right ordering column (same type as leftTime)
     * @param payload   right-side columns to carry; must not collide
-    *                  with left column names (rename beforehand) */
+    *                  with left column names (rename beforehand)
+    *
+    * The payload travels as ONE struct so `last(ignoreNulls)` picks a
+    * whole right ROW — per-column fills would mix values from
+    * different right rows whenever the latest row has a null in one
+    * payload column, deviating from DuckDB/pandas row-level ASOF
+    * semantics. Duplicate right timestamps within a key are
+    * disambiguated deterministically: the struct itself is the final
+    * sort key, so the field-wise-largest same-time row wins. */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
     val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
-    val r = right.select((keys.map(col) :+ col(rightTime).as("_t")) ++
-        payload.map(col): _*)
+    val r = right.select((keys.map(col) :+ col(rightTime).as("_t")) :+
+        struct(payload.map(col): _*).as("_p"): _*)
       .withColumn("_side", lit(0))
-    // missing columns (payload on the left, left-only on the right)
-    // become nulls on the other side
+    // the left side has no `_p` column → unionByName fills it with a
+    // null struct, which last(ignoreNulls) skips
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right (side 0) sorts before left (side 1) at equal times, so a
-    // same-time right row is visible to the left row
+    // same-time right row is visible to the left row; `_p` breaks
+    // ties among same-time right rows
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned)((d, p) =>
-      d.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+    val filled = unioned
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)
-      .drop("_t", "_side")
+      .select(left.columns.map(col) ++
+        payload.map(p => col("_p").getField(p).as(p)): _*)
   }
 }

@@ -69,15 +69,23 @@ object Ingest {
     // which serializes a whole directory of small exchange bundles
     // onto a few cores — the exact fan-out the reference hand-rolls
     // with its 28-process pool (Project report.md:474-479)
+    val hadoopConf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(pathGlob)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = fs.globStatus(p).map(_.getPath.toString).sorted.toSeq
+    val fs = p.getFileSystem(hadoopConf)
+    // globStatus returns null (not empty) for a nonexistent base path
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted.toSeq
+    // ship the SESSION's Hadoop conf to executors — a fresh
+    // `new Configuration()` would drop spark.hadoop.* credentials /
+    // endpoints and break on object stores (works only on local FS)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
     val rdd = spark.sparkContext
       .parallelize(files, files.length.max(1))
       .flatMap { path =>
         val hp = new org.apache.hadoop.fs.Path(path)
         val zis = new ZipInputStream(
-          hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp))
+          hp.getFileSystem(confBc.value.value).open(hp))
         // single buffer materialized before the stream closes (one
         // allocation, not a list per member + a list per zip)
         val rows = scala.collection.mutable.ArrayBuffer.empty[TickRow]
