@@ -99,10 +99,16 @@ object CorpusQueries {
         shingleN = 2, k = 12, bands = 6, minJaccard = 0.2)
       .orderBy("id_a", "id_b")
 
-  /** SimHash per doc + per-source hamming-≤16 pairs. Pigeonhole
-    * banding (17 bands) replaces the per-source all-pairs join —
-    * exact same output ([[DedupFns.simhashBandedPairs]]), bucket-
-    * keyed join instead of O(n²/source). */
+  /** SimHash per doc + per-source hamming-≤8 pairs. Pigeonhole
+    * banding (9 bands × ~7 bits = ≥128 buckets/band) replaces the
+    * per-source all-pairs join — exact same output
+    * ([[DedupFns.simhashBandedPairs]]), bucket-keyed join instead of
+    * O(n²/source). The threshold matters for scale: at h=16 the
+    * pigeonhole needs 17 bands of only ~3.8 bits (~13 buckets), so
+    * candidate volume degenerates to ~0.6·n² — effectively all-pairs
+    * again (round-6 verdict). h=8 keeps bands wide enough that
+    * per-bucket population shrinks with corpus growth; real near-dup
+    * pipelines run h≤3, so 8 is already generous. */
   def simhashPairs: Q = (s, dir) => {
     // two-step: token hashes as their own (multi-referenced) column
     // so the 64 bit-votes share one tokenize+hash pass per doc
@@ -111,7 +117,7 @@ object CorpusQueries {
         DedupFns.simhashTokenHashes(col("text")).as("th"))
       .select(col("doc_id"), col("source"),
         DedupFns.simhash64FromHashes(col("th")).as("sh"))
-    DedupFns.simhashBandedPairs(d, "doc_id", "source", "sh", maxHamming = 16)
+    DedupFns.simhashBandedPairs(d, "doc_id", "source", "sh", maxHamming = 8)
       .orderBy("id_a", "id_b")
   }
 
@@ -159,8 +165,8 @@ object CorpusQueries {
     * projections, with the plane constants embedded as literals
     * (Double.toString round-trips bit-exactly through DuckDB's
     * decimal parser). */
-  private def bucketSql(vExpr: String, seed: Long): String =
-    VectorFns.planes(dim = 64, nBits = 6, seed).zipWithIndex.map { case (p, b) =>
+  private def bucketSql(vExpr: String, seed: Long, nBits: Int = 6): String =
+    VectorFns.planes(dim = 64, nBits = nBits, seed).zipWithIndex.map { case (p, b) =>
       s"CASE WHEN list_dot_product($vExpr, [${p.mkString(", ")}]) >= 0" +
         s" THEN ${1L << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
@@ -296,6 +302,27 @@ object CorpusQueries {
         |    ORDER BY cos DESC, cand_id) AS rn FROM sim)
         |SELECT q_id, cand_id, rn, cos FROM ranked WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
+    // same plane-literal embedding trick as q96 (the dedup index is
+    // 12-bit where search is 6-bit); the OR over tables reproduces
+    // "shares a bucket in ANY table" without the Spark side's explode
+    "q38_embedding_neardups" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v,
+         |    ${bucketSql("v", 42L, 12)} AS b0,
+         |    ${bucketSql("v", 1042L, 12)} AS b1,
+         |    ${bucketSql("v", 2042L, 12)} AS b2
+         |  FROM e),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |   list_dot_product(a.v, c.v)
+         |     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+         |     AS cos_raw
+         |  FROM b a JOIN b c ON a.vec_id < c.vec_id
+         |    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2))
+         |SELECT id_a, id_b, round(cos_raw, 6) AS cos
+         |FROM cand WHERE cos_raw >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
     "q96_ann_search" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (

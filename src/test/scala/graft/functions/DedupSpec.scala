@@ -53,7 +53,10 @@ class DedupSpec extends SparkSpec {
     assert(got == bruteJaccard(0.8))
   }
 
-  test("simhashBandedPairs == brute force hamming<=16 (pigeonhole)") {
+  // exactness across band layouts: h=8 is the production threshold
+  // (9 bands × ~7 bits; q37), h=16 exercises the uneven-width split
+  for (h <- Seq(8, 16))
+  test(s"simhashBandedPairs == brute force hamming<=$h (pigeonhole)") {
     val d = docs.select(col("doc_id"), col("source"),
       DedupFns.simhash64(col("text")).as("sh"))
     val a = d.as("a"); val b = d.as("b")
@@ -61,9 +64,9 @@ class DedupSpec extends SparkSpec {
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
         DedupFns.hamming(col("a.sh"), col("b.sh")).as("h"))
-      .filter(col("h") <= 16)
+      .filter(col("h") <= h)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("h"))).toSet
-    val got = DedupFns.simhashBandedPairs(d, "doc_id", "source", "sh", 16)
+    val got = DedupFns.simhashBandedPairs(d, "doc_id", "source", "sh", h)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
     assert(got == brute)
     assert(got.nonEmpty)
