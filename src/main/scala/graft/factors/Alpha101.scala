@@ -593,7 +593,10 @@ object Alpha101 {
       .withColumn("alpha_012", signum(col("dv1")) * -col("dc1"))
       .withColumn("alpha_020", -xr(col("ophl")) * xr(col("opcl")) * xr(col("opll")))
       .withColumn("alpha_033", xr(-(lit(1.0) - div(col("open"), col("close")))))
-      .withColumn("alpha_038", -xr(col("tsr_close10")) * xr(col("co")))
+      // shared XS rank: alpha_038 and alpha_017 rank the same ordering
+      // (ts_rank(close,10)); one window pass serves both
+      .withColumn("r_tsrc10", xr(col("tsr_close10")))
+      .withColumn("alpha_038", -col("r_tsrc10") * xr(col("co")))
       .withColumn("alpha_041", pow(col("high") * col("low"), 0.5) - col("vwap"))
       .withColumn("alpha_042", div(xr(col("vwap") - col("close")), xr(col("vwap") + col("close"))))
       .withColumn("alpha_048",
@@ -637,15 +640,17 @@ object Alpha101 {
       .withColumn("r_c50", xr(col("corr_rvv5")))
       // ---- tranche 3 ----
       .withColumn("alpha_002", -col("corr_002"))
+      // shared XS rank: alpha_005 and alpha_086 both rank cmv
+      .withColumn("r_cmv", xr(col("cmv")))
       .withColumn("alpha_005",
-        xr(round(col("open") - col("svw10") / 10.0, 6)) * -abs(xr(col("cmv"))))
+        xr(round(col("open") - col("svw10") / 10.0, 6)) * -abs(col("r_cmv")))
       .withColumn("alpha_011",
         (xr(col("tsmax_vmc3")) + xr(col("tsmin_vmc3"))) * xr(col("dv3")))
       .withColumn("alpha_013", -xr(col("cov_rc_rv5")))
       .withColumn("alpha_014", -xr(col("dret3")) * col("corr6"))
       .withColumn("alpha_016", -xr(col("cov_rh_rv5")))
       .withColumn("alpha_017",
-        -xr(col("tsr_close10")) * xr(col("ddc1")) * xr(col("tsr_var17_5")))
+        -col("r_tsrc10") * xr(col("ddc1")) * xr(col("tsr_var17_5")))
       .withColumn("alpha_018",
         -xr(col("std_absco5") + (col("close") - col("open")) + col("corr_co10")))
       .withColumn("alpha_025",
@@ -787,7 +792,6 @@ object Alpha101 {
       .withColumn("alpha_083",
         div(col("r83a") * col("r83b"), div(col("hlr"), col("vmc") + 0.001)))
       .withColumn("alpha_084", clamp1e6(col("p84")))
-      .withColumn("r_cmv", xr(col("cmv")))
       .withColumn("alpha_062", when(col("r62a") < col("r62b"), -1.0).otherwise(0.0))
       .withColumn("alpha_064", when(col("r64a") < col("r64b"), -1.0).otherwise(0.0))
       .withColumn("alpha_065", when(col("r65a") < col("r65b"), -1.0).otherwise(0.0))
