@@ -90,9 +90,13 @@ object IngestQueries {
   }
 
   /** q93: fixture → full chain → sorted hive sink → read-back →
-    * per-code deterministic summary. */
+    * per-code deterministic summary. The summary carries the X6
+    * sector identity hash ([[Ingest.sectorId]], md5 16-hex of
+    * type_name — `Project report.md:604-617`) keyed on the code's
+    * exchange prefix, so the hash function is exercised end to end
+    * in the driver-visible row hash, not just in its unit test. */
   def ingestRoundtrip: Q = (s, _) => {
-    val root = Files.createTempDirectory("graft_ingest").toString
+    val root = graft.TempDirs.scratch("graft_ingest")
     writeFixture(s"$root/zips", nZips = 3, rowsPerMember = 200)
     val merged = ingestChain(s, root)
     Ingest.writeSortedParquet(merged, s"$root/out",
@@ -106,6 +110,8 @@ object IngestQueries {
       (floor(sum(col("price_hfq")) * 1e6 + lit(0.5)) / 1e6).as("sum_px_hfq"),
       min(col("trade_time")).as("t_min"),
       max(col("trade_time")).as("t_max"))
+      .withColumn("sector_id",
+        Ingest.sectorId(lit("industry"), substring(col("code"), 1, 3)))
       .orderBy("code")
   }
 

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 
 import graft.sources.Quotes
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -31,7 +30,7 @@ object StreamQueries {
 
   def emaStreamParity: Q = (s, dir) => {
     val alpha = 2.0 / (12 + 1)
-    val root = Files.createTempDirectory("graft_stream").toString
+    val root = graft.TempDirs.scratch("graft_stream")
     val slice = Quotes.panel(s, dir)
       .filter(col("stock") <= 20)
       .select(col("stock").cast("long").as("stock"), col("day"), col("close"))

@@ -53,5 +53,14 @@ class EntryShapeSpec extends SparkSpec {
       assert(r.getAs[Double]("sum_px_qfq") == r.getAs[Double]("sum_px") * 0.5)
       assert(r.getAs[Double]("sum_px_hfq") == r.getAs[Double]("sum_px") * 2.0)
     }
+    // X6 sector hash rides the summary: md5 16-hex prefix of
+    // "industry_<exchange prefix>", distinct per prefix
+    val sectorIds = rows.map(_.getAs[String]("sector_id"))
+    assert(sectorIds.forall(_.matches("[0-9a-f]{16}")))
+    assert(sectorIds.distinct.length == 4)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("industry_600".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    assert(byCode("600001.SH").getAs[String]("sector_id") == expected)
   }
 }
