@@ -41,11 +41,22 @@ object PlanOps {
     * ColumnPruning drops dead intermediates, so per-operator
     * projection codegen (the dominant cost, ~0.3 s/op) runs over
     * narrower schemas. */
+  /** Max definitions per batch. Capping splits oversized greedy runs
+    * at extra Project boundaries, giving ColumnPruning more places to
+    * narrow schemas between window stacks. Swept on the full alpha
+    * corpus at sf0.1 (isolated q90, same commit): uncapped 152.9 s,
+    * cap 6 → 142.1, 10 → 124.5, 14 → 114.2, 20 → 106.1, 26 → 112.1,
+    * 32 → 100.4/98.4 (repeated), 48 → 118.2. 32 is the measured
+    * optimum; overridable via GRAFT_BATCH_CAP (0 = uncapped). */
+  private val DefaultBatchCap = 32
+
   def withColumnsBatched(df: DataFrame, defs: Seq[(String, Column)]): DataFrame = {
+    val cap = sys.env.get("GRAFT_BATCH_CAP").map(_.toInt).getOrElse(DefaultBatchCap)
     val batches = Vector.newBuilder[ListMap[String, Column]]
     var cur = ListMap.empty[String, Column]
     defs.foreach { case (name, c) =>
-      if (cur.contains(name) || refs(c).exists(cur.contains)) {
+      if (cur.contains(name) || refs(c).exists(cur.contains)
+          || (cap > 0 && cur.size >= cap)) {
         batches += cur; cur = ListMap(name -> c)
       } else cur = cur + (name -> c)
     }
