@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Tables
 import graft.functions.{DedupFns, TextFns, VectorFns}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -197,8 +197,89 @@ object CorpusQueries {
       .orderBy("modality")
   }
 
+  /** q102: duplicate-CLUSTER resolution — the step after candidate
+    * pairs that every production dedup pipeline needs: q34's exact
+    * Jaccard edges → connected components
+    * ([[graft.ops.GraphOps.connectedComponents]], min-label +
+    * pointer-jumping, O(log n) shuffle rounds) → per-doc cluster id,
+    * cluster size, and the canonical-survivor flag (keep lowest id).
+    * Fully oracled: DuckDB replays the same edges brute-force and
+    * resolves components with a recursive CTE. */
+  def dupClusters: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val sh = d.select(col("doc_id"), col("source"),
+      TextFns.charShinglesPacked(col("text")).as("sh"))
+    val edges = DedupFns.jaccardPrefixPairs(sh, "doc_id", "source", "sh", threshold = 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val lab = graft.ops.GraphOps.connectedComponents(
+      d.select(col("doc_id").as("id")), edges)
+    lab.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** q103: deterministic hash-based train/val/test split — the
+    * reproducible-split idiom for training-data pipelines: bucket on
+    * the first two hex chars of md5(text) (256 buckets; content-keyed
+    * so re-runs and re-partitions never move a document between
+    * splits), 'cd'≈80% / 'e6'≈10% / rest≈10%, then per-split-per-lang
+    * counts. Pure per-row hash + one aggregation — scale-free. */
+  def hashSplit: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val bucket = substring(md5(col("text")), 1, 2)
+    val split = when(bucket < "cd", "train")
+      .when(bucket < "e6", "val").otherwise("test")
+    d.select(split.as("split"), col("lang"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
+  /** q104: exact per-language token-count quantiles — the length
+    * distribution a pipeline reads before choosing truncation /
+    * filtering thresholds. Spark's exact `percentile` (linear
+    * interpolation over the sorted group) matches DuckDB's
+    * `quantile_cont` definition; interpolated values of integer
+    * counts are exact in binary, so 6-dp floor-quantization hashes
+    * identically. */
+  def tokenQuantiles: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = Tables.load(s, dir, "documents")
+    d.select(col("lang"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+      .select(col("lang"), col("n_docs"),
+        fr6(col("qs")(0)).as("p25"), fr6(col("qs")(1)).as("p50"),
+        fr6(col("qs")(2)).as("p75"), fr6(col("qs")(3)).as("p90"))
+      .orderBy("lang")
+  }
+
+  /** q105: deterministic stratified 10% sample — per (lang, source)
+    * stratum, rank by md5(text) (content-keyed, so the sample is
+    * stable across runs and engines) and keep the first
+    * ceil(0.1·|stratum|). One window sort per stratum; no driver
+    * randomness, no sampler re-execution (memory: repartitionByRange
+    * lesson). */
+  def stratifiedSample: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val byHash = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("text")), col("doc_id"))
+    d.select(col("doc_id"), col("lang"), col("source"),
+        row_number().over(byHash).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy("lang", "source")).as("n_grp"))
+      .filter(col("rn") <= ceil(col("n_grp") * 0.1))
+      .select("doc_id", "lang", "source", "rn")
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "q30_text_stats" -> textStats,
+    "q102_dup_clusters" -> dupClusters,
+    "q103_hash_split" -> hashSplit,
+    "q104_token_quantiles" -> tokenQuantiles,
+    "q105_stratified_sample" -> stratifiedSample,
     "q31_quality_score" -> qualityScore,
     "q32_lang_confusion" -> langConfusion,
     "q33_exact_dedup" -> exactDedup,
@@ -213,6 +294,56 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q102_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(generate_series(1, length(text) - 2),
+        |    i -> substr(text, i, 3))) AS s
+        | FROM documents WHERE length(text) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS src, b.doc_id AS dst
+        | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |reach AS (
+        | SELECT doc_id AS id, doc_id AS r FROM documents
+        | UNION
+        | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        | count(*) OVER (PARTITION BY cluster_id) AS n_members,
+        | CAST(doc_id = cluster_id AS INT) AS is_canonical
+        |FROM lab ORDER BY doc_id""".stripMargin,
+    "q103_hash_split" ->
+      """WITH t AS (
+        | SELECT CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |             WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |             ELSE 'test' END AS split, lang, n_chars
+        | FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q104_token_quantiles" ->
+      """WITH t AS (
+        | SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | floor(quantile_cont(n_tokens, 0.25) * 1e6 + 0.5) / 1e6 AS p25,
+        | floor(quantile_cont(n_tokens, 0.5)  * 1e6 + 0.5) / 1e6 AS p50,
+        | floor(quantile_cont(n_tokens, 0.75) * 1e6 + 0.5) / 1e6 AS p75,
+        | floor(quantile_cont(n_tokens, 0.9)  * 1e6 + 0.5) / 1e6 AS p90
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q105_stratified_sample" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, source,
+        |  row_number() OVER (PARTITION BY lang, source
+        |                     ORDER BY md5(text), doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang, source) AS n_grp
+        | FROM documents)
+        |SELECT doc_id, lang, source, rn FROM t
+        |WHERE rn <= ceil(n_grp * 0.1) ORDER BY doc_id""".stripMargin,
     "q30_text_stats" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
