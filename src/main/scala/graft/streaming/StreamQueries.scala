@@ -7,19 +7,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-/** q95: streaming/batch parity for the stateful EMA (SURVEY.md
-  * §2.10) as a driver-visible entry. A (stock, day, close) slice of
-  * the panel is written as three day-ranged parquet files; a file
+/** q95: the stateful streaming EMA (SURVEY.md §2.10) as a driver-
+  * visible, FULLY ORACLED entry. A (stock, day, close) slice of the
+  * quotes panel is written as three day-ranged parquet files; a file
   * stream replays them as three micro-batches (maxFilesPerTrigger=1,
   * oldest-first by modification time — the writes are sequential
   * jobs, so mod times strictly increase); [[StreamOps.emaStream]]
-  * carries one Double of state per stock across the batches; the
-  * result is joined back against the one-pass batch recursion
-  * ([[graft.ops.TsOps.ema]]). Same arithmetic in the same order on
-  * both paths -> the join must match BIT-EXACTLY, and the returned
-  * summary row pins rows / matches / max divergence. Rows-only by
-  * design (the stream's input lives in a temp dir, not the oracle's
-  * parquet set), but every value is deterministic.
+  * carries one Double of state per stock across the batches. The
+  * entry returns the STREAMED values themselves: the slice derives
+  * deterministically from the oracle-visible `events` parquet
+  * ([[Quotes.sqlCte]]), and panel doubles are exactly representable,
+  * so DuckDB replays the recursion bit-exactly with a recursive CTE
+  * written in the same association order (`a*x + (1-a)*state`) —
+  * the temp dir is only transport, not state. Streaming/batch parity
+  * against [[graft.ops.TsOps.ema]] stays pinned in EntryShapeSpec.
   *
   * Scale: the streaming side is the real plan — file source →
   * stateful flatMapGroupsWithState keyed on the entity id; the only
@@ -28,12 +29,20 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 object StreamQueries {
   private type Q = (SparkSession, String) => DataFrame
 
-  def emaStreamParity: Q = (s, dir) => {
-    val alpha = 2.0 / (12 + 1)
-    val root = graft.TempDirs.scratch("graft_stream")
-    val slice = Quotes.panel(s, dir)
+  val emaAlpha: Double = 2.0 / (12 + 1)
+
+  /** The deterministic stream input slice (shared with the parity
+    * spec): ~20 stocks of the panel, one row per (stock, day). */
+  def emaSlice(s: SparkSession, dir: String): DataFrame =
+    Quotes.panel(s, dir)
       .filter(col("stock") <= 20)
       .select(col("stock").cast("long").as("stock"), col("day"), col("close"))
+
+  /** Runs the file-stream replay and returns the raw streamed frame
+    * (stock, day, ema_stream). */
+  def streamedEma(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream")
+    val slice = emaSlice(s, dir)
     // three sequential writes = three files with increasing mod time
     // = three micro-batches in day order (per-key event time must be
     // monotone across batches for exact replay, StreamOps.emaStream)
@@ -49,31 +58,44 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/in/*")
       .as[(Long, Long, Double)]
-    val q = StreamOps.emaStream(streamIn, alpha)
+    // unique sink name: the entry may run more than once per session
+    // (spec + verify share a JVM in local runs)
+    val sink = s"q95_ema_out_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
+    val q = StreamOps.emaStream(streamIn, emaAlpha)
       .toDF("stock", "day", "ema_stream")
-      .writeStream.format("memory").queryName("q95_ema_out")
+      .writeStream.format("memory").queryName(sink)
       .option("checkpointLocation", s"$root/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val streamed = s.table("q95_ema_out")
-    val batch = graft.ops.TsOps.ema(
-      slice, "stock", Seq("day"), "close", alpha, "ema_batch")
-      .select("stock", "day", "ema_batch")
-    streamed.join(batch, Seq("stock", "day"), "full_outer")
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("ema_stream") === col("ema_batch"), 1L).otherwise(0L))
-          .as("n_bitexact"),
-        max(abs(col("ema_stream") - col("ema_batch"))).as("max_abs_diff"),
-        sum(when(col("ema_stream").isNull || col("ema_batch").isNull, 1L)
-          .otherwise(0L)).as("n_unmatched"))
+    s.table(sink)
   }
 
-  val entries: Map[String, Q] = Map("q95_ema_stream_parity" -> emaStreamParity)
+  def emaStreamValues: Q = (s, dir) => {
+    val fr6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    streamedEma(s, dir)
+      .select(col("stock"), col("day"), fr6(col("ema_stream")).as("ema"))
+      .orderBy("stock", "day")
+  }
 
-  /** Rows-only: the stream input is a temp-dir fixture the driver's
-    * DuckDB side can't see; the output values are deterministic. */
-  val oracles: Map[String, String] = Map.empty
+  val entries: Map[String, Q] = Map("q95_ema_stream_parity" -> emaStreamValues)
+
+  /** DuckDB replays the EMA recursion stepwise along the contiguous
+    * per-stock `day` axis (`day` is a row_number, so `rec.day + 1`
+    * walks each series) with literals in the SAME association order
+    * as [[StreamOps.emaStream]]'s `alpha * x + (1 - alpha) * state` —
+    * identical double ops on exactly-representable inputs, so values
+    * match bitwise before the 6-dp quantization. */
+  val oracles: Map[String, String] = Map(
+    "q95_ema_stream_parity" ->
+      s"""WITH RECURSIVE ${Quotes.sqlCteWhere("user_id <= 20")},
+         |t AS (SELECT stock, day, close FROM quotes),
+         |rec AS (
+         |  SELECT stock, day, close AS ema FROM t WHERE day = 1
+         |  UNION ALL
+         |  SELECT t.stock, t.day, (2.0/13) * t.close + (1 - 2.0/13) * rec.ema
+         |  FROM rec JOIN t ON t.stock = rec.stock AND t.day = rec.day + 1)
+         |SELECT stock, day, floor(ema * 1e6 + 0.5) / 1e6 AS ema
+         |FROM rec ORDER BY stock, day""".stripMargin)
 }

@@ -35,7 +35,21 @@ class EntryShapeSpec extends SparkSpec {
   }
 
   test("q95 streaming EMA: bit-exact parity with the batch recursion") {
-    val r = graft.streaming.StreamQueries.emaStreamParity(spark, sf).collect()(0)
+    import graft.streaming.StreamQueries
+    val streamed = StreamQueries.streamedEma(spark, sf)
+    val batch = graft.ops.TsOps.ema(
+      StreamQueries.emaSlice(spark, sf), "stock", Seq("day"), "close",
+      StreamQueries.emaAlpha, "ema_batch")
+      .select("stock", "day", "ema_batch")
+    val r = streamed.join(batch, Seq("stock", "day"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("ema_stream") === col("ema_batch"), 1L).otherwise(0L))
+          .as("n_bitexact"),
+        max(abs(col("ema_stream") - col("ema_batch"))).as("max_abs_diff"),
+        sum(when(col("ema_stream").isNull || col("ema_batch").isNull, 1L)
+          .otherwise(0L)).as("n_unmatched"))
+      .collect()(0)
     assert(r.getAs[Long]("n_rows") > 0)
     assert(r.getAs[Long]("n_bitexact") == r.getAs[Long]("n_rows"))
     assert(r.getAs[Long]("n_unmatched") == 0)
