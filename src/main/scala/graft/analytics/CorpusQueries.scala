@@ -274,8 +274,35 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q106: benchmark decontamination — flag corpus documents whose
+    * 4-token shingles overlap an eval/benchmark set (here: the
+    * deterministic doc_id % 97 == 0 subset standing in for a held-out
+    * benchmark). The scale shape is the real one: the eval side is
+    * tiny by construction (benchmarks are KBs, corpora are TBs), so
+    * its exploded shingle set BROADCASTS and the corpus side is one
+    * scan + map-side hash join + partial-agg count — no shuffle of
+    * corpus text, no all-pairs. Shingle strings (not hashes) are
+    * joined so DuckDB reproduces the overlap byte-for-byte. */
+  def decontaminate: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val t = TextFns.tokens(col("text"))
+    val grams = when(size(t) >= 4,
+      array_distinct(transform(sequence(lit(1), size(t) - 3),
+        i => concat_ws(" ", slice(t, i, lit(4))))))
+      .otherwise(array().cast("array<string>"))
+    val shingled = d.select(col("doc_id"), explode(grams).as("g"))
+    val ev = d.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), explode(grams).as("g"))
+    shingled.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(ev), "g")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id", "eval_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "q30_text_stats" -> textStats,
+    "q106_decontaminate" -> decontaminate,
     "q102_dup_clusters" -> dupClusters,
     "q103_hash_split" -> hashSplit,
     "q104_token_quantiles" -> tokenQuantiles,
@@ -294,6 +321,21 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q106_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(t) - 3),
+        |   i -> array_to_string(t[i:i+3], ' '))) AS s
+        | FROM toks WHERE len(t) >= 4),
+        |ev AS (SELECT doc_id AS eval_id, s AS es FROM sh WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, ev.eval_id,
+        | CAST(len(list_intersect(c.s, ev.es)) AS BIGINT) AS n_shared
+        |FROM c JOIN ev ON len(list_intersect(c.s, ev.es)) >= 1
+        |ORDER BY doc_id, eval_id""".stripMargin,
     "q102_dup_clusters" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id, source,
