@@ -30,7 +30,13 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Register every table as a temp view so `spark.sql` works too. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  /** Register every table as a temp view so `spark.sql` works like
+    * the reference's SQL console — plus the derived `quotes` panel
+    * ([[graft.sources.Quotes.panel]]), the analog of the reference's
+    * market-daily table surface. Views are lazy plans over the
+    * parquet scans, so SQL queries keep full pushdown/pruning. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    graft.sources.Quotes.panel(spark, sfDir).createOrReplaceTempView("quotes")
+  }
 }
