@@ -197,6 +197,48 @@ object CorpusQueries {
       .orderBy("modality")
   }
 
+  /** q107: IVF-flavored ANN search — the coarse-quantizer counterpart
+    * to q96's LSH buckets (builder brief: "an IVF or LSH-bucketed
+    * variant as the scale path"). Cells are the 16 vectors with
+    * vec_id < 16 used as fixed centroids (real IVF k-means-trains
+    * them; the ENGINE mechanics under test — assignment, probing,
+    * re-rank — are identical, and fixed centroids keep both engines
+    * bit-agreed). Per row: cell = argmin over the broadcast centroid
+    * array of 6-dp-quantized squared L2 (tie → smallest cid), a pure
+    * projection — at scale `cell` is a precomputed partition/
+    * bucketing key, so an nprobe=2 search scans 2/16 of the corpus
+    * and exact-cosine re-ranks only the candidates. No shuffle
+    * anywhere: two broadcasts + TakeOrdered. */
+  def ivfSearch: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    // the centroid set as ONE broadcast row holding array<struct>:
+    // argmin/sort over it are order-independent, so collect_list's
+    // nondeterministic order is harmless
+    val cents = e.filter(col("vec_id") < 16)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))).as("cs"))
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def distCells(v: Column): Column =
+      transform(col("cs"), c =>
+        struct(fr6(l2(v, c.getField("cv"))).as("d"), c.getField("cid").as("cid")))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        array_min(distCells(col("v"))).getField("cid").as("cell"))
+    val q = e.filter(col("vec_id") === 7).crossJoin(broadcast(cents))
+      .select(col("v").as("qv"),
+        transform(slice(array_sort(distCells(col("v"))), 1, 2),
+          s => s.getField("cid")).as("probe"))
+    assigned.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 7 && array_contains(col("probe"), col("cell")))
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        round(VectorFns.cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("cand_id"))
+      .limit(10)
+  }
+
   /** q102: duplicate-CLUSTER resolution — the step after candidate
     * pairs that every production dedup pipeline needs: q34's exact
     * Jaccard edges → connected components
@@ -303,6 +345,7 @@ object CorpusQueries {
   val entries: Map[String, Q] = Map(
     "q30_text_stats" -> textStats,
     "q106_decontaminate" -> decontaminate,
+    "q107_ivf_search" -> ivfSearch,
     "q102_dup_clusters" -> dupClusters,
     "q103_hash_split" -> hashSplit,
     "q104_token_quantiles" -> tokenQuantiles,
@@ -321,6 +364,28 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q107_ivf_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, c.cid,
+        |  floor(list_sum(list_transform(generate_series(1, len(e.v)),
+        |    i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) * 1e6 + 0.5) / 1e6 AS dist
+        | FROM e CROSS JOIN c),
+        |assign AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d) WHERE rn = 1),
+        |probe AS (SELECT cid AS cell FROM (
+        |  SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn
+        |  FROM d WHERE vec_id = 7) WHERE rn <= 2),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        |SELECT e.vec_id AS cand_id, a.cell,
+        | round(list_dot_product(e.v, qv)
+        |  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6)
+        |  AS cos
+        |FROM e JOIN assign a ON e.vec_id = a.vec_id, q
+        |WHERE e.vec_id <> 7 AND a.cell IN (SELECT cell FROM probe)
+        |ORDER BY cos DESC, cand_id LIMIT 10""".stripMargin,
     "q106_decontaminate" ->
       """WITH toks AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
