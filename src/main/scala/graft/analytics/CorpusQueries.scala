@@ -239,6 +239,49 @@ object CorpusQueries {
       .limit(10)
   }
 
+  /** q108: context-window chunking — split each document's token
+    * stream into fixed-size training chunks (size 32, stride 28 =
+    * overlap 4), the standard pre-tokenization step for LLM training
+    * and RAG indexing. Pure per-row explode of a sequence HOF — no
+    * shuffle, embarrassingly parallel at any scale. Emits per-chunk
+    * token counts and the chunk head for spot-checking. */
+  def chunkDocs: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val t = TextFns.tokens(col("text"))
+    // last start must land within 31 tokens of the end so the tail is
+    // covered: bound the series at len-4 (stride 28 then guarantees
+    // last start >= len-31, with a partial final chunk when needed)
+    val starts = when(size(t) > 0,
+      sequence(lit(1), greatest(size(t) - 4, lit(1)), lit(28)))
+      .otherwise(array().cast("array<int>"))
+    d.select(col("doc_id"), posexplode(starts).as(Seq("chunk_id", "start")))
+      .join(d.select(col("doc_id"), t.as("toks")), "doc_id")
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("start"), lit(32))).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(3))).as("head"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q109: sequence-packing audit — deterministic first-fit packing
+    * of documents into fixed token budgets (2048/bin) along a stable
+    * order (per-lang by doc_id), then per-bin fill statistics: the
+    * packing-efficiency measurement run before committing a training
+    * mix. One window cumsum per lang + one aggregate — scales as a
+    * single shuffle on (lang). */
+  def seqPacking: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = Tables.load(s, dir, "documents")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val withBins = d.select(col("lang"), col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048.0).cast("long"))
+    withBins.groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        fr6(sum("n_tokens") / 2048.0).as("fill_ratio"))
+      .orderBy("lang", "bin")
+  }
+
   /** q102: duplicate-CLUSTER resolution — the step after candidate
     * pairs that every production dedup pipeline needs: q34's exact
     * Jaccard edges → connected components
@@ -346,6 +389,8 @@ object CorpusQueries {
     "q30_text_stats" -> textStats,
     "q106_decontaminate" -> decontaminate,
     "q107_ivf_search" -> ivfSearch,
+    "q108_chunking" -> chunkDocs,
+    "q109_seq_packing" -> seqPacking,
     "q102_dup_clusters" -> dupClusters,
     "q103_hash_split" -> hashSplit,
     "q104_token_quantiles" -> tokenQuantiles,
@@ -364,6 +409,32 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q108_chunking" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents WHERE length(trim(text)) > 0),
+        |st AS (
+        | SELECT doc_id, t,
+        |  unnest(generate_series(1, greatest(len(t) - 4, 1), 28)) AS start
+        | FROM toks)
+        |SELECT doc_id, (start - 1) // 28 AS chunk_id,
+        | CAST(len(t[start:start+31]) AS BIGINT) AS n_tokens,
+        | array_to_string(t[start:start+2], ' ') AS head
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "q109_seq_packing" ->
+      """WITH t AS (
+        | SELECT lang, doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        | FROM documents),
+        |b AS (
+        | SELECT lang, doc_id, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        |    - n_tokens) / 2048.0) AS BIGINT) AS bin
+        | FROM t)
+        |SELECT lang, bin, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        | floor(sum(n_tokens) / 2048.0 * 1e6 + 0.5) / 1e6 AS fill_ratio
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "q107_ivf_search" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
