@@ -254,8 +254,9 @@ object CorpusQueries {
     val starts = when(size(t) > 0,
       sequence(lit(1), greatest(size(t) - 4, lit(1)), lit(28)))
       .otherwise(array().cast("array<int>"))
-    d.select(col("doc_id"), posexplode(starts).as(Seq("chunk_id", "start")))
-      .join(d.select(col("doc_id"), t.as("toks")), "doc_id")
+    // generator + payload column in ONE select: no self-join back to
+    // the table for the token array (that join is a full shuffle)
+    d.select(col("doc_id"), t.as("toks"), posexplode(starts).as(Seq("chunk_id", "start")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         size(slice(col("toks"), col("start"), lit(32))).cast("long").as("n_tokens"),
         concat_ws(" ", slice(col("toks"), col("start"), lit(3))).as("head"))
