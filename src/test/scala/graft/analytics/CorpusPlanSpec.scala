@@ -1,0 +1,46 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Plan audits for the training-data-pipeline entries: the scaladocs
+  * claim specific scale shapes (broadcast eval/query sides, no corpus
+  * shuffles, generator-without-self-join) — pin them so a refactor
+  * cannot silently reintroduce an all-pairs join or a full shuffle. */
+class CorpusPlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("decontamination: eval side broadcasts, corpus side never shuffle-joins") {
+    val plan = finalPlan(CorpusQueries.decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("IVF search: two broadcasts + TakeOrdered, zero data exchanges") {
+    val plan = finalPlan(CorpusQueries.ivfSearch(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.linesIterator.count(_.contains("BroadcastExchange")) >= 2, plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning")), plan)
+  }
+
+  test("chunking: generator carries the token payload, no join at all") {
+    val plan = finalPlan(CorpusQueries.chunkDocs(spark, sf))
+    assert(plan.contains("Generate posexplode"), plan)
+    assert(!plan.contains("Join"), plan)
+    // only the final presentation sort may exchange
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("hash split and packing: exactly one aggregate exchange each") {
+    for (q <- Seq(CorpusQueries.hashSplit(spark, sf), CorpusQueries.seqPacking(spark, sf))) {
+      val plan = finalPlan(q)
+      assert(plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 1, plan)
+    }
+  }
+}
