@@ -265,22 +265,24 @@ object CorpusQueries {
 
   /** q109: sequence-packing audit — deterministic first-fit packing
     * of documents into fixed token budgets (2048/bin) along a stable
-    * order (per-lang by doc_id), then per-bin fill statistics: the
-    * packing-efficiency measurement run before committing a training
-    * mix. One window cumsum per lang + one aggregate — scales as a
-    * single shuffle on (lang). */
+    * order, then per-bin fill statistics: the packing-efficiency
+    * measurement run before committing a training mix. Packing is
+    * per (lang, shard) with shard = doc_id % 4 — the way real
+    * pipelines pack per OUTPUT SHARD — so the window cumsum
+    * parallelizes with the corpus instead of serializing one giant
+    * partition per language at 100 TB. One shuffle total. */
   def seqPacking: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val d = Tables.load(s, dir, "documents")
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-    val withBins = d.select(col("lang"), col("doc_id"),
-        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    val withBins = d.select(col("lang"), (col("doc_id") % 4).as("shard"),
+        col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048.0).cast("long"))
-    withBins.groupBy("lang", "bin")
+    withBins.groupBy("lang", "shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
         fr6(sum("n_tokens") / 2048.0).as("fill_ratio"))
-      .orderBy("lang", "bin")
+      .orderBy("lang", "shard", "bin")
   }
 
   /** q102: duplicate-CLUSTER resolution — the step after candidate
@@ -424,18 +426,19 @@ object CorpusQueries {
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "q109_seq_packing" ->
       """WITH t AS (
-        | SELECT lang, doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        | SELECT lang, doc_id % 4 AS shard, doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         | FROM documents),
         |b AS (
-        | SELECT lang, doc_id, n_tokens,
-        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        | SELECT lang, shard, doc_id, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
         |    - n_tokens) / 2048.0) AS BIGINT) AS bin
         | FROM t)
-        |SELECT lang, bin, count(*) AS n_docs,
+        |SELECT lang, shard, bin, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         | floor(sum(n_tokens) / 2048.0 * 1e6 + 0.5) / 1e6 AS fill_ratio
-        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+        |FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin,
     "q107_ivf_search" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
