@@ -326,21 +326,38 @@ object CorpusQueries {
 
   /** q104: exact per-language token-count quantiles — the length
     * distribution a pipeline reads before choosing truncation /
-    * filtering thresholds. Spark's exact `percentile` (linear
-    * interpolation over the sorted group) matches DuckDB's
-    * `quantile_cont` definition; interpolated values of integer
-    * counts are exact in binary, so 6-dp floor-quantization hashes
-    * identically. */
+    * filtering thresholds. NOT Spark's `percentile` aggregate: that
+    * buffers every value of a group in one aggregation state, which
+    * cannot hold a corpus-scale language group. Token counts are
+    * small integers, so the scale-correct EXACT algorithm is a
+    * count histogram (groupBy (lang, count) — bounded cardinality)
+    * plus a cumulative walk: a row covers sorted positions
+    * [cum-cnt, cum-1], so the value at sorted position k is the last
+    * row with prev <= k, and quantile_cont's linear interpolation
+    * `v_lo + frac·(v_hi - v_lo)` at pos = p·(n-1) recomposes from
+    * two conditional MAX aggregates. Matches DuckDB's quantile_cont
+    * after 6-dp floor-quantization (integer-valued v_lo/v_hi keep
+    * the arithmetic exact up to the frac product). */
   def tokenQuantiles: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val d = Tables.load(s, dir, "documents")
-    d.select(col("lang"), TextFns.tokenCount(col("text")).as("n_tokens"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
-      .select(col("lang"), col("n_docs"),
-        fr6(col("qs")(0)).as("p25"), fr6(col("qs")(1)).as("p50"),
-        fr6(col("qs")(2)).as("p75"), fr6(col("qs")(3)).as("p90"))
+    val hist = d
+      .select(col("lang"), TextFns.tokenCount(col("text")).cast("double").as("v"))
+      .groupBy("lang", "v").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("lang").orderBy("v")))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("n", max("cum").over(Window.partitionBy("lang")))
+    def atPos(k: Column): Column = max(when(col("prev") <= k, col("v")))
+    def quant(p: Double): Column = {
+      val pos = lit(p) * (col("n") - lit(1)).cast("double")
+      val interp = atPos(floor(pos)) +
+        (atPos(ceil(pos)) - atPos(floor(pos))) * max(pos - floor(pos))
+      fr6(interp)
+    }
+    cum.groupBy("lang")
+      .agg(sum("cnt").as("n_docs"), quant(0.25).as("p25"), quant(0.5).as("p50"),
+        quant(0.75).as("p75"), quant(0.9).as("p90"))
       .orderBy("lang")
   }
 
