@@ -7,10 +7,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
-  * (builder brief: dedup, similarity search, text analysis). Oracles
-  * exist where DuckDB can express the same math; hash-identical
-  * operators that depend on xxhash64 (minhash/simhash) are rows-only
-  * checked by the driver and exactness-tested in ScalaTest instead.
+  * (builder brief: dedup, similarity search, text analysis). Every
+  * SQL-expressible entry carries a DuckDB oracle — including minhash
+  * and simhash, whose kernels hash with [[DedupFns.portableHash60]]
+  * (md5-derived) precisely so the oracle can replay them; only the
+  * batched stub decoder (q54) stays rows-only.
   */
 object CorpusQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -91,8 +92,10 @@ object CorpusQueries {
       .orderBy("q_id", "rn")
   }
 
-  /** MinHash+LSH near-dup candidates (rows-only driver check;
-    * exactness covered by DedupSpec). */
+  /** MinHash+LSH near-dup candidates, FULLY ORACLED: the base hash is
+    * [[DedupFns.portableHash60]], so the DuckDB oracle rebuilds the
+    * identical signatures, band buckets and Jaccard verification
+    * (plus DedupSpec's recall test on planted dup families). */
   def minhashDedup: Q = (s, dir) =>
     DedupFns.minhashCandidates(
         Tables.load(s, dir, "documents"), "doc_id", "text",
@@ -117,7 +120,12 @@ object CorpusQueries {
         DedupFns.simhashTokenHashes(col("text")).as("th"))
       .select(col("doc_id"), col("source"),
         DedupFns.simhash64FromHashes(col("th")).as("sh"))
+    // pigeonhole banding is exact, so the OUTPUT is simply every
+    // same-source pair at hamming<=8 — which is what the DuckDB
+    // oracle computes brute-force (banding is the scale path, not a
+    // semantic)
     DedupFns.simhashBandedPairs(d, "doc_id", "source", "sh", maxHamming = 8)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
   }
 
@@ -170,6 +178,86 @@ object CorpusQueries {
       s"CASE WHEN list_dot_product($vExpr, [${p.mkString(", ")}]) >= 0" +
         s" THEN ${1L << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  /** DuckDB expression mirroring [[DedupFns.portableHash60]]. */
+  private def h60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** q36 oracle: replay the whole MinHash-LSH pipeline — word-bigram
+    * shingles, portable base hashes mod p, the k=12 permutation
+    * minima (a/b constants embedded as literals, same formula as
+    * [[DedupFns.minhashSignatureFromHashes]] at seed=42), 6 band
+    * buckets of 2 rows, bucket-share candidate join, exact-Jaccard
+    * verification over the distinct base-hash sets. */
+  private def minhashOracleSql: String = {
+    val p = DedupFns.minhashP
+    val seed = 42L
+    val sigDefs = (0 until 12).map { i =>
+      val a = ((seed + 1) * 1299721L + i.toLong * 7919L) % 999999937L + 1L
+      val b = (seed * 31L + i.toLong * 104729L) % p
+      s"list_min(list_transform(h, v -> (v * $a + $b) % $p)) AS s$i"
+    }.mkString(",\n  ")
+    val bktDefs = (0 until 6).map { j =>
+      val cat = s"CAST(s${2 * j} AS VARCHAR) || '_' || CAST(s${2 * j + 1} AS VARCHAR)"
+      s"${h60Sql(cat)} AS k$j"
+    }.mkString(",\n  ")
+    val anyBand = (0 until 6).map(j => s"a.k$j = b.k$j").mkString(" OR ")
+    s"""WITH toks AS (
+       | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       | FROM documents WHERE length(trim(text)) > 0),
+       |sh AS (
+       | SELECT doc_id, list_distinct(list_transform(
+       |   generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS s
+       | FROM toks WHERE len(t) >= 2),
+       |hv AS (
+       | SELECT doc_id, list_transform(s, x -> ${h60Sql("x")} % $p) AS h
+       | FROM sh),
+       |sig AS (
+       | SELECT doc_id, h,
+       |  $sigDefs
+       | FROM hv),
+       |bkt AS (
+       | SELECT doc_id, h,
+       |  $bktDefs
+       | FROM sig),
+       |cand AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(list_distinct(a.h), list_distinct(b.h))) AS DOUBLE)
+       |    AS inter,
+       |  len(list_distinct(a.h)) + len(list_distinct(b.h)) AS tot
+       | FROM bkt a JOIN bkt b ON a.doc_id < b.doc_id AND ($anyBand))
+       |SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
+       |FROM cand WHERE inter / (tot - inter) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q37 oracle: pigeonhole banding is EXACT, so the output equals
+    * every same-source pair at hamming<=8 — computed here brute-force
+    * over the replayed portable-hash simhashes (bits 60-63 of a
+    * 60-bit-hash simhash are always 0, so only bits 0-59 vote). */
+  private def simhashOracleSql: String = {
+    val bitTerms = (0 until 60).map { b =>
+      s"CASE WHEN list_sum(list_transform(h, v -> CASE WHEN ((v >> $b) & 1) = 1" +
+        s" THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", "\n  + ", ")")
+    s"""WITH toks AS (
+       | SELECT doc_id, source,
+       |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       | FROM documents),
+       |th AS (
+       | SELECT doc_id, source, list_transform(t, x -> ${h60Sql("x")}) AS h
+       | FROM toks),
+       |sh AS (
+       | SELECT doc_id, source,
+       |  $bitTerms AS s
+       | FROM th)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       | CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Multimodal metadata rollup over the binary media table
     * ([[graft.sources.Multimodal]]): byte lengths, frame counts and
@@ -254,9 +342,13 @@ object CorpusQueries {
     val starts = when(size(t) > 0,
       sequence(lit(1), greatest(size(t) - 4, lit(1)), lit(28)))
       .otherwise(array().cast("array<int>"))
-    // generator + payload column in ONE select: no self-join back to
-    // the table for the token array (that join is a full shuffle)
-    d.select(col("doc_id"), t.as("toks"), posexplode(starts).as(Seq("chunk_id", "start")))
+    // the token array rides the generator select (no self-join back
+    // to the table — that join is a full shuffle), but via a TWO-step
+    // select: an alias in the same select as the generator would sit
+    // above the Generate and re-tokenize once per emitted chunk
+    d.select(col("doc_id"), t.as("toks"), starts.as("starts"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("starts")).as(Seq("chunk_id", "start")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         size(slice(col("toks"), col("start"), lit(32))).cast("long").as("n_tokens"),
         concat_ws(" ", slice(col("toks"), col("start"), lit(3))).as("head"))
@@ -405,7 +497,141 @@ object CorpusQueries {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** q110: Gopher-style repetition metrics — the repetition signals a
+    * quality filter reads before dropping boilerplate/spam documents:
+    * the top-unigram mass fraction (how much of the doc is one
+    * repeated word) and the duplicate-bigram fraction. The unigram
+    * side is the wordcount shape — explode → count per (doc_id,
+    * token) → per-doc max/total, every stage keyed on
+    * high-cardinality columns; the bigram side is a pure per-row HOF
+    * (1 − |distinct grams| / |grams| over the NON-distinct gram
+    * multiset) computed BEFORE the explode and carried through both
+    * aggregations as a `first` (constant per doc), so there is no
+    * doc_id join and no third shuffle — two keyed exchanges total.
+    * explode_outer keeps zero-token docs in the output (their one
+    * null-token row is masked out of top1 by the n_tokens guard). */
+  def repetitionMetrics: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = Tables.load(s, dir, "documents")
+    val toks = TextFns.tokens(col("text"))
+    val g2 = TextFns.wordGrams(col("text"), 2)
+    // two-step select: an expression in the SAME select as a
+    // generator lands in the Project ABOVE Generate and is
+    // re-evaluated once per exploded row — the interpreted dup2 HOF
+    // per token cost 58 s at sf0.1 vs 1.4 s computed below the
+    // Generate (measured; explode_carry vs two_step)
+    d.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        when(size(g2) > 0,
+          lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2)).as("dup2"),
+        toks.as("toks"))
+      .select(col("doc_id"), col("n_tokens"), col("dup2"),
+        explode_outer(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"),
+        first("n_tokens").as("n_tokens"), first("dup2").as("dup2"))
+      .groupBy("doc_id")
+      .agg(when(first(col("n_tokens")) > 0,
+          max("c").cast("double") / sum("c")).as("top1"),
+        first("n_tokens").as("n_tokens"), first("dup2").as("dup2"))
+      .select(col("doc_id"), col("n_tokens"),
+        fr6(col("top1")).as("top1_frac"), fr6(col("dup2")).as("dup2_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** q111: domain-mixture planning — given per-source weights (the
+    * curator's quality priors), compute each source's token budget
+    * share, the epochs (oversampling factor) needed to hit it, and
+    * the resulting sample rate: the arithmetic behind every training
+    * data mix. One aggregation + a broadcast of the 1-row totals —
+    * scale-free. */
+  def mixWeights: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = Tables.load(s, dir, "documents")
+    val perSrc = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        when(col("source").isin("src0", "src1", "src2", "src3"), 2.0).otherwise(1.0))
+    val tot = perSrc.agg(sum("n_tokens").as("tot_tokens"),
+      sum("weight").as("tot_weight"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("share", col("weight") / col("tot_weight"))
+      .withColumn("epochs",
+        col("share") * col("tot_tokens").cast("double") / col("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        fr6(col("share")).as("share"), fr6(col("epochs")).as("epochs"),
+        fr6(least(col("epochs"), lit(1.0))).as("sample_rate"))
+      .orderBy("source")
+  }
+
+  private val bm25Terms = Seq("spark", "window", "join")
+
+  /** q112: BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term
+    * query — the retrieval side of a corpus platform. For a KNOWN
+    * query the scale-optimal plan is not an inverted index but this:
+    * per-row tf via HOF counts (no explode, no shuffle of postings),
+    * N/avgdl/df from ONE global aggregate broadcast back, score as a
+    * fixed-order scalar expression → TakeOrdered top-10. The whole
+    * query is scan → 1-row broadcast → scan; an inverted index only
+    * pays off for ad-hoc interactive queries (q34's posting-list
+    * machinery is that shape). Scores stay cross-engine exact: the
+    * only transcendental is ln, quantized at 6dp. */
+  def bm25Search: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val k1 = 1.2; val b = 0.75
+    val d = Tables.load(s, dir, "documents")
+    val toks = TextFns.tokens(col("text"))
+    val base = d.select(col("doc_id") +: size(toks).cast("double").as("dl") +:
+      bm25Terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === t)).as(s"tf$i") }: _*)
+    val aggs = count(lit(1)).cast("double").as("n") +: sum("dl").as("sumdl") +:
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val g = base.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sumdl") / col("n")
+    def contrib(i: Int): Column = {
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * (col(s"tf$i") * lit(k1 + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    }
+    base.crossJoin(broadcast(g))
+      .select(col("doc_id"), col("dl").cast("long").as("n_tokens"),
+        (col("tf0") + col("tf1") + col("tf2")).cast("long").as("n_hits"),
+        fr6(contrib(0) + contrib(1) + contrib(2)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** q113: C4/Gopher-style quality-filter funnel — per-source counts
+    * of documents tripping each cleaning rule (too short, too few
+    * stopwords, too little vocabulary diversity) plus the retained
+    * count: the report a curation run produces before committing a
+    * filter config. Pure per-row flags + one conditional-sum
+    * aggregation — scale-free. */
+  def filterFunnel: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val toks = TextFns.tokens(col("text"))
+    val nTok = size(toks)
+    val uniqR = when(nTok > 0, size(array_distinct(toks)).cast("double") / nTok)
+    val fShort = (nTok < 30).cast("int")
+    val fStop = (coalesce(TextFns.stopwordRatio(col("text")), lit(0.0)) < 0.02).cast("int")
+    val fUniq = (coalesce(uniqR, lit(0.0)) < 0.45).cast("int")
+    d.select(col("source"), fShort.as("f_short"), fStop.as("f_stop"), fUniq.as("f_uniq"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("f_short").as("n_short"),
+        sum("f_stop").as("n_low_stop"), sum("f_uniq").as("n_low_uniq"),
+        sum(when(col("f_short") + col("f_stop") + col("f_uniq") === 0, 1)
+          .otherwise(0)).as("n_retained"))
+      .orderBy("source")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q110_repetition" -> repetitionMetrics,
+    "q111_mix_weights" -> mixWeights,
+    "q112_bm25_search" -> bm25Search,
+    "q113_filter_funnel" -> filterFunnel,
     "q30_text_stats" -> textStats,
     "q106_decontaminate" -> decontaminate,
     "q107_ivf_search" -> ivfSearch,
@@ -428,7 +654,110 @@ object CorpusQueries {
     "q96_ann_search" -> annSearch,
   )
 
+  /** Shared oracle CTE: whitespace tokens with the blank-text guard
+    * mirroring [[TextFns.tokens]]. */
+  private val toksCte: String =
+    """toks AS (
+      | SELECT doc_id, source, CASE WHEN length(trim(text)) = 0
+      |   THEN CAST([] AS VARCHAR[])
+      |   ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      | FROM documents)""".stripMargin
+
+  /** q112 oracle body: one per-term score contribution in the exact
+    * association order of the Spark expression (literal arithmetic
+    * like `(1.2 + 1)` is kept symbolic so both engines perform the
+    * SAME double ops on the SAME parsed literals). */
+  private def bm25ContribSql(i: Int): String =
+    // CAST(1.2 AS DOUBLE) + 1 : a bare (1.2 + 1) would be DuckDB
+    // DECIMAL arithmetic (exact 2.2), while Spark computes
+    // double(1.2) + 1.0 — not the same double; every other literal
+    // here promotes through a DOUBLE operand and parses identically
+    s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5))" +
+      s" * (tf$i * (CAST(1.2 AS DOUBLE) + 1))" +
+      s" / (tf$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))"
+
   val oracles: Map[String, String] = Map(
+    "q110_repetition" ->
+      s"""WITH $toksCte,
+         |base AS (
+         | SELECT doc_id, len(t) AS n_tokens,
+         |  CASE WHEN len(t) >= 2 THEN 1.0 - CAST(len(list_distinct(list_transform(
+         |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
+         |    / (len(t) - 1) ELSE NULL END AS dup2
+         | FROM toks),
+         |c1 AS (
+         | SELECT doc_id, tok, count(*) AS c
+         | FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+         |t1 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top1
+         |       FROM c1 GROUP BY 1)
+         |SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         | floor(top1 * 1e6 + 0.5) / 1e6 AS top1_frac,
+         | floor(dup2 * 1e6 + 0.5) / 1e6 AS dup2_frac
+         |FROM base LEFT JOIN t1 ON base.doc_id = t1.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+    "q111_mix_weights" ->
+      """WITH t AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |    AS n_tokens,
+        |  -- CAST: a bare 2.0 is DuckDB DECIMAL, which would make the
+        |  -- share arithmetic exact-decimal instead of Spark's doubles
+        |  CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+        |       THEN 2.0 ELSE 1.0 END AS DOUBLE) AS weight
+        | FROM documents GROUP BY source),
+        |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |             sum(weight) AS tot_weight FROM t)
+        |SELECT source, n_docs, n_tokens, weight,
+        | floor(weight / tot_weight * 1e6 + 0.5) / 1e6 AS share,
+        | floor(weight / tot_weight * tot_tokens / n_tokens * 1e6 + 0.5) / 1e6
+        |   AS epochs,
+        | floor(least(weight / tot_weight * tot_tokens / n_tokens, 1.0) * 1e6 + 0.5)
+        |   / 1e6 AS sample_rate
+        |FROM t, g ORDER BY source""".stripMargin,
+    "q112_bm25_search" ->
+      s"""WITH $toksCte,
+         |base AS (
+         | SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+         |  len(list_filter(t, x -> x = '${bm25Terms(0)}')) AS tf0,
+         |  len(list_filter(t, x -> x = '${bm25Terms(1)}')) AS tf1,
+         |  len(list_filter(t, x -> x = '${bm25Terms(2)}')) AS tf2
+         | FROM toks),
+         |g AS (
+         | SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+         |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         | FROM base)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+         | CAST(tf0 + tf1 + tf2 AS BIGINT) AS n_hits,
+         | floor((${bm25ContribSql(0)}
+         |  + ${bm25ContribSql(1)}
+         |  + ${bm25ContribSql(2)}) * 1e6 + 0.5) / 1e6 AS score
+         |FROM base, g
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q113_filter_funnel" ->
+      """WITH f AS (
+        | SELECT source,
+        |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        | FROM documents),
+        |flags AS (
+        | SELECT source,
+        |  CASE WHEN len(t) < 30 THEN 1 ELSE 0 END AS f_short,
+        |  CASE WHEN coalesce(CAST(len(list_filter(t, x -> list_contains(
+        |    ['the','a','an','of','and','to','is','in','it','on'], x))) AS DOUBLE)
+        |    / nullif(len(t), 0), 0.0) < 0.02 THEN 1 ELSE 0 END AS f_stop,
+        |  CASE WHEN coalesce(CAST(len(list_distinct(t)) AS DOUBLE)
+        |    / nullif(len(t), 0), 0.0) < 0.45 THEN 1 ELSE 0 END AS f_uniq
+        | FROM f)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(f_short) AS BIGINT) AS n_short,
+        | CAST(sum(f_stop) AS BIGINT) AS n_low_stop,
+        | CAST(sum(f_uniq) AS BIGINT) AS n_low_uniq,
+        | CAST(sum(CASE WHEN f_short + f_stop + f_uniq = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_retained
+        |FROM flags GROUP BY source ORDER BY source""".stripMargin,
     "q108_chunking" ->
       """WITH toks AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -632,6 +961,8 @@ object CorpusQueries {
         |    ORDER BY cos DESC, cand_id) AS rn FROM sim)
         |SELECT q_id, cand_id, rn, cos FROM ranked WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
+    "q36_minhash_dedup" -> minhashOracleSql,
+    "q37_simhash_pairs" -> simhashOracleSql,
     // same plane-literal embedding trick as q96 (the dedup index is
     // 12-bit where search is 6-bit); the OR over tables reproduces
     // "shares a bucket in ANY table" without the Spark side's explode

@@ -21,6 +21,17 @@ object DedupFns {
     ColumnBridge.column(SortedLongIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Cross-engine 60-bit hash: the first 15 hex chars of md5, parsed
+    * base-16 — non-negative, fits a signed long, and reproducible in
+    * any engine with md5 + hex parsing (DuckDB:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). The minhash /
+    * simhash kernels hash with THIS so the driver's DuckDB oracle can
+    * replay them bit for bit; a deployment that doesn't need
+    * cross-engine verification can swap in xxhash64 (~3× cheaper) —
+    * the kernels are agnostic to the hash's distribution. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Exact dedup: keep the lowest-id row per canonical fingerprint.
     * One hash aggregation; scale-free. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -28,12 +39,13 @@ object DedupFns {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signature: k permutation-hash minima over word shingles.
-    * Permutations are (a·x + b) mod p over xxhash64 of the shingle —
-    * deterministic, no broadcast state. Returns array<long> of size k.
+    * Permutations are (a·x + b) mod p over [[portableHash60]] of the
+    * shingle — deterministic, no broadcast state, DuckDB-replayable.
+    * Returns array<long> of size k.
     *
     * The base hashes appear ONCE in the expression tree (the k
     * permutations fold over the same evaluated array via a nested
-    * transform), so each shingle is xxhash64'd once per row, not k
+    * transform), so each shingle is hashed once per row, not k
     * times — n + k·n cheap pmods instead of k·n string hashes. */
   /** p just above 2^32 and a < 1e9 keep h*a+b < 2^63: no overflow
     * under ANSI mode (Spark 4 default). */
@@ -46,7 +58,7 @@ object DedupFns {
     * CollapseProject keeps a multiply-referenced expensive column in
     * its own projection, making this a one-pass computation. */
   def minhashBaseHashes(shingles: Column): Column =
-    transform(shingles, sh => abs(xxhash64(sh)) % minhashP)
+    transform(shingles, sh => portableHash60(sh) % minhashP)
 
   /** k permutation minima over pre-hashed shingles (cheap pmods). */
   def minhashSignatureFromHashes(hashes: Column, k: Int, seed: Long = 42L): Column = {
@@ -70,7 +82,7 @@ object DedupFns {
                  bands: Int, rows: Int): DataFrame = {
     val bandRows = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws("_",
+        portableHash60(concat_ws("_",
           slice(col(sigCol), b * rows + 1, rows).cast("array<string>"))).as("bucket"))
     }
     docs.select(col(idCol), explode(array(bandRows: _*)).as("bb"))
@@ -86,7 +98,7 @@ object DedupFns {
                         shingleN: Int = 3, k: Int = 12, bands: Int = 4,
                         minJaccard: Double = 0.5): DataFrame = {
     // hv is its own column, referenced k times by the signature and
-    // once by the verifier — one xxhash64 pass per doc total
+    // once by the verifier — one string-hash pass per doc total
     val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("shingles", TextFns.wordShingles(col("text"), shingleN))
       .filter(size(col("shingles")) > 0)
@@ -210,9 +222,13 @@ object DedupFns {
 
   /** Token hashes for [[simhash64FromHashes]] — materialize as a
     * column so the 64 bit-votes share one tokenize+hash pass (same
-    * multi-reference rationale as [[minhashBaseHashes]]). */
+    * multi-reference rationale as [[minhashBaseHashes]]). Hashed with
+    * [[portableHash60]]: bits 60-63 of the resulting simhash are
+    * always 0 (every token votes −1 there), which costs 4 of 64
+    * discrimination bits but makes the whole pipeline replayable in
+    * the DuckDB oracle. */
   def simhashTokenHashes(text: Column): Column =
-    transform(TextFns.tokens(text), t => xxhash64(t))
+    transform(TextFns.tokens(text), t => portableHash60(t))
 
   /** 64-bit SimHash: per-bit majority vote over pre-hashed tokens. */
   def simhash64FromHashes(hashes: Column): Column = {

@@ -125,11 +125,13 @@ object TextFns {
     when(size(array_union(a, b)) > 0,
       size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
-  /** Word n-gram shingles (for n-gram Jaccard dedup). Built from n
-    * shifted slices zipped pairwise — `slice(toks, i, n)` inside a
-    * transform lambda would re-tokenize the text per element
-    * (interpreted HOF bodies re-evaluate everything). */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-grams in sequence order, NON-distinct — the multiset the
+    * repetition metrics need (duplicate-gram fractions are 0 on a
+    * distinct set). Built from n shifted slices zipped pairwise —
+    * `slice(toks, i, n)` inside a transform lambda would re-tokenize
+    * the text per element (interpreted HOF bodies re-evaluate
+    * everything). */
+  def wordGrams(text: Column, n: Int): Column = {
     def ts(off: Int): Column = {
       val toks = tokens(text)
       slice(toks, lit(off), size(toks) - (n - 1))
@@ -139,6 +141,11 @@ object TextFns {
       else (2 to n).foldLeft(ts(1))((acc, k) =>
         zip_with(acc, ts(k), (a, b) => concat(a, lit(" "), b)))
     when(size(tokens(text)) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(grams))
+      .otherwise(grams)
   }
+
+  /** Word n-gram shingles (for n-gram Jaccard dedup): the distinct
+    * set over [[wordGrams]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordGrams(text, n))
 }

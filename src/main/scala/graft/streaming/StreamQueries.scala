@@ -5,7 +5,7 @@ import graft.sources.Quotes
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** q95: the stateful streaming EMA (SURVEY.md §2.10) as a driver-
   * visible, FULLY ORACLED entry. A (stock, day, close) slice of the
@@ -79,7 +79,62 @@ object StreamQueries {
       .orderBy("stock", "day")
   }
 
-  val entries: Map[String, Q] = Map("q95_ema_stream_parity" -> emaStreamValues)
+  /** q114: the OTHER streaming surface (SURVEY.md §2.10) as a fully
+    * oracled entry — tumbling event-time windows with a 2h watermark
+    * ([[StreamOps.hourlyCounts]]), replayed over the `events` table
+    * as a 3-micro-batch file stream. The batches are range-split by
+    * thirds of [min ts, max ts], so event time is nondecreasing
+    * across batches: the watermark only moves forward and NO row is
+    * ever late — streamed output is exactly the batch aggregation
+    * restricted to CLOSED windows (end ≤ final watermark = ms-floored
+    * max event time − 2h), which is what the DuckDB oracle computes.
+    * Append mode means open windows are retained state, never
+    * emitted — the correct production semantics for a live feed.
+    *
+    * Scale: file source → watermarked window agg is the real plan;
+    * state is one row per (open window, type), bounded by the
+    * watermark horizon. */
+  def streamedHourly(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_hourly")
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    // fixture transport (2 scalars for the split bounds), not result
+    // materialization
+    val mm = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val b1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
+    val b2 = new java.sql.Timestamp(lo + 2 * ((hi - lo) / 3))
+    Seq(col("ts") < lit(b1),
+        col("ts") >= lit(b1) && col("ts") < lit(b2),
+        col("ts") >= lit(b2))
+      .zipWithIndex.foreach { case (cond, i) =>
+        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
+      }
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val streamIn = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in/*")
+    val sink = s"q114_hourly_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
+    val q = StreamOps.hourlyCounts(streamIn)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  def hourlyStreamValues: Q = (s, dir) =>
+    streamedHourly(s, dir)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val entries: Map[String, Q] = Map(
+    "q95_ema_stream_parity" -> emaStreamValues,
+    "q114_stream_hourly" -> hourlyStreamValues)
 
   /** DuckDB replays the EMA recursion stepwise along the contiguous
     * per-stock `day` axis (`day` is a row_number, so `rec.day + 1`
@@ -88,6 +143,21 @@ object StreamQueries {
     * identical double ops on exactly-representable inputs, so values
     * match bitwise before the 6-dp quantization. */
   val oracles: Map[String, String] = Map(
+    // the closed-window rule: Spark's event-time watermark tracks max
+    // event time floored to MILLISECONDS (EventTimeStatsAccum), so
+    // the oracle floors the same way before subtracting the delay;
+    // append mode emits a window once its end <= watermark
+    "q114_stream_hourly" ->
+      """WITH wm AS (
+        | SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 2 HOUR AS w
+        | FROM events),
+        |agg AS (
+        | SELECT date_trunc('hour', ts) AS h, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        | FROM events GROUP BY 1, 2)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M') AS hour, event_type, n, sum_value
+        |FROM agg, wm WHERE h + INTERVAL 1 HOUR <= w
+        |ORDER BY hour, event_type""".stripMargin,
     "q95_ema_stream_parity" ->
       s"""WITH RECURSIVE ${Quotes.sqlCteWhere("user_id <= 20")},
          |t AS (SELECT stock, day, close FROM quotes),

@@ -36,11 +36,27 @@ class CorpusPlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
-  test("hash split and packing: exactly one aggregate exchange each") {
-    for (q <- Seq(CorpusQueries.hashSplit(spark, sf), CorpusQueries.seqPacking(spark, sf))) {
+  test("hash split, packing, funnel: exactly one aggregate exchange each") {
+    for (q <- Seq(CorpusQueries.hashSplit(spark, sf), CorpusQueries.seqPacking(spark, sf),
+        CorpusQueries.filterFunnel(spark, sf))) {
       val plan = finalPlan(q)
       assert(plan.linesIterator.count(l =>
         l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 1, plan)
     }
+  }
+
+  test("BM25: 1-row stats broadcast + TakeOrdered, no corpus-side exchange") {
+    val plan = finalPlan(CorpusQueries.bm25Search(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning")
+      && !plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("repetition: no doc_id join — dup2 rides the wordcount aggregation") {
+    val plan = finalPlan(CorpusQueries.repetitionMetrics(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 2, plan)
   }
 }
