@@ -179,7 +179,46 @@ object TimeSeriesQueries {
        |GROUP BY 1, 2
        |ORDER BY stock, bar""".stripMargin
 
+  /** q115 body, shared VERBATIM by both engines: the Spark side runs
+    * `WITH <body>` through `spark.sql` over [[graft.Tables.registerAll]]'s
+    * views; the oracle prepends the quotes CTE and runs the identical
+    * text in DuckDB. Everything in it is order-independent (min/max/
+    * counts over exact doubles), so no fr6 beyond the output guard. */
+  private val sqlSurfaceBody: String =
+    """m AS (
+      |  SELECT stock, day, close,
+      |    max(close) OVER (PARTITION BY stock ORDER BY day
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS hi20,
+      |    min(close) OVER (PARTITION BY stock ORDER BY day
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lo20
+      |  FROM quotes)
+      |SELECT stock,
+      |  count(*) AS n_days,
+      |  CAST(sum(CASE WHEN close >= hi20 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_breakout,
+      |  CAST(sum(CASE WHEN close <= lo20 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_breakdown,
+      |  floor(max(hi20 - lo20) * 1e6 + 0.5) / 1e6 AS max_range20
+      |FROM m
+      |GROUP BY stock
+      |HAVING count(*) >= 60
+      |ORDER BY stock""".stripMargin
+
+  /** q115: the SQL-string console surface — the reference's ONLY
+    * access path is synthesized SQL text sent to ClickHouse
+    * (`QuantDB.py:158-179`), so the library proves the same text-in,
+    * DataFrame-out path: `spark.sql` over the registered catalog
+    * views, running a rolling-breakout screen (20-day channel) that
+    * is the same SQL string the DuckDB oracle executes. Catalyst
+    * plans it identically to the DataFrame API: one stock-keyed
+    * exchange feeding both frame windows, then the grouped agg. */
+  def sqlSurface: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(s"WITH $sqlSurfaceBody")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q115_sql_surface" -> sqlSurface,
     "q97_asof_join" -> asOfJoinEntry,
     "q98_ohlc_resample" -> ohlcResample(5),
     "q101_ohlc_monthly" -> ohlcResample(21),
@@ -193,6 +232,9 @@ object TimeSeriesQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q115_sql_surface" ->
+      s"""WITH ${graft.sources.Quotes.sqlCte},
+         |$sqlSurfaceBody""".stripMargin,
     "q97_asof_join" ->
       s"""WITH ${graft.sources.Quotes.sqlCte},
          |l AS (SELECT stock, day, round(close, 6) + 0.0 AS close FROM quotes),
