@@ -1,11 +1,14 @@
 package graft.functions
 
+import graft.expressions.DoubleVecDot
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Dense-vector column functions over `array<float|double>` embedding
-  * columns. Pure HOF expressions (zip_with / aggregate) — no UDFs, so
-  * the dot products stay inside codegen and the operators distribute
+  * columns. The dot-product kernel is a native codegen'd Catalyst
+  * expression ([[graft.expressions.DoubleVecDot]]); everything else
+  * is pure Column expressions — no UDFs, so the operators distribute
   * trivially.
   */
 object VectorFns {
@@ -13,8 +16,11 @@ object VectorFns {
   /** Cast an array<float> column to array<double> for stable math. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Codegen'd Σ aᵢ·bᵢ — same ascending-index association as the
+    * interpreted HOF it replaced, so oracle hashes are unchanged. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    ColumnBridge.column(DoubleVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -64,9 +70,7 @@ object VectorFns {
   def hyperplaneBucket(v: Column, dim: Int, nBits: Int, seed: Long): Column = {
     val bits = (0 until nBits).map { b =>
       val plane = (0 until dim).map(j => splitmix(seed, b, j))
-      val proj = aggregate(
-        zip_with(v, array(plane.map(lit): _*), (x, p) => x * p),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, array(plane.map(lit): _*))
       when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)
