@@ -132,9 +132,70 @@ object StreamQueries {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** q116: streaming exactly-once dedup — `dropDuplicates(event_id)`
+    * under a 48h watermark, replayed over a file stream whose batches
+    * OVERLAP by ~a day (each batch redelivers the tail of the
+    * previous range — the at-least-once delivery a real source
+    * produces). The dedup state absorbs every redelivered row (the
+    * overlap is far inside the watermark lag, so no key is evicted
+    * before its duplicate arrives), so the streamed set is exactly
+    * the distinct source set and the entry's per-type rollup equals
+    * the batch aggregation the DuckDB oracle runs. Completes the
+    * streaming tier: stateful recursion (q95), watermarked windows
+    * (q114), dedup-on-the-wire (q116).
+    *
+    * Scale: state is one key per in-flight event id bounded by the
+    * watermark horizon; the rollup is a normal shuffle agg. */
+  def streamedDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_dedup")
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(col("ts"), col("event_id"), col("event_type"),
+        col("user_id"), col("value"))
+    val mm = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val third = (hi - lo) / 3
+    val ovMs = 24L * 3600 * 1000
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // [lo, b1+ov) ∪ [b1, b2+ov) ∪ [b2, hi]: max event time still
+    // nondecreasing across batches, every batch after the first
+    // redelivers the previous day's rows
+    Seq(col("ts") < lit(t(lo + third + ovMs)),
+        col("ts") >= lit(t(lo + third)) && col("ts") < lit(t(lo + 2 * third + ovMs)),
+        col("ts") >= lit(t(lo + 2 * third)))
+      .zipWithIndex.foreach { case (cond, i) =>
+        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
+      }
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val streamIn = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in/*")
+    val sink = s"q116_dedup_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
+    val q = streamIn
+      .withWatermark("ts", "48 hours")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  def dedupStreamValues: Q = (s, dir) =>
+    streamedDedup(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+
   val entries: Map[String, Q] = Map(
     "q95_ema_stream_parity" -> emaStreamValues,
-    "q114_stream_hourly" -> hourlyStreamValues)
+    "q114_stream_hourly" -> hourlyStreamValues,
+    "q116_stream_dedup" -> dedupStreamValues)
 
   /** DuckDB replays the EMA recursion stepwise along the contiguous
     * per-stock `day` axis (`day` is a row_number, so `rec.day + 1`
@@ -143,6 +204,13 @@ object StreamQueries {
     * identical double ops on exactly-representable inputs, so values
     * match bitwise before the 6-dp quantization. */
   val oracles: Map[String, String] = Map(
+    // exactly-once restored: the deduped stream is the distinct
+    // source set, so the rollup is a plain batch aggregation
+    "q116_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the closed-window rule: Spark's event-time watermark tracks max
     // event time floored to MILLISECONDS (EventTimeStatsAccum), so
     // the oracle floors the same way before subtracting the delay;
