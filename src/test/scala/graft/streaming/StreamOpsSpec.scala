@@ -54,4 +54,33 @@ class StreamOpsSpec extends SparkSpec {
       assert(out(("11", "b")) == (1L, 4.0))
     } finally q.stop()
   }
+
+  // in-Spark parity pins for the streaming ENTRIES (independent of
+  // the DuckDB oracle): streamed == batch on the same session
+
+  test("q114 parity: streamed hourly == batch agg on closed windows") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamQueries.streamedHourly(spark, sf)
+      .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val ev = graft.Tables.load(spark, sf, "events")
+    val wmMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime - 2 * 3600 * 1000
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .filter(unix_millis(col("hour")) + 3600 * 1000 <= wmMs)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("q116 parity: overlapping redelivery deduped to the distinct source set") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamQueries.streamedDedup(spark, sf)
+    val total = streamed.count()
+    val src = graft.Tables.load(spark, sf, "events").count()
+    assert(total == src) // every source row exactly once
+    assert(streamed.select("event_id").distinct().count() == src)
+  }
 }
