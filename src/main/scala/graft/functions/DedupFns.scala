@@ -230,15 +230,13 @@ object DedupFns {
   def simhashTokenHashes(text: Column): Column =
     transform(TextFns.tokens(text), t => portableHash60(t))
 
-  /** 64-bit SimHash: per-bit majority vote over pre-hashed tokens. */
-  def simhash64FromHashes(hashes: Column): Column = {
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  /** 64-bit SimHash: per-bit majority vote over pre-hashed tokens —
+    * the native one-pass codegen kernel
+    * [[graft.expressions.SimHash64]] (the HOF formulation re-scans
+    * the array once per bit, 64 interpreted passes per doc). */
+  def simhash64FromHashes(hashes: Column): Column =
+    ColumnBridge.column(graft.expressions.SimHash64(
+      ColumnBridge.expression(hashes)))
 
   /** SimHash in one expression (token hashing inlined 64× — prefer
     * the two-step column form in pipelines). */

@@ -82,6 +82,29 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (x, y) => x % 10 != y % 10 })
   }
 
+  test("native SimHash64 == per-bit HOF majority vote, bitwise") {
+    // the HOF formulation the native kernel replaced — kept here as
+    // the executable spec of the semantics
+    def hofSimhash(hashes: org.apache.spark.sql.Column) = {
+      val bits = (0 until 64).map { b =>
+        val vote = aggregate(hashes, lit(0),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }
+      bits.reduce(_ bitwiseOR _)
+    }
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      Seq.fill(rnd.nextInt(40))(rnd.nextLong())
+    } :+ Seq.empty[Long] // empty array → 0 on both paths
+    val df = rows.toDF("h")
+    val got = df.select(
+        DedupFns.simhash64FromHashes(col("h")).as("native"),
+        hofSimhash(col("h")).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("exactDedup keeps min id per fingerprint") {
     val dups = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")
