@@ -58,7 +58,8 @@ object DedupFns {
     * CollapseProject keeps a multiply-referenced expensive column in
     * its own projection, making this a one-pass computation. */
   def minhashBaseHashes(shingles: Column): Column =
-    transform(shingles, sh => portableHash60(sh) % minhashP)
+    ColumnBridge.column(graft.expressions.Md5Hash60Array(
+      ColumnBridge.expression(shingles), mod = minhashP))
 
   /** k permutation minima over pre-hashed shingles (cheap pmods). */
   def minhashSignatureFromHashes(hashes: Column, k: Int, seed: Long = 42L): Column = {
@@ -228,7 +229,8 @@ object DedupFns {
     * discrimination bits but makes the whole pipeline replayable in
     * the DuckDB oracle. */
   def simhashTokenHashes(text: Column): Column =
-    transform(TextFns.tokens(text), t => portableHash60(t))
+    ColumnBridge.column(graft.expressions.Md5Hash60Array(
+      ColumnBridge.expression(TextFns.tokens(text))))
 
   /** 64-bit SimHash: per-bit majority vote over pre-hashed tokens —
     * the native one-pass codegen kernel

@@ -82,6 +82,25 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (x, y) => x % 10 != y % 10 })
   }
 
+  test("native Md5Hash60Array == per-element portableHash60 Column, bitwise") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 100).map(_ =>
+      Seq.fill(rnd.nextInt(30))(rnd.alphanumeric.take(rnd.nextInt(20) + 1).mkString)
+    ) :+ Seq.empty[String]
+    val df = rows.toDF("a")
+    for (mod <- Seq(0L, DedupFns.minhashP)) {
+      val native = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.Md5Hash60Array(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a")), mod))
+      val hof =
+        if (mod > 0) transform(col("a"), x => DedupFns.portableHash60(x) % mod)
+        else transform(col("a"), x => DedupFns.portableHash60(x))
+      df.select(native.as("n"), hof.as("h")).collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      }
+    }
+  }
+
   test("native SimHash64 == per-bit HOF majority vote, bitwise") {
     // the HOF formulation the native kernel replaced — kept here as
     // the executable spec of the semantics
