@@ -34,7 +34,7 @@ object Bench {
     val (ingestRows, ingestRps) =
       try {
         val perMember = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "10000").toInt
-        val root = graft.TempDirs.scratch("graft_bench_ingest")
+        val root = graft.TempDirs.scratch("graft_bench_ingest", preferShm = true)
         // one task per zip -> match the 32 local cores; 32 codes =
         // full write parallelism under range partitioning
         val nGood = graft.analytics.IngestQueries.writeFixture(

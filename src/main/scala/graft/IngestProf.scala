@@ -25,7 +25,7 @@ object IngestProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val perMember = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "5000").toInt
-    val root = java.nio.file.Files.createTempDirectory("graft_ingest_prof").toString
+    val root = TempDirs.scratch("graft_ingest_prof", preferShm = true)
     val t0 = System.nanoTime()
     val n = graft.analytics.IngestQueries.writeFixture(
       s"$root/zips", nZips = 32, rowsPerMember = perMember, nCodes = 32)

