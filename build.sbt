@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through verbatim: the driver parses the
+// ONE JSON line Bench/Verify print, and sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks json.loads on the
+// driver side (observed: BENCH parsed=null in every round 1-7).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
