@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Catalyst analysis recurses once per projection level; the
   // ~200-intermediate Alpha101 plan needs more than the 1m default.
   "-Xss64m",
+  // The ~500-projection alpha DAG (plus codegen.cache.maxEntries=5000)
+  // overflows the default ~240 MB reserved code cache — the JVM then
+  // prints "CodeHeap 'non-profiled nmethods' is full" and DISABLES the
+  // JIT, so the q90/q58 tail runs interpreted.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

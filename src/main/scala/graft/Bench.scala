@@ -31,10 +31,16 @@ object Bench {
     // fresh vs 108k after the full query sweep, round 7) — the
     // r6 driver's 446k/s "contended box" reading was the same
     // artifact, while isolated IngestProf read 1.08M/s.
-    val (ingestRows, ingestRps) =
+    // Measured on BOTH mediums so the comparison against BASELINE.md's
+    // disk-backed native pipe is like-for-like: tmpfs isolates the
+    // engine path from container-disk variance, disk is the honest
+    // baseline-band number. Fixture generation is excluded from the
+    // timed window in both.
+    def measureIngest(preferShm: Boolean, tag: String): (Long, Double, String) =
       try {
         val perMember = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "10000").toInt
-        val root = graft.TempDirs.scratch("graft_bench_ingest", preferShm = true)
+        val root = graft.TempDirs.scratch("graft_bench_ingest", preferShm = preferShm)
+        val medium = if (root.startsWith("/dev/shm")) "tmpfs" else "disk"
         // one task per zip -> match the 32 local cores; 32 codes =
         // full write parallelism under range partitioning
         val nGood = graft.analytics.IngestQueries.writeFixture(
@@ -46,13 +52,15 @@ object Bench {
               org.apache.spark.sql.functions.col("src_file"), "(\\d+)", 1)))
         graft.sources.Ingest.writeSortedParquet(ticks, s"$root/out",
           partCols = Seq("code"), sortCols = Seq("trade_time"))
-        (nGood, nGood / ((System.nanoTime() - t0) / 1e9))
+        (nGood, nGood / ((System.nanoTime() - t0) / 1e9), medium)
       } catch {
         case e: Exception =>
-          System.err.println(s"BENCH FAIL ingest: ${e.getClass.getName}: ${e.getMessage}")
-          failed ::= "ingest_bulk_load"
-          (0L, -1.0)
+          System.err.println(s"BENCH FAIL ingest ($tag): ${e.getClass.getName}: ${e.getMessage}")
+          failed ::= s"ingest_bulk_load_$tag"
+          (0L, -1.0, tag)
       }
+    val (ingestRows, ingestRps, ingestMedium) = measureIngest(preferShm = true, "tmpfs")
+    val (_, ingestRpsDisk, _) = measureIngest(preferShm = false, "disk")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write materializes EVERY output column (count()
@@ -77,7 +85,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRps,"ingest_medium":"$ingestMedium","ingest_rows_per_sec_disk":$ingestRpsDisk,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * (builder brief: dedup, similarity search, text analysis). Every
   * SQL-expressible entry carries a DuckDB oracle — including minhash
   * and simhash, whose kernels hash with [[DedupFns.portableHash60]]
-  * (md5-derived) precisely so the oracle can replay them; only the
-  * batched stub decoder (q54) stays rows-only.
+  * (md5-derived) precisely so the oracle can replay them, and the
+  * q54 stub decoder, whose deterministic splitmix64 arithmetic the
+  * oracle replays mod-2^64 in HUGEINT (see [[mulMod64Sql]]).
   */
 object CorpusQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -283,16 +284,20 @@ object CorpusQueries {
         max(col("meta.n_frames")).as("max_frames"))
       .orderBy("modality")
 
-  /** Multimodal feature extraction (rows-only: the batched STUB
-    * decoder is not SQL-expressible): per-modality mean feature norm
-    * over the batch-decoded array<float> column. */
+  /** Multimodal feature extraction: per-modality mean feature norm
+    * over the batch-decoded array<float> column. FULLY ORACLED even
+    * though the decoder is a stub: [[graft.sources.Multimodal.fakeDecode]]
+    * is deterministic integer arithmetic (byte-hash fold + splitmix64
+    * per dim), which the DuckDB oracle replays bit-exactly with
+    * HUGEINT arithmetic mod 2^64 (see [[mulMod64Sql]]). */
   def multimodalFeatures: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val m = graft.sources.Multimodal.mediaTable(s, dir)
     graft.sources.Multimodal.extractFeatures(m, "payload", dim = 16)
       .withColumn("norm", sqrt(aggregate(
         col("features"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))))
       .groupBy("modality")
-      .agg(count(lit(1)).as("n"), round(avg("norm"), 6).as("avg_norm"))
+      .agg(count(lit(1)).as("n"), fr6(avg("norm")).as("avg_norm"))
       .orderBy("modality")
   }
 
@@ -687,7 +692,67 @@ object CorpusQueries {
       s" * (tf$i * (CAST(1.2 AS DOUBLE) + 1))" +
       s" / (tf$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))"
 
+  /** q54 oracle plumbing: replay [[graft.sources.Multimodal.fakeDecode]]
+    * bit-exactly in DuckDB. Java's wrapping signed-64 arithmetic is
+    * arithmetic mod 2^64 on the bit pattern, so the oracle runs the
+    * same fold/mix in HUGEINT (128-bit) with explicit `% 2^64`:
+    *  - byte-hash fold: `seed*31 + b` fits HUGEINT directly;
+    *  - splitmix64 multiplies (64×64 bits) would overflow even
+    *    HUGEINT, so they are chunked 32/32:
+    *    lo64(z*M) = (zl*M + ((zh*M) mod 2^32)·2^32) mod 2^64;
+    *  - xor/shift run in UBIGINT (values are in [0, 2^64));
+    *  - the final float is the signed reinterpretation divided by
+    *    Long.MaxValue, cast DOUBLE→FLOAT (same IEEE rounding).
+    * Byte access uses ascii(substr(text,i,1)) — identical to the
+    * payload bytes because the synthetic documents are pure ASCII
+    * (and Scala's signed byte equals the code point below 128). */
+  private def mulMod64Sql(v: String, m: String): String =
+    s"(($v % 4294967296) * $m::HUGEINT" +
+      s" + (($v // 4294967296) * $m::HUGEINT % 4294967296) * 4294967296)" +
+      " % 18446744073709551616::HUGEINT"
+  private def xorShr64Sql(v: String, pow2: String): String =
+    s"xor($v::UBIGINT, ($v // $pow2)::UBIGINT)::HUGEINT"
+
+  private val q54Sql: String = {
+    val mod64 = "18446744073709551616::HUGEINT"
+    s"""WITH media AS (
+       | SELECT doc_id AS media_id,
+       |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+       |  text FROM documents),
+       |seeds AS (
+       | SELECT media_id, modality, list_reduce(
+       |  list_prepend(11400714819323198485::HUGEINT,
+       |   list_transform(generate_series(1, length(text)),
+       |    i -> ascii(substr(text, i, 1))::HUGEINT)),
+       |  (acc, b) -> (acc * 31 + b) % $mod64) AS seed
+       | FROM media),
+       |ks AS (SELECT media_id, modality, seed,
+       |  unnest(generate_series(1, 16)) AS k FROM seeds),
+       |s0 AS (SELECT media_id, modality, k,
+       |  (seed + 11400714819323198485::HUGEINT * k) % $mod64 AS z0 FROM ks),
+       |s0x AS (SELECT *, ${xorShr64Sql("z0", "1073741824")} AS y0 FROM s0),
+       |s1 AS (SELECT *, ${mulMod64Sql("y0", "13787848793156543929")} AS z1 FROM s0x),
+       |s1x AS (SELECT *, ${xorShr64Sql("z1", "134217728")} AS y1 FROM s1),
+       |s2 AS (SELECT *, ${mulMod64Sql("y1", "10723151780598845931")} AS z2 FROM s1x),
+       |s2x AS (SELECT *, ${xorShr64Sql("z2", "2147483648")} AS u FROM s2),
+       |fin AS (SELECT media_id, modality, k,
+       |  CAST(CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |   THEN u - $mod64 ELSE u END AS DOUBLE)
+       |   / 9223372036854775807 AS FLOAT) AS f FROM s2x),
+       |norms AS (
+       | SELECT media_id, any_value(modality) AS modality,
+       |  sqrt(list_reduce(
+       |   list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list(f ORDER BY k), x -> x::DOUBLE * x::DOUBLE)),
+       |   (a, b) -> a + b)) AS norm
+       | FROM fin GROUP BY media_id)
+       |SELECT modality, count(*) AS n,
+       | floor(avg(norm) * 1e6 + 0.5) / 1e6 AS avg_norm
+       |FROM norms GROUP BY modality ORDER BY modality""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q54_multimodal_features" -> q54Sql,
     "q110_repetition" ->
       s"""WITH $toksCte,
          |base AS (

@@ -279,6 +279,14 @@ object FactorQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def alphaSubset(s: SparkSession, dir: String): DataFrame =
     alphaSubsetCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      // drop this session's entries when it stops: a long-lived JVM
+      // (test suites) otherwise pins persisted frames of dead
+      // sessions in the map forever
+      ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          alphaSubsetCache.keySet.removeIf(_._1 eq ss)
+      })
       Alpha101.compute(Quotes.panel(ss, d).filter(col("stock") <= 30))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })

@@ -110,17 +110,22 @@ object TimeSeriesQueries {
       .orderBy("hour", "event_type")
   }
 
-  /** Recursive EMA (pandas ewm adjust=False). The recursion is not
-    * directly SQL-expressible, but it has the closed form
-    * y_i = b^i · Σ c_j (c_1 = x/b, c_j = a·x·b^(−j), i = per-key row
-    * number) — the same expansion q43's oracle uses, safe here
-    * because per-user series are short (≤86 rows at sf0.01, so
-    * b^(−i) stays ≪ overflow and the sum keeps full precision). */
+  /** Recursive EMA (pandas ewm adjust=False). The oracle replays the
+    * recursion stepwise with a recursive CTE walking each user's
+    * row_number chain, in the SAME association order as
+    * [[graft.ops.TsOps.ema]] — identical double ops on identical
+    * parquet doubles, so values match bitwise before quantization
+    * (the q95 oracle shape; robust to testdata regeneration, unlike
+    * the closed-form pow expansion it replaces). */
   def emaSeries: Q = (s, dir) => {
     val e = Tables.load(s, dir, "events")
       .select("user_id", "event_id", "value")
+    // floor-based 6-dp quantization (identical double ops in the
+    // oracle text): engine round() implementations disagree on
+    // boundary representations, floor(x*1e6+0.5)/1e6 cannot
     TsOps.ema(e, "user_id", Seq("event_id"), "value", alpha = 0.2, outCol = "ema")
-      .select(col("user_id"), col("event_id"), round(col("ema"), 6).as("ema"))
+      .select(col("user_id"), col("event_id"),
+        (floor(col("ema") * 1e6 + lit(0.5)) / 1e6).as("ema"))
       .orderBy("user_id", "event_id")
   }
 
@@ -246,20 +251,26 @@ object TimeSeriesQueries {
          |ORDER BY l.stock, l.day""".stripMargin,
     "q98_ohlc_resample" -> ohlcOracle(5),
     "q101_ohlc_monthly" -> ohlcOracle(21),
+    // stepwise recursive-CTE replay (the q95 oracle shape): literals
+    // in the SAME association order as TsOps.ema's
+    // `alpha * x + (1 - alpha) * state` — identical double ops on
+    // identical inputs, so values match bitwise before the rounding.
+    // (The previous closed-form pow(0.8,rn) expansion held only while
+    // no value landed within ~1e-13 of a 6-dp round boundary — a
+    // testdata regeneration hazard.)
     "q26_ema_series" ->
-      """WITH t AS (
+      """WITH RECURSIVE t AS (
         | SELECT user_id, event_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
         | FROM events),
-        |e AS (
-        | SELECT user_id, event_id,
-        |  pow(0.8, rn) * sum(CASE WHEN rn = 1 THEN value / 0.8
-        |    ELSE 0.2 * value * pow(0.8, -rn) END)
-        |    OVER (PARTITION BY user_id ORDER BY rn
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ema
-        | FROM t)
-        |SELECT user_id, event_id, round(ema, 6) AS ema FROM e
-        |ORDER BY user_id, event_id""".stripMargin,
+        |rec AS (
+        | SELECT user_id, event_id, rn, value AS ema FROM t WHERE rn = 1
+        | UNION ALL
+        | SELECT t.user_id, t.event_id, t.rn,
+        |  0.2 * t.value + (1 - 0.2) * rec.ema
+        | FROM rec JOIN t ON t.user_id = rec.user_id AND t.rn = rec.rn + 1)
+        |SELECT user_id, event_id, floor(ema * 1e6 + 0.5) / 1e6 AS ema
+        |FROM rec ORDER BY user_id, event_id""".stripMargin,
     "q20_ts_lag_delta" ->
       """SELECT user_id, event_id, value,
         | round(lag(value, 1) OVER w, 2) AS lag1,

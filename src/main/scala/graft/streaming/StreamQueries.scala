@@ -2,10 +2,10 @@ package graft.streaming
 
 
 import graft.sources.Quotes
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** q95: the stateful streaming EMA (SURVEY.md §2.10) as a driver-
   * visible, FULLY ORACLED entry. A (stock, day, close) slice of the
@@ -94,25 +94,43 @@ object StreamQueries {
     * Scale: file source → watermarked window agg is the real plan;
     * state is one row per (open window, type), bounded by the
     * watermark horizon. */
+  /** Epoch-micros view of an event-time column, independent of
+    * whether the parquet footer says TIMESTAMP (isAdjustedToUTC=1) or
+    * TIMESTAMP_NTZ (=0): regenerated testdata has shipped both, and a
+    * typed `Row.getTimestamp` crashes on the NTZ flavor
+    * (LocalDateTime). The session timeZone is pinned UTC, so the
+    * NTZ→TIMESTAMP cast is the identity on the stored micros. */
+  private def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Event-time column normalized to TIMESTAMP: Spark rejects
+    * TIMESTAMP_NTZ as a watermark column
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the replay frame pins
+    * the type HERE — the same identity cast as [[tsMicros]] — and the
+    * stream schema derives from the frame that wrote the files. */
+  private def tsUtc(c: Column): Column = c.cast("timestamp")
+
   def streamedHourly(s: SparkSession, dir: String): DataFrame = {
     val root = graft.TempDirs.scratch("graft_stream_hourly")
     val ev = graft.Tables.load(s, dir, "events")
-      .select(col("ts"), col("event_type"), col("value"))
+      .select(tsUtc(col("ts")).as("ts"), col("event_type"), col("value"))
     // fixture transport (2 scalars for the split bounds), not result
     // materialization
-    val mm = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
-    val b1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
-    val b2 = new java.sql.Timestamp(lo + 2 * ((hi - lo) / 3))
-    Seq(col("ts") < lit(b1),
-        col("ts") >= lit(b1) && col("ts") < lit(b2),
-        col("ts") >= lit(b2))
+    val mm = ev.agg(min(tsMicros(col("ts"))).as("lo"),
+      max(tsMicros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val b1 = lo + (hi - lo) / 3
+    val b2 = lo + 2 * ((hi - lo) / 3)
+    val m = tsMicros(col("ts"))
+    Seq(m < lit(b1),
+        m >= lit(b1) && m < lit(b2),
+        m >= lit(b2))
       .zipWithIndex.foreach { case (cond, i) =>
         ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
       }
-    val schema = StructType(Seq(StructField("ts", TimestampType),
-      StructField("event_type", StringType), StructField("value", DoubleType)))
-    val streamIn = s.readStream.schema(schema)
+    // replay files are written FROM `ev`, so the stream schema is
+    // `ev`'s schema by construction — hardcoding TimestampType here
+    // silently diverges when the source column is NTZ
+    val streamIn = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/in/*")
     val sink = s"q114_hourly_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
@@ -132,49 +150,53 @@ object StreamQueries {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
 
-  /** q116: streaming exactly-once dedup — `dropDuplicates(event_id)`
-    * under a 48h watermark, replayed over a file stream whose batches
-    * OVERLAP by ~a day (each batch redelivers the tail of the
-    * previous range — the at-least-once delivery a real source
-    * produces). The dedup state absorbs every redelivered row (the
-    * overlap is far inside the watermark lag, so no key is evicted
-    * before its duplicate arrives), so the streamed set is exactly
-    * the distinct source set and the entry's per-type rollup equals
-    * the batch aggregation the DuckDB oracle runs. Completes the
-    * streaming tier: stateful recursion (q95), watermarked windows
-    * (q114), dedup-on-the-wire (q116).
+  /** q116: streaming exactly-once dedup —
+    * `dropDuplicatesWithinWatermark(event_id)` under a 48h watermark,
+    * replayed over a file stream whose batches OVERLAP by ~a day
+    * (each batch redelivers the tail of the previous range — the
+    * at-least-once delivery a real source produces). Every
+    * redelivery lands well inside the 48h horizon of its first
+    * delivery, so the dedup state absorbs it: the streamed set is
+    * exactly the distinct source set and the entry's per-type rollup
+    * equals the batch aggregation the DuckDB oracle runs. Completes
+    * the streaming tier: stateful recursion (q95), watermarked
+    * windows (q114), dedup-on-the-wire (q116).
     *
-    * Scale: state is one key per in-flight event id bounded by the
-    * watermark horizon; the rollup is a normal shuffle agg. */
+    * Scale: `dropDuplicatesWithinWatermark` EVICTS a key once the
+    * watermark passes its event time + delay, so state is genuinely
+    * bounded by the horizon — plain `dropDuplicates(event_id)` under
+    * a watermark never evicts when the event-time column is not one
+    * of the keys, an unbounded state store at 100 TB. A redelivery
+    * AFTER the horizon is re-emitted by design (pinned in
+    * StreamOpsSpec); the rollup is a normal shuffle agg. */
   def streamedDedup(s: SparkSession, dir: String): DataFrame = {
     val root = graft.TempDirs.scratch("graft_stream_dedup")
     val ev = graft.Tables.load(s, dir, "events")
-      .select(col("ts"), col("event_id"), col("event_type"),
+      .select(tsUtc(col("ts")).as("ts"), col("event_id"), col("event_type"),
         col("user_id"), col("value"))
-    val mm = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val mm = ev.agg(min(tsMicros(col("ts"))).as("lo"),
+      max(tsMicros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val third = (hi - lo) / 3
-    val ovMs = 24L * 3600 * 1000
-    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val ovUs = 24L * 3600 * 1000 * 1000
+    val m = tsMicros(col("ts"))
     // [lo, b1+ov) ∪ [b1, b2+ov) ∪ [b2, hi]: max event time still
     // nondecreasing across batches, every batch after the first
     // redelivers the previous day's rows
-    Seq(col("ts") < lit(t(lo + third + ovMs)),
-        col("ts") >= lit(t(lo + third)) && col("ts") < lit(t(lo + 2 * third + ovMs)),
-        col("ts") >= lit(t(lo + 2 * third)))
+    Seq(m < lit(lo + third + ovUs),
+        m >= lit(lo + third) && m < lit(lo + 2 * third + ovUs),
+        m >= lit(lo + 2 * third))
       .zipWithIndex.foreach { case (cond, i) =>
         ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
       }
-    val schema = StructType(Seq(StructField("ts", TimestampType),
-      StructField("event_id", LongType), StructField("event_type", StringType),
-      StructField("user_id", LongType), StructField("value", DoubleType)))
-    val streamIn = s.readStream.schema(schema)
+    // schema from the batch frame, not hardcoded — see streamedHourly
+    val streamIn = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/in/*")
     val sink = s"q116_dedup_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
     val q = streamIn
       .withWatermark("ts", "48 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .writeStream.format("memory").queryName(sink)
       .option("checkpointLocation", s"$root/ckpt")
       .outputMode("append")

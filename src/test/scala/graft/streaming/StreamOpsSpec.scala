@@ -60,17 +60,28 @@ class StreamOpsSpec extends SparkSpec {
 
   test("q114 parity: streamed hourly == batch agg on closed windows") {
     val sf = "/root/testdata/sf0.001"
+    // compare on formatted strings: the events.ts parquet column has
+    // shipped as both TIMESTAMP and TIMESTAMP_NTZ across testdata
+    // regenerations, and a typed getTimestamp crashes on the NTZ
+    // flavor (LocalDateTime rows)
+    val hourFmt = (c: org.apache.spark.sql.Column) =>
+      date_format(c, "yyyy-MM-dd HH:mm").as("h")
     val streamed = StreamQueries.streamedHourly(spark, sf)
-      .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .select(hourFmt(col("hour")), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
     val ev = graft.Tables.load(spark, sf, "events")
-    val wmMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime - 2 * 3600 * 1000
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    // Spark's watermark tracks max event time floored to MILLISECONDS
+    val wmUs = (ev.agg(max(tsUs)).head().getLong(0) / 1000) * 1000 -
+      2L * 3600 * 1000 * 1000
     val batch = ev
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-      .filter(unix_millis(col("hour")) + 3600 * 1000 <= wmMs)
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter(unix_micros(col("hour").cast("timestamp")) +
+        3600L * 1000 * 1000 <= wmUs)
+      .select(hourFmt(col("hour")), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
@@ -82,5 +93,40 @@ class StreamOpsSpec extends SparkSpec {
     val src = graft.Tables.load(spark, sf, "events").count()
     assert(total == src) // every source row exactly once
     assert(streamed.select("event_id").distinct().count() == src)
+  }
+
+  test("dropDuplicatesWithinWatermark: state evicted past the horizon") {
+    // Pins the q116 eviction semantics: a duplicate arriving WITHIN
+    // the watermark delay of its first delivery is absorbed, but once
+    // the watermark passes eventTime + delay the key's state is
+    // EVICTED and a later redelivery (with a fresh, non-late event
+    // time) is re-emitted. This is exactly why state stays bounded by
+    // the horizon — plain dropDuplicates("event_id") would dedup the
+    // late redelivery too, by keeping every key forever.
+    implicit val sc = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def t(mins: Long) = new Timestamp(t0 + mins * 60000)
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "event_id")
+    val q = df.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_evict_out")
+      .outputMode("append").start()
+    try {
+      in.addData((t(0), 1L)) // first delivery of id 1; wm after: t0-1h
+      q.processAllAvailable()
+      // redelivery 5min later: inside the horizon -> absorbed; the
+      // 10h event advances the watermark to t0+9h, evicting id 1
+      // (expiry t0+1h) at the next batch boundary
+      in.addData((t(5), 1L), (t(600), 2L))
+      q.processAllAvailable()
+      // redelivery at t0+9h30: not late (>= wm t0+9h), state for id 1
+      // is gone -> emitted AGAIN
+      in.addData((t(570), 1L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_evict_out")
+        .collect().map(_.getLong(1)).toSeq.sorted
+      assert(ids == Seq(1L, 1L, 2L))
+    } finally q.stop()
   }
 }
