@@ -38,7 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // The ~500-projection alpha DAG (plus codegen.cache.maxEntries=5000)
   // overflows the default ~240 MB reserved code cache — the JVM then
   // prints "CodeHeap 'non-profiled nmethods' is full" and DISABLES the
-  // JIT, so the q90/q58 tail runs interpreted.
-  "-XX:ReservedCodeCacheSize=512m",
+  // JIT, so the q90/q58 tail runs interpreted. 512m still filled its
+  // non-profiled segment during the full 80-entry bench sweep
+  // (r9 run: warning at t=401s, inside q90); 1g keeps the JIT alive
+  // end to end. Reserved (virtual) only — committed on demand.
+  "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
 )

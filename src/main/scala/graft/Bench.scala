@@ -46,10 +46,17 @@ object Bench {
         val nGood = graft.analytics.IngestQueries.writeFixture(
           s"$root/zips", nZips = 32, rowsPerMember = perMember, nCodes = 32)
         val t0 = System.nanoTime()
+        import org.apache.spark.sql.functions.{col, regexp_extract}
+        // sink the reference's STORED tick schema (code, trade_time,
+        // price, volume, direction — Project report.md:644-656), not
+        // the parse frame's provenance columns: the baseline pipe
+        // never persists source paths, and the two ~60-byte path
+        // strings per row would otherwise dominate the shuffle+encode
+        // bytes of a 30-byte tick
         val ticks = graft.sources.Ingest.readZippedCsv(spark, s"$root/zips/*.zip").toDF()
           .withColumn("code", graft.sources.Ingest.normalizeCode(
-            org.apache.spark.sql.functions.regexp_extract(
-              org.apache.spark.sql.functions.col("src_file"), "(\\d+)", 1)))
+            regexp_extract(col("src_file"), "(\\d+)", 1)))
+          .select("code", "trade_time", "price", "volume", "direction")
         graft.sources.Ingest.writeSortedParquet(ticks, s"$root/out",
           partCols = Seq("code"), sortCols = Seq("trade_time"))
         (nGood, nGood / ((System.nanoTime() - t0) / 1e9), medium)
@@ -59,6 +66,23 @@ object Bench {
           failed ::= s"ingest_bulk_load_$tag"
           (0L, -1.0, tag)
       }
+    // untimed warmup: the first ingest through a cold JVM pays parse/
+    // encoder codegen + JIT compilation (measured 2x+ on whichever
+    // medium ran first — r9: tmpfs-first 403k vs disk-second 906k
+    // rows/s on identical code); a small pass first gives both timed
+    // runs steady-state treatment
+    try {
+      val w = graft.TempDirs.scratch("graft_bench_ingest_warm")
+      graft.analytics.IngestQueries.writeFixture(
+        s"$w/zips", nZips = 32, rowsPerMember = 1000, nCodes = 32)
+      val warm = graft.sources.Ingest.readZippedCsv(spark, s"$w/zips/*.zip").toDF()
+        .withColumn("code", graft.sources.Ingest.normalizeCode(
+          org.apache.spark.sql.functions.regexp_extract(
+            org.apache.spark.sql.functions.col("src_file"), "(\\d+)", 1)))
+        .select("code", "trade_time", "price", "volume", "direction")
+      graft.sources.Ingest.writeSortedParquet(warm, s"$w/out",
+        partCols = Seq("code"), sortCols = Seq("trade_time"))
+    } catch { case _: Exception => () } // warmup failure surfaces in the timed runs
     val (ingestRows, ingestRps, ingestMedium) = measureIngest(preferShm = true, "tmpfs")
     val (_, ingestRpsDisk, _) = measureIngest(preferShm = false, "disk")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

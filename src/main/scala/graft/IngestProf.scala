@@ -36,9 +36,12 @@ object IngestProf {
     parsed.write.format("noop").mode("overwrite").save()
     val t2 = System.nanoTime()
     println(f"PROF parse-only: ${(t2 - t1) / 1e9}%.1f s -> ${n / ((t2 - t1) / 1e9)}%.0f rows/s")
+    // stored tick schema only (matches Bench.measureIngest): the
+    // baseline pipe never persists source paths
     val ticks = parsed.toDF()
       .withColumn("code", graft.sources.Ingest.normalizeCode(
         regexp_extract(col("src_file"), "(\\d+)", 1)))
+      .select("code", "trade_time", "price", "volume", "direction")
     graft.sources.Ingest.writeSortedParquet(ticks, s"$root/out",
       partCols = Seq("code"), sortCols = Seq("trade_time"))
     val t3 = System.nanoTime()

@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * `readZippedCsv` (S2/S3, encoding sniffing + bad-line skip) →
   * `normalizeCode` (X6) → `mergeAdjusted` (J10, qfq/hfq suffixed
   * joins) → `writeSortedParquet` (S4) → read-back — and the entry
-  * returns a per-code summary of the read-back table. Rows-only by
-  * design: the fixture lives outside the driver's DuckDB-visible
-  * parquet dir, but every value is deterministic, so regressions
-  * still flip the row hash the driver records.
+  * returns a per-code summary of the read-back table. Fully oracled:
+  * the fixture lives outside the driver's DuckDB-visible parquet dir,
+  * but it is a closed-form function of (code, z, i), so the oracle
+  * replays the generator with `generate_series` (see [[oracles]]).
   *
   * Scale: one task per zip (binaryFile), hive-partitioned sorted
   * sink — the same plan shape that ingests a directory of thousands
@@ -117,6 +117,36 @@ object IngestQueries {
 
   val entries: Map[String, Q] = Map("q93_ingest_roundtrip" -> ingestRoundtrip)
 
-  /** Rows-only: the zip fixture is not visible to the driver's DuckDB. */
-  val oracles: Map[String, String] = Map.empty
+  /** The zip fixture is not DuckDB-visible, but every value in it is a
+    * closed-form function of (code, z, i) — so the oracle REPLAYS the
+    * generator with `generate_series` and aggregates the same way the
+    * entry does, exercising the full chain (decode → bad-line skip →
+    * normalizeCode → qfq/hfq merge → sorted sink → read-back) against
+    * an independent derivation. Float-exact: every price is a multiple
+    * of 1/64 (and 1e6/64 = 15625 is integral), so the per-code sums
+    * and the 6-dp floor are bit-stable in both engines regardless of
+    * addition order. */
+  val oracles: Map[String, String] = Map(
+    "q93_ingest_roundtrip" ->
+      """WITH codes(dig, code) AS (VALUES
+        |  (6, '600001.SH'), (0, '000002.SZ'), (4, '430047.BJ'), (6, '688001.SH')),
+        |ticks AS (
+        |  SELECT code,
+        |    '2024-01-02 09:' || lpad(CAST(30 + (z*7 + i) % 30 AS VARCHAR), 2, '0')
+        |      || ':' || lpad(CAST(i % 60 AS VARCHAR), 2, '0')
+        |      || '.' || CAST(z AS VARCHAR) || CAST(i AS VARCHAR) AS trade_time,
+        |    10.0 + dig + ((z*13 + i*7) % 64) / 64.0 AS price,
+        |    100 + (z*31 + i*17) % 900 AS volume
+        |  FROM codes
+        |  CROSS JOIN generate_series(0, 2) AS gz(z)
+        |  CROSS JOIN generate_series(0, 199) AS gi(i))
+        |SELECT code, count(*) AS n,
+        |  CAST(sum(volume) AS BIGINT) AS sum_vol,
+        |  floor(sum(price) * 1e6 + 0.5) / 1e6 AS sum_px,
+        |  floor(sum(price * 0.5) * 1e6 + 0.5) / 1e6 AS sum_px_qfq,
+        |  floor(sum(price * 2.0) * 1e6 + 0.5) / 1e6 AS sum_px_hfq,
+        |  min(trade_time) AS t_min, max(trade_time) AS t_max,
+        |  substring(md5('industry_' || substring(code, 1, 3)), 1, 16) AS sector_id
+        |FROM ticks
+        |GROUP BY code ORDER BY code""".stripMargin)
 }
