@@ -22,12 +22,30 @@ object Prof {
       // a multi-query session evicts everything before the ~450-
       // projection alpha pipeline runs, recompiling per task
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // constraint propagation is O(plan-size^2)-ish on the ~500-
+      // projection alpha DAG and infers nothing the panel queries
+      // need (no join pruning hinges on inferred IsNotNull here):
+      // measured -25% on isolated q90 (149->111 s) and q58 (90->69 s)
+      // at sf0.1 with identical results
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      // the shared full-panel alpha frame (~500 double cols) is the
+      // only large persisted frame; building its columnar cache with
+      // per-column compression cost +40 s at sf0.1 (174 -> 135 s
+      // isolated q58) for memory we don't need back — the frame is
+      // ~400 MB raw against an 8 GB heap
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("PROF_CODEGEN", "true"))
       .config("spark.sql.codegen.factoryMode",
         sys.env.getOrElse("PROF_FACTORY", "FALLBACK"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // PROF_CONF="k=v;k2=v2": ad-hoc session-conf overrides for A/B runs
+    sys.env.get("PROF_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     spark.sparkContext.setLogLevel("WARN")
     var t = System.nanoTime()
     def lap(label: String): Unit = {

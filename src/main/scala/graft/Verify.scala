@@ -23,6 +23,18 @@ object Verify {
       // a multi-query session evicts everything before the ~450-
       // projection alpha pipeline runs, recompiling per task
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // constraint propagation is O(plan-size^2)-ish on the ~500-
+      // projection alpha DAG and infers nothing the panel queries
+      // need (no join pruning hinges on inferred IsNotNull here):
+      // measured -25% on isolated q90 (149->111 s) and q58 (90->69 s)
+      // at sf0.1 with identical results
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      // the shared full-panel alpha frame (~500 double cols) is the
+      // only large persisted frame; building its columnar cache with
+      // per-column compression cost +40 s at sf0.1 (174 -> 135 s
+      // isolated q58) for memory we don't need back — the frame is
+      // ~400 MB raw against an 8 GB heap
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

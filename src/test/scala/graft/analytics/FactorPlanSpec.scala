@@ -55,4 +55,20 @@ class FactorPlanSpec extends SparkSpec {
     // exchanges end-to-end; anything more is a regression
     assert(ex.size <= 3, ex.mkString("\n"))
   }
+
+  test("q58/q90/q91 read ONE persisted full-panel alpha derivation") {
+    val dir = "/root/testdata/sf0.001"
+    // first consumer triggers the derivation + persist ...
+    FactorQueries.columnDiscovery(spark, dir).collect()
+    // ... and every consumer's plan then scans the cached frame
+    // instead of rebuilding the ~500-column DAG (the pre-r9 shape
+    // paid the planning+codegen constant once per consumer)
+    Seq(FactorQueries.columnDiscovery(spark, dir),
+        FactorQueries.alphaAll(spark, dir),
+        FactorQueries.rankIcScan(spark, dir)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        plan.linesIterator.take(30).mkString("\n"))
+    }
+  }
 }
