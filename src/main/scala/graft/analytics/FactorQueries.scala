@@ -57,11 +57,10 @@ object FactorQueries {
 
   /** q43: the recursive EMA family — macd / kdj / trix / force /
     * mass via [[graft.factors.EmaFamily]]'s single-pass kernel. The
-    * oracle re-derives every chain in closed form: with b = 1-a,
-    * y_t = b^t * S_t where S_t is a plain cumulative sum of
-    * c_1 = x_1/b, c_j = a*x_j*b^(-j) — so the recursion becomes
-    * window arithmetic DuckDB can run. b^(-day) stays finite for the
-    * panel's day counts (< 1700 even for a = 1/3). */
+    * oracle replays every chain stepwise with a recursive CTE in the
+    * kernel's association order (see the oracle's comment) — the
+    * closed-form b^t·cumsum replay it replaces was round-boundary
+    * fragile under testdata regeneration. */
   def emaFamilyEntry: Q = (s, dir) =>
     EmaFamily.compute(Quotes.panel(s, dir)).select(
       Seq(col("stock"), col("day")) ++ EmaFamily.columns.map(r6): _*)
@@ -1242,22 +1241,6 @@ object FactorQueries {
 
   private val alphaCte: String = alphaCteWith(Quotes.sqlCte)
 
-  /** Closed-form ewm(adjust=False) over a 1-based `day` index:
-    * y_day = b^day * cumsum(c), c_1 = x/b, c_j = a*x*b^(-j). */
-  private def emaCf(x: String, a: Double): String = {
-    val b = 1.0 - a
-    s"pow($b, day) * sum(CASE WHEN day = 1 THEN ($x) / $b" +
-      s" ELSE $a * ($x) * pow($b, -day) END) OVER cum"
-  }
-
-  /** Same, for a series whose first non-null input is day 2
-    * (force_13: fin is null on day 1). */
-  private def emaCfFrom2(x: String, a: Double): String = {
-    val b = 1.0 - a
-    s"CASE WHEN day >= 2 THEN pow($b, day - 1) * sum(CASE WHEN day = 2 THEN ($x) / $b" +
-      s" ELSE $a * ($x) * pow($b, -(day - 1)) END) OVER cum END"
-  }
-
   /** Shared oracle prefix: the quotes CTE + the base derivation
     * columns of Technical.compute (prev_c/delta_c/tr/tp/ret, money
     * flow, up/dn moves, OBV) — textually mirroring the Spark side. */
@@ -1760,8 +1743,36 @@ object FactorQueries {
     },
     "q40_factor_trend" -> q40Oracle,
     "q41_factor_osc" -> q41Oracle,
-    "q43_factor_ema" ->
-      s"""WITH ${Quotes.sqlCte},
+    // q43: the EMA-family recursions replayed STEPWISE with a
+    // recursive CTE in the same association order as EmaFamily's
+    // kernel (a * x + (1 - a) * state, constants printed from the
+    // same Scala doubles) — identical IEEE ops on identical inputs,
+    // so every chain matches bitwise before the 6-dp rounding. The
+    // previous closed-form pow(b,day)*cumsum replay was a different
+    // float computation whose equality held only away from round
+    // boundaries (the q26 regeneration hazard, round-8 verdict #5).
+    // Chained same-row states (dea from this row's e12/e26, kdj_d
+    // from this row's k, trix t3 from this row's t2, mass mh2 from
+    // this row's mh) inline their producer's expression — recursive
+    // terms can't lateral-reference select-list aliases portably.
+    "q43_factor_ema" -> {
+      def stepRec(a: Double, x: String, prev: String) =
+        s"($a * $x + (1 - $a) * $prev)"
+      val e12n = stepRec(EmaFamily.aMacdFast, "t.close", "rec.e12")
+      val e26n = stepRec(EmaFamily.aMacdSlow, "t.close", "rec.e26")
+      val diffn = s"(($e12n - $e26n) * 2.0)"
+      val dean = stepRec(EmaFamily.aSignal, diffn, "rec.dea")
+      val kn = s"(CASE WHEN t.rsv IS NULL THEN rec.k WHEN rec.k IS NULL THEN t.rsv" +
+        s" ELSE ${EmaFamily.aKdj} * t.rsv + (1 - ${EmaFamily.aKdj}) * rec.k END)"
+      val dn = s"(CASE WHEN t.rsv IS NULL THEN rec.d WHEN rec.d IS NULL THEN $kn" +
+        s" ELSE ${EmaFamily.aKdj} * $kn + (1 - ${EmaFamily.aKdj}) * rec.d END)"
+      val t2n = stepRec(EmaFamily.aTrix, e12n, "rec.t2")
+      val t3n = stepRec(EmaFamily.aTrix, t2n, "rec.t3")
+      val fn = s"(CASE WHEN t.fin IS NULL THEN rec.f WHEN rec.f IS NULL THEN t.fin" +
+        s" ELSE ${EmaFamily.aForce} * t.fin + (1 - ${EmaFamily.aForce}) * rec.f END)"
+      val mhn = stepRec(EmaFamily.aMass, "t.hl", "rec.mh")
+      val mh2n = stepRec(EmaFamily.aMass, mhn, "rec.mh2")
+      s"""WITH RECURSIVE ${Quotes.sqlCte},
          |e0 AS (
          |  SELECT stock, day, close, high, low, volume,
          |    CASE WHEN max(high) OVER f9 - min(low) OVER f9 <> 0
@@ -1772,47 +1783,32 @@ object FactorQueries {
          |  FROM quotes
          |  WINDOW ws AS (PARTITION BY stock ORDER BY day),
          |    f9 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
-         |e1 AS (
-         |  SELECT *,
-         |    ${emaCf("close", EmaFamily.aMacdFast)} AS ema12,
-         |    ${emaCf("close", EmaFamily.aMacdSlow)} AS ema26,
-         |    ${emaCf("rsv", EmaFamily.aKdj)} AS kdj_k,
-         |    ${emaCf("hl", EmaFamily.aMass)} AS ema_hl,
-         |    ${emaCfFrom2("fin", EmaFamily.aForce)} AS force_13
-         |  FROM e0
-         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |e2 AS (
-         |  SELECT *,
-         |    (ema12 - ema26) * 2.0 AS macd_diff,
-         |    ${emaCf("kdj_k", EmaFamily.aKdj)} AS kdj_d,
-         |    ${emaCf("ema12", EmaFamily.aTrix)} AS t2,
-         |    ${emaCf("ema_hl", EmaFamily.aMass)} AS ema_hl2
-         |  FROM e1
-         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |e3 AS (
-         |  SELECT *,
-         |    ${emaCf("macd_diff", EmaFamily.aSignal)} AS macd_dea,
-         |    3.0 * kdj_k - 2.0 * kdj_d AS kdj_j,
-         |    ${emaCf("t2", EmaFamily.aTrix)} AS t3,
-         |    CASE WHEN ema_hl2 <> 0 THEN ema_hl / ema_hl2 END AS mass_ratio
-         |  FROM e2
-         |  WINDOW cum AS (PARTITION BY stock ORDER BY day
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |rec AS (
+         |  SELECT stock, day, close, rsv, fin, hl,
+         |    close AS e12, close AS e26, CAST(0.0 AS DOUBLE) AS dea,
+         |    rsv AS k, rsv AS d, close AS t2, close AS t3,
+         |    CAST(NULL AS DOUBLE) AS f, hl AS mh, hl AS mh2
+         |  FROM e0 WHERE day = 1
+         |  UNION ALL
+         |  SELECT t.stock, t.day, t.close, t.rsv, t.fin, t.hl,
+         |    $e12n AS e12, $e26n AS e26, $dean AS dea,
+         |    $kn AS k, $dn AS d, $t2n AS t2, $t3n AS t3,
+         |    $fn AS f, $mhn AS mh, $mh2n AS mh2
+         |  FROM rec JOIN e0 t ON t.stock = rec.stock AND t.day = rec.day + 1)
          |SELECT stock, day,
-         | round(macd_diff, 6) + 0.0 AS macd_diff,
-         | round(macd_dea, 6) + 0.0 AS macd_dea,
-         | round(kdj_k, 6) + 0.0 AS kdj_k,
-         | round(kdj_d, 6) + 0.0 AS kdj_d,
-         | round(kdj_j, 6) + 0.0 AS kdj_j,
-         | round((t3 - lag(t3, 1) OVER ws) / nullif(lag(t3, 1) OVER ws, 0), 6) + 0.0 AS trix_12,
-         | round(force_13, 6) + 0.0 AS force_13,
-         | round(sum(mass_ratio) OVER f25, 6) + 0.0 AS mass_25
-         |FROM e3
-         |WINDOW ws AS (PARTITION BY stock ORDER BY day),
-         |  f25 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
-         |ORDER BY stock, day""".stripMargin,
+         | round((e12 - e26) * 2.0, 6) + 0.0 AS macd_diff,
+         | round(dea, 6) + 0.0 AS macd_dea,
+         | round(k, 6) + 0.0 AS kdj_k,
+         | round(d, 6) + 0.0 AS kdj_d,
+         | round(3.0 * k - 2.0 * d, 6) + 0.0 AS kdj_j,
+         | round((t3 - lag(t3, 1) OVER wrec) / nullif(lag(t3, 1) OVER wrec, 0), 6) + 0.0 AS trix_12,
+         | round(f, 6) + 0.0 AS force_13,
+         | round(sum(CASE WHEN mh2 <> 0 THEN mh / mh2 END) OVER frec, 6) + 0.0 AS mass_25
+         |FROM rec
+         |WINDOW wrec AS (PARTITION BY stock ORDER BY day),
+         |  frec AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+         |ORDER BY stock, day""".stripMargin
+    },
     "q44_factor_momentum" -> q44Oracle,
     "q45_factor_value" -> q45Oracle,
     "q48_similarity_search" ->

@@ -18,8 +18,8 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * `mass_25` rolling sum reuses the same hash partitioning (no second
   * exchange).
   *
-  * Pinned conventions (tested in EmaFamilySpec; mirrored closed-form
-  * in the q43 oracle):
+  * Pinned conventions (tested in EmaFamilySpec; mirrored stepwise by
+  * the q43 recursive-CTE oracle):
   *  - ewm(adjust=False): y_1 = x_1, y_t = a*x_t + (1-a)*y_{t-1};
   *  - null input rows carry state (output = previous state, null if
   *    the series hasn't started) — only force_13's day-1 input is
