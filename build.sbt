@@ -44,4 +44,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // end to end. Reserved (virtual) only — committed on demand.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
-)
+) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * driver surface). */
 object Prof {
   def main(args: Array[String]): Unit = {
+    // context-level conf (see PROF_CONF note below)
+    sys.env.get("PROF_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        System.setProperty(k, v)
+      })
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -40,11 +46,16 @@ object Prof {
         sys.env.getOrElse("PROF_FACTORY", "FALLBACK"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // PROF_CONF="k=v;k2=v2": ad-hoc session-conf overrides for A/B runs
+    // PROF_CONF="k=v;k2=v2": ad-hoc conf overrides for A/B runs.
+    // Context-level keys (eventLog etc.) reject post-creation
+    // spark.conf.set, so route those through System.setProperty in
+    // [[profConf]] BEFORE the builder runs (SparkConf loads spark.*
+    // system properties); session keys are set normally here.
     sys.env.get("PROF_CONF").foreach(_.split(';').filter(_.contains("="))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        try spark.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () } // context-level: already applied via sysprop
       })
     spark.sparkContext.setLogLevel("WARN")
     var t = System.nanoTime()

@@ -17,9 +17,38 @@ import org.apache.spark.sql.functions._
 object CorpusQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Loads a table and, when the scan yields fewer partitions than
+    * the session's parallelism, hash-spreads the RAW rows across it
+    * BEFORE any derived columns attach. The corpus kernels are
+    * CPU-bound per row (shingling, 60-permutation minhash, simhash,
+    * vector dot products), but scan parallelism follows BYTES: the
+    * sf0.1 documents table is one 0.6 MB row group = ONE task, so the
+    * whole hashing map stage ran serially (event-log profile: three
+    * ~3 s single-task stages under q102). On a real cluster the scan
+    * has thousands of splits, the guard is false, and no shuffle is
+    * added — the spread only fires where a tiny scan would strangle a
+    * compute-heavy map stage. */
+  private def loadSpread(s: SparkSession, dir: String, name: String,
+                         keyCol: String): DataFrame = {
+    val d = Tables.load(s, dir, name)
+    val par = s.sparkContext.defaultParallelism
+    // localCheckpoint, not bare repartition: predicate pushdown walks
+    // filters through RepartitionByExpression, re-deriving their
+    // aliased inputs (size(shingles(text)) > 0 and friends) BELOW the
+    // exchange — the expensive expression then runs serially in the
+    // single-split scan stage, exactly what the spread exists to
+    // avoid. The checkpoint truncates lineage so nothing crosses; the
+    // materialization it pays is the raw table (sub-MB at these SFs,
+    // and at scale the guard is false so neither shuffle nor
+    // checkpoint happens).
+    if (d.rdd.getNumPartitions < par)
+      d.repartition(par, col(keyCol)).localCheckpoint()
+    else d
+  }
+
   /** Token/char statistics per document (text-analysis tier). */
   def textStats: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     d.select(col("doc_id"),
         TextFns.tokenCount(col("text")).as("n_tokens"),
         TextFns.bpeTokenCount(col("text")).as("n_bpe_tokens"),
@@ -33,7 +62,7 @@ object CorpusQueries {
   /** Quality scoring: stopword ratio, long-token ratio, composite
     * score (Gopher/C4-style heuristics, weights pinned in TextFns). */
   def qualityScore: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val toks = TextFns.tokens(col("text"))
     val longRatio = when(size(toks) > 0,
       size(filter(toks, t => length(t) >= 5)).cast("double") / size(toks))
@@ -47,7 +76,7 @@ object CorpusQueries {
   /** Script-heuristic language ID vs the labeled lang column —
     * a confusion-matrix aggregate. */
   def langConfusion: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     d.groupBy(col("lang"), TextFns.langGuess(col("text")).as("guess"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "guess")
@@ -55,7 +84,7 @@ object CorpusQueries {
 
   /** Exact dedup groups by canonical md5 fingerprint. */
   def exactDedup: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     DedupFns.exactDedup(d, "doc_id", "text")
       .orderBy("fp")
   }
@@ -67,7 +96,7 @@ object CorpusQueries {
     * prefix shingles are indexed, so the posting-list join no longer
     * goes quadratic on hot shingles — the round-1..3 scale-killer. */
   def jaccardPairs: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
       .select(col("doc_id"), col("source"),
         TextFns.charShinglesPacked(col("text")).as("sh"))
     DedupFns.jaccardPrefixPairs(d, "doc_id", "source", "sh", threshold = 0.5)
@@ -79,7 +108,7 @@ object CorpusQueries {
     * the exact-ANN baseline. Ranking is on the ROUNDED similarity
     * with id tie-break so Spark and DuckDB sort identically. */
   def cosineTopK: Q = (s, dir) => {
-    val e = Tables.load(s, dir, "embeddings")
+    val e = loadSpread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -99,7 +128,7 @@ object CorpusQueries {
     * (plus DedupSpec's recall test on planted dup families). */
   def minhashDedup: Q = (s, dir) =>
     DedupFns.minhashCandidates(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
+        loadSpread(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleN = 2, k = 12, bands = 6, minJaccard = 0.2)
       .orderBy("id_a", "id_b")
 
@@ -116,7 +145,7 @@ object CorpusQueries {
   def simhashPairs: Q = (s, dir) => {
     // two-step: token hashes as their own (multi-referenced) column
     // so the 64 bit-votes share one tokenize+hash pass per doc
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
       .select(col("doc_id"), col("source"),
         DedupFns.simhashTokenHashes(col("text")).as("th"))
       .select(col("doc_id"), col("source"),
@@ -135,7 +164,7 @@ object CorpusQueries {
     * population at scale; multiple tables buy recall back. */
   def embeddingNearDups: Q = (s, dir) =>
     DedupFns.embeddingNearDups(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        loadSpread(s, dir, "embeddings", "vec_id"), "vec_id", "embedding",
         dim = 64, nBits = 12, tables = 3, minCos = 0.35)
       .orderBy("id_a", "id_b")
 
@@ -153,7 +182,7 @@ object CorpusQueries {
     * for true pruning. Fully oracled: the planes are deterministic
     * literals, so DuckDB rebuilds the identical index. */
   def annSearch: Q = (s, dir) => {
-    val e = Tables.load(s, dir, "embeddings")
+    val e = loadSpread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
     def withBuckets(df: DataFrame, p: String): DataFrame =
       (0 until 3).foldLeft(df)((d, t) => d.withColumn(s"$p$t",
@@ -315,7 +344,7 @@ object CorpusQueries {
     * anywhere: two broadcasts + TakeOrdered. */
   def ivfSearch: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
-    val e = Tables.load(s, dir, "embeddings")
+    val e = loadSpread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
     // the centroid set as ONE broadcast row holding array<struct>:
     // argmin/sort over it are order-independent, so collect_list's
@@ -350,7 +379,7 @@ object CorpusQueries {
     * shuffle, embarrassingly parallel at any scale. Emits per-chunk
     * token counts and the chunk head for spot-checking. */
   def chunkDocs: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val t = TextFns.tokens(col("text"))
     // last start must land within 31 tokens of the end so the tail is
     // covered: bound the series at len-4 (stride 28 then guarantees
@@ -381,7 +410,7 @@ object CorpusQueries {
     * partition per language at 100 TB. One shuffle total. */
   def seqPacking: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
     val withBins = d.select(col("lang"), (col("doc_id") % 4).as("shard"),
         col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -402,7 +431,7 @@ object CorpusQueries {
     * Fully oracled: DuckDB replays the same edges brute-force and
     * resolves components with a recursive CTE. */
   def dupClusters: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val sh = d.select(col("doc_id"), col("source"),
       TextFns.charShinglesPacked(col("text")).as("sh"))
     val edges = DedupFns.jaccardPrefixPairs(sh, "doc_id", "source", "sh", threshold = 0.5)
@@ -422,7 +451,7 @@ object CorpusQueries {
     * splits), 'cd'≈80% / 'e6'≈10% / rest≈10%, then per-split-per-lang
     * counts. Pure per-row hash + one aggregation — scale-free. */
   def hashSplit: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val bucket = substring(md5(col("text")), 1, 2)
     val split = when(bucket < "cd", "train")
       .when(bucket < "e6", "val").otherwise("test")
@@ -448,7 +477,7 @@ object CorpusQueries {
     * the arithmetic exact up to the frac product). */
   def tokenQuantiles: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val hist = d
       .select(col("lang"), TextFns.tokenCount(col("text")).cast("double").as("v"))
       .groupBy("lang", "v").agg(count(lit(1)).as("cnt"))
@@ -476,7 +505,7 @@ object CorpusQueries {
     * randomness, no sampler re-execution (memory: repartitionByRange
     * lesson). */
   def stratifiedSample: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val byHash = Window.partitionBy("lang", "source")
       .orderBy(md5(col("text")), col("doc_id"))
     d.select(col("doc_id"), col("lang"), col("source"),
@@ -497,7 +526,7 @@ object CorpusQueries {
     * corpus text, no all-pairs. Shingle strings (not hashes) are
     * joined so DuckDB reproduces the overlap byte-for-byte. */
   def decontaminate: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val t = TextFns.tokens(col("text"))
     val grams = when(size(t) >= 4,
       array_distinct(transform(sequence(lit(1), size(t) - 3),
@@ -528,7 +557,7 @@ object CorpusQueries {
     * null-token row is masked out of top1 by the n_tokens guard). */
   def repetitionMetrics: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val toks = TextFns.tokens(col("text"))
     val g2 = TextFns.wordGrams(col("text"), 2)
     // two-step select: an expression in the SAME select as a
@@ -563,7 +592,7 @@ object CorpusQueries {
     * scale-free. */
   def mixWeights: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val perSrc = d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
@@ -596,7 +625,7 @@ object CorpusQueries {
   def bm25Search: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val k1 = 1.2; val b = 0.75
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val toks = TextFns.tokens(col("text"))
     val base = d.select(col("doc_id") +: size(toks).cast("double").as("dl") +:
       bm25Terms.zipWithIndex.map { case (t, i) =>
@@ -627,7 +656,7 @@ object CorpusQueries {
     * filter config. Pure per-row flags + one conditional-sum
     * aggregation — scale-free. */
   def filterFunnel: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val toks = TextFns.tokens(col("text"))
     val nTok = size(toks)
     val uniqR = when(nTok > 0, size(array_distinct(toks)).cast("double") / nTok)

@@ -168,6 +168,13 @@ object DedupFns {
             + lit(1) >= needed - lit(1e-9)))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+      // candidate rows are two longs but the verify below does an
+      // array-intersect per row: AQE coalesces the distinct's output
+      // by BYTES (to 1 partition at small SF, event-log profiled) and
+      // serializes that compute. An explicit repartition is exempt
+      // from AQE coalescing and pins verify parallelism; the extra
+      // shuffle moves only the narrow pair set.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id_a"))
     // verify with the codegen'd sorted-merge intersect count
     val sh = d.select(col(idCol), array_sort(col(shinglesCol)).as("shs"))
     cand
