@@ -61,10 +61,12 @@ object Verify {
     // per-query watchdog: one hung/regressed query must cost its own
     // budget, not the whole gate's. Each query runs on a daemon
     // worker thread under a job group; on timeout the group's Spark
-    // jobs are cancelled and the loop moves on (the slowest entry,
-    // the full alpha corpus, takes ~90 s at sf0.01 — 300 s is 3x
-    // headroom). Overridable for ad-hoc big-SF runs.
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "300").toLong
+    // jobs are cancelled and the loop moves on. The slowest entry —
+    // q58, which triggers the shared full-panel alpha derivation —
+    // takes ~90 s at sf0.01; 450 s keeps 5x headroom so a contended
+    // driver box (2.8x slowdowns observed round 7) can't turn a slow
+    // entry into a missing row. Overridable for ad-hoc big-SF runs.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "450").toLong
     // cached pool, daemon threads: a thread stuck in driver-side code
     // (where job cancellation can't reach) is abandoned and the next
     // query gets a fresh thread; daemons never block JVM exit
