@@ -28,8 +28,8 @@ object CorpusQueries {
     * has thousands of splits, the guard is false, and no shuffle is
     * added — the spread only fires where a tiny scan would strangle a
     * compute-heavy map stage. */
-  private def loadSpread(s: SparkSession, dir: String, name: String,
-                         keyCol: String): DataFrame = {
+  private[analytics] def loadSpread(s: SparkSession, dir: String, name: String,
+                                    keyCol: String): DataFrame = {
     val d = Tables.load(s, dir, name)
     val par = s.sparkContext.defaultParallelism
     // localCheckpoint, not bare repartition: predicate pushdown walks

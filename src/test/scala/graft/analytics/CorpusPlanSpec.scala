@@ -59,4 +59,14 @@ class CorpusPlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 2, plan)
   }
+
+  test("loadSpread: parallelizes the tiny scan without changing content") {
+    val plain = graft.Tables.load(spark, sf, "documents")
+    val spread = CorpusQueries.loadSpread(spark, sf, "documents", "doc_id")
+    // guard fires at this SF (single row group scan) ...
+    assert(spread.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+    // ... and the frame is the same multiset of rows
+    assert(spread.count() === plain.count())
+    assert(spread.exceptAll(plain).isEmpty && plain.exceptAll(spread).isEmpty)
+  }
 }
