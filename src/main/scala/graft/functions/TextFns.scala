@@ -99,11 +99,21 @@ object TextFns {
     * 21 bits — injective up to U+1FFFFF, so set cardinality equals
     * [[charShingles]]'s exactly). Integer array intersections are
     * ~20× cheaper than UTF8String ones in the pairwise hot path.
+    * One native codegen pass ([[graft.expressions.CharShingles3]]);
+    * bit-parity with [[charShinglesPackedHof]] pinned in DedupSpec. */
+  def charShinglesPacked(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.CharShingles3(
+      ColumnBridge.expression(text)))
+  }
+
+  /** The HOF reference formulation of [[charShinglesPacked]] — kept
+    * as the parity oracle for the native kernel.
     *
     * The text is split into a char array ONCE and indexed with O(1)
     * element_at: `substr(text, i, 1)` on UTF8String is an O(i)
     * variable-width seek, which makes naive shingling O(len²)/doc. */
-  def charShinglesPacked(text: Column): Column = {
+  private[graft] def charShinglesPackedHof(text: Column): Column = {
     // three shifted views zipped pairwise: each zip_with/slice input
     // is evaluated once per row (HOF lambda bodies are interpreted
     // and re-evaluate per element, so no element_at(chars, i) there)

@@ -101,6 +101,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native CharShingles3 == HOF split/zip/distinct formulation, bitwise") {
+    // the spec corpus, the REAL documents table, and unicode edges
+    // (CJK, accents, an astral emoji — exercises the ascii()/charAt
+    // first-code-unit convention) must agree element for element,
+    // ORDER INCLUDED (array_distinct keeps first occurrence)
+    val uni = Seq("中文测试一二三", "héllo wörld", "😀😃😄x", "ab", "", "aaaa",
+      "the same the same the same").toDF("text")
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    for (df <- Seq(docs.select(col("text")), uni, real)) {
+      df.select(TextFns.charShinglesPacked(col("text")).as("n"),
+          TextFns.charShinglesPackedHof(col("text")).as("h"))
+        .collect().foreach { r =>
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+            s"native=${r.getSeq[Long](0).take(8)} hof=${r.getSeq[Long](1).take(8)}")
+        }
+    }
+  }
+
   test("native SimHash64 == per-bit HOF majority vote, bitwise") {
     // the HOF formulation the native kernel replaced — kept here as
     // the executable spec of the semantics
