@@ -102,7 +102,11 @@ object Bench {
     def bestOf2(preferShm: Boolean, tag: String): (Long, Double, String) = {
       val r1 = measureIngest(preferShm, tag)
       val r2 = measureIngest(preferShm, tag)
-      if (r2._2 > r1._2) r2 else r1
+      val best = if (r2._2 > r1._2) r2 else r1
+      // a transient failure superseded by a good retry must not fail
+      // the run (measureIngest records it before we know the retry)
+      if (best._2 >= 0) failed = failed.filterNot(_ == s"ingest_bulk_load_$tag")
+      best
     }
     val (ingestRows, ingestRps, ingestMedium) = bestOf2(preferShm = true, "tmpfs")
     val (_, ingestRpsDisk, _) = bestOf2(preferShm = false, "disk")
