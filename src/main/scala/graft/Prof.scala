@@ -67,16 +67,36 @@ object Prof {
     // PROF_QUERY=<entry name>: time (or with PROF_EXPLAIN=1, explain)
     // any SparkEntry query and exit
     sys.env.get("PROF_QUERY").foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (sys.env.contains("PROF_EXPLAIN")) df.explain("formatted")
+      if (sys.env.contains("PROF_EXPLAIN"))
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       else {
+        // time build + write, matching Bench.scala's measured window
+        // (entry builders may do eager work, e.g. the alphaFull
+        // materialization)
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         println(f"PROF $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
           s"partitions=${df.rdd.getNumPartitions}")
       }
       spark.stop()
       return
+    }
+    // (measured dead end, r9: materializing the corpus as 10
+    // per-batch column slices on CONCURRENT jobs — Catalyst prunes
+    // each slice to ~60 windows — re-derives the shared stage-0/1
+    // inputs per slice and the 10 simultaneous interpreted pipelines
+    // + persists blow past the 8g heap: first run killed the
+    // executor pool, second ran past 8 min vs 106 s for the single
+    // mega-DAG. The one-shot interpreted mega-DAG stands.)
+    // PROF_WARMUP_DIR=<sf dir>: run the SAME derivation on a smaller
+    // SF first, in the same JVM — measures how much of the cold cost
+    // (Janino compile, JIT, interpreted-path warmup) transfers across
+    // plan instances of identical shape
+    sys.env.get("PROF_WARMUP_DIR").foreach { wdir =>
+      graft.factors.Alpha101.compute(graft.sources.Quotes.panel(spark, wdir))
+        .write.format("noop").mode("overwrite").save()
+      lap("warmup derivation")
     }
     val full = graft.factors.Alpha101.compute(graft.sources.Quotes.panel(spark, sfDir))
     val df = sys.env.get("PROF_SELECT") match {
@@ -91,9 +111,11 @@ object Prof {
     lap("physical planning")
     println("PROF window ops: " + exec.toString.linesIterator.count(_.contains("Window")))
     println("PROF sort ops: " + exec.toString.linesIterator.count(l => l.contains("Sort ")))
+    println("PROF exchange ops: " + exec.toString.linesIterator.count(_.contains("Exchange")))
     sys.env.get("PROF_PLAN_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), exec.toString)
     }
+    if (sys.env.contains("PROF_PLAN_ONLY")) { spark.stop(); return }
     df.write.format("noop").mode("overwrite").save()
     lap("execute (cold)")
     df.write.format("noop").mode("overwrite").save()

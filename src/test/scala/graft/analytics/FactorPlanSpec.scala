@@ -71,4 +71,14 @@ class FactorPlanSpec extends SparkSpec {
         plan.linesIterator.take(30).mkString("\n"))
     }
   }
+
+  test("alpha materialization restores the session codegen conf") {
+    val dir = "/root/testdata/sf0.001"
+    // the one-shot interpreted materialization (wholeStage off,
+    // factoryMode NO_CODEGEN) must leave the SESSION conf untouched:
+    // a leak would silently run every later query interpreted
+    FactorQueries.columnDiscovery(spark, dir).collect()
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") === "true")
+    assert(spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK") === "FALLBACK")
+  }
 }
