@@ -672,7 +672,75 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** q117: unigram-LM quality scoring (the CCNet/Gopher perplexity-
+    * proxy filter): a unigram model is fit on the corpus itself —
+    * token → ln(count/total) — pruned to the top-K vocabulary, and
+    * each document is scored by the mean log-probability of its
+    * tokens (OOV tokens take a floor of ln(0.5/total)). The
+    * scale-optimal plan mirrors q112: ONE token-count aggregation
+    * (map-side combined), the pruned model broadcast as a single
+    * map row, and per-document scoring as a broadcast-join + HOF
+    * left fold over the token array — no explode of the corpus on
+    * the scoring side, no per-doc shuffle. The oracle replays the
+    * fold stepwise with a recursive CTE in the SAME association
+    * order (the q95/q26 shape), so sums match bitwise before the
+    * 6-dp quantization. */
+  def lmQualityScore: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val counts = d.select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").cast("double").as("tt"))
+    // top-K prune bounds the broadcast at real vocab sizes (a no-op
+    // on this corpus); deterministic order so the cut is stable
+    val model = counts.orderBy(col("cnt").desc, col("tok")).limit(50000)
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), log(col("cnt").cast("double") / col("tt")).as("logp"),
+        col("tt"))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("logp")))).as("m"),
+        first(col("tt")).as("tt"))
+    val toks = TextFns.tokens(col("text"))
+    val n = size(col("toks"))
+    d.crossJoin(broadcast(model))
+      .select(col("doc_id"), col("lang"), toks.as("toks"), col("m"), col("tt"))
+      .select(col("doc_id"), col("lang"), n.cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0.0),
+          (acc, t) => acc + coalesce(element_at(col("m"), t),
+            log(lit(0.5) / col("tt")))).as("sl"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        when(col("n_tokens") > 0, fr6(col("sl") / col("n_tokens"))).as("avg_logp"),
+        when(col("n_tokens") > 0 && col("sl") / col("n_tokens") >= -3.5, 1)
+          .otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q118: merge-pair statistics (tokenizer-training prep): counts of
+    * adjacent token bigrams per language, ranked per language — the
+    * corpus statistics a BPE/WordPiece trainer consumes when choosing
+    * merges. One pair-count aggregation (map-side combined — the raw
+    * pair stream never shuffles, only the reduced (lang, pair)
+    * counts) + one per-lang window over the already-aggregated
+    * frame. Pair explosion is per-row zip of the token array with
+    * its own tail — no self-join. */
+  def mergePairStats: Q = (s, dir) => {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val toks = TextFns.tokens(col("text"))
+    val m = greatest(size(toks) - 1, lit(0))
+    val pairs = d.select(col("lang"), explode(
+      zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+    pairs.groupBy("lang", "pair").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("pair")))
+        .cast("long"))
+      .filter(col("rk") <= 20)
+      .select("lang", "rk", "pair", "n")
+      .orderBy("lang", "rk")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q117_lm_quality" -> lmQualityScore,
+    "q118_merge_pairs" -> mergePairStats,
     "q110_repetition" -> repetitionMetrics,
     "q111_mix_weights" -> mixWeights,
     "q112_bm25_search" -> bm25Search,
@@ -782,6 +850,53 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "q54_multimodal_features" -> q54Sql,
+    // stepwise recursive-CTE fold in the same association order as
+    // the Spark HOF (acc starts at 0.0; 0.0 + x == x in IEEE), so
+    // the per-doc sums match bitwise before the 6-dp floor. The
+    // LIMIT 50000 vocabulary prune mirrors the Spark side (a no-op
+    // on this corpus, kept so the two models stay definitionally
+    // identical). Every token is in-vocab here, so the OOV floor
+    // branch never fires in either engine.
+    "q117_lm_quality" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |e AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,
+        |             unnest(toks) AS tok FROM t),
+        |c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt FROM c),
+        |v AS (SELECT tok, ln(CAST(cnt AS DOUBLE) / tt) AS logp
+        |      FROM (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 50000), tot),
+        |j AS (SELECT e.doc_id, e.i, v.logp FROM e JOIN v USING (tok)),
+        |n AS (SELECT doc_id, max(i) AS n FROM j GROUP BY doc_id),
+        |rec AS (
+        |  SELECT doc_id, 1 AS i, logp AS acc FROM j WHERE i = 1
+        |  UNION ALL
+        |  SELECT j.doc_id, j.i, rec.acc + j.logp
+        |  FROM rec JOIN j ON j.doc_id = rec.doc_id AND j.i = rec.i + 1),
+        |fin AS (SELECT rec.doc_id, rec.acc FROM rec
+        |        JOIN n ON n.doc_id = rec.doc_id AND rec.i = n.n)
+        |SELECT t.doc_id, t.lang, CAST(coalesce(n.n, 0) AS BIGINT) AS n_tokens,
+        | CASE WHEN n.n > 0 THEN floor((fin.acc / n.n) * 1e6 + 0.5) / 1e6 END AS avg_logp,
+        | CASE WHEN n.n > 0 AND fin.acc / n.n >= -3.5 THEN 1 ELSE 0 END AS keep
+        |FROM t LEFT JOIN n USING (doc_id) LEFT JOIN fin USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    "q118_merge_pairs" ->
+      """WITH t AS (
+        | SELECT lang, CASE WHEN length(trim(text)) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |p AS (SELECT lang, unnest(list_transform(
+        |        range(1, greatest(len(toks), 1)),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS pair FROM t),
+        |c AS (SELECT lang, pair, count(*) AS n FROM p GROUP BY 1, 2),
+        |r AS (SELECT lang, pair, n, row_number() OVER (
+        |        PARTITION BY lang ORDER BY n DESC, pair) AS rk FROM c)
+        |SELECT lang, rk, pair, n FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
     "q110_repetition" ->
       s"""WITH $toksCte,
          |base AS (

@@ -53,6 +53,27 @@ class CorpusPlanSpec extends SparkSpec {
       && !plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("LM quality: model broadcast as one row, scoring side never shuffles") {
+    val plan = finalPlan(CorpusQueries.lmQualityScore(spark, sf))
+    // the unigram model reaches the scoring scan as a broadcast —
+    // the corpus is never shuffled to meet it
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    // exactly one hash exchange: the token-count aggregation that
+    // fits the model (the presentation sort is rangepartitioning)
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 1, plan)
+  }
+
+  test("merge pairs: pair stream combines map-side, no self-join") {
+    val plan = finalPlan(CorpusQueries.mergePairStats(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    // (lang, pair) count agg + per-lang window = two keyed exchanges,
+    // both over the REDUCED pair-count frame
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 2, plan)
+  }
+
   test("repetition: no doc_id join — dup2 rides the wordcount aggregation") {
     val plan = finalPlan(CorpusQueries.repetitionMetrics(spark, sf))
     assert(!plan.contains("Join"), plan)
