@@ -12,6 +12,32 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Partition-key name lists of every window expression inside an
+    * UNRESOLVED Column (empty for non-window expressions). Used by
+    * [[graft.ops.PlanOps]] to classify derived-column definitions by
+    * the exchange their window would require. */
+  def windowPartitionKeys(c: Column): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    def names(a: Any): Seq[String] = a match {
+      case ua: org.apache.spark.sql.internal.UnresolvedAttribute =>
+        Seq(ua.nameParts.mkString("."))
+      case p: Product => p.productIterator.toSeq.flatMap(names)
+      case it: Iterable[_] => it.toSeq.flatMap(names)
+      case _ => Seq.empty
+    }
+    def walk(a: Any): Unit = a match {
+      case w: org.apache.spark.sql.internal.Window =>
+        out += names(w.windowSpec.partitionColumns)
+        walk(w.windowFunction); w.windowSpec.partitionColumns.foreach(walk)
+        w.windowSpec.sortColumns.foreach(walk)
+      case p: Product => p.productIterator.foreach(walk)
+      case it: Iterable[_] => it.foreach(walk)
+      case _ => ()
+    }
+    walk(c.node)
+    out.result()
+  }
+
   /** Column names referenced by an UNRESOLVED Column. The classic
     * converter wraps the ColumnNode tree in a leaf
     * `ColumnNodeExpression`, so catalyst `collect` sees no children —

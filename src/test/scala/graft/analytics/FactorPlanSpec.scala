@@ -72,6 +72,22 @@ class FactorPlanSpec extends SparkSpec {
     }
   }
 
+  test("alpha mega-DAG: key-phase scheduling holds exchanges at the nesting bound") {
+    // 21 exchanges under source order, 8 under key-phase scheduling
+    // (PlanOps.keyPhaseOrder) — pin a ceiling so a new alpha or a
+    // scheduler regression can't quietly re-alternate the full-frame
+    // shuffle. Physical planning only, nothing executes. sf0.01, NOT
+    // sf0.001: the persisted-derivation test above caches the
+    // sf0.001 compute plan, and the cache manager's fragment
+    // substitution rewrites this plan's exchanges mid-tree.
+    val panel = graft.sources.Quotes.panel(spark, "/root/testdata/sf0.01")
+    val plan = graft.factors.Alpha101.compute(panel)
+      .queryExecution.executedPlan.toString
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(ex <= 10, s"alpha plan has $ex keyed exchanges (expected <= 10)")
+  }
+
   test("alpha materialization restores the session codegen conf") {
     val dir = "/root/testdata/sf0.001"
     // the one-shot interpreted materialization (wholeStage off,
