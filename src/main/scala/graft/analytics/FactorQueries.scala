@@ -293,24 +293,26 @@ object FactorQueries {
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
           alphaFullCache.keySet.removeIf(_._1 eq ss)
       })
-      // One-shot materialization runs INTERPRETED (wholeStage off,
-      // factoryMode NO_CODEGEN): the ~170-stage derivation executes
-      // exactly once per session, so Janino compile + generated-class
-      // JIT + codegen source-text formatting are pure overhead — JFR
-      // at sf0.001 (where row work is nil) attributes ~40% of samples
-      // to codegen text/compile plus task-binary deserialization, and
-      // the cold sf0.1 derivation measures 158 s codegen'd vs 106 s
-      // interpreted (identical results; IEEE ops are the same either
-      // way). Codegen is restored before returning, so every
-      // downstream read of the cache (q58 melt, q90 scan, q91 IC)
-      // still runs compiled. At cluster scale the same reasoning
-      // holds per executor: a one-pass derivation amortizes codegen
-      // only when the per-core row volume dwarfs the ~50 s per-plan
-      // compile constant, which a 100 k-row local panel does not.
+      // One-shot materialization runs with factoryMode NO_CODEGEN:
+      // the derivation executes exactly once per session, and the
+      // per-operator Generate{UnsafeProjection,Ordering,Mutable-
+      // Projection} factories pay Janino compile + source-text
+      // formatting per plan instance for code that runs once — JFR
+      // at sf0.001 (where row work is nil) attributes ~40% of
+      // execution samples to codegen text/compile plus task-binary
+      // deserialization. Whole-stage fusion STAYS ON: its fused
+      // projection chains carry the real per-row arithmetic, and on
+      // the 8-exchange key-phase plan the cold sf0.1 derivation
+      // measures 78 s with fusion vs 89 s fully interpreted vs 97 s
+      // fully codegen'd (results identical — IEEE ops are the same
+      // either way; pinned by the q90 oracle). The conf is restored
+      // before returning, so downstream cache reads (q58 melt, q90
+      // scan, q91 IC) run with default codegen. At cluster scale the
+      // same reasoning holds per executor: factory codegen amortizes
+      // only when per-core row volume dwarfs the per-plan compile
+      // constant, which a 100 k-row local panel does not.
       val conf = ss.conf
-      val prevWs = conf.get("spark.sql.codegen.wholeStage", "true")
       val prevFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-      conf.set("spark.sql.codegen.wholeStage", "false")
       conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       try {
         val f = Alpha101.compute(Quotes.panel(ss, d))
@@ -318,7 +320,6 @@ object FactorQueries {
         f.count() // materialize the cache while the one-shot conf is active
         f
       } finally {
-        conf.set("spark.sql.codegen.wholeStage", prevWs)
         conf.set("spark.sql.codegen.factoryMode", prevFm)
       }
     })
