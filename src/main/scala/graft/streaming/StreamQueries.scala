@@ -41,7 +41,10 @@ object StreamQueries {
   /** Runs the file-stream replay and returns the raw streamed frame
     * (stock, day, ema_stream). */
   def streamedEma(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.TempDirs.scratch("graft_stream")
+    // tmpfs when present: the replay files and checkpoint WAL are
+    // fixture transport, and the commit-log fsync per micro-batch is
+    // the entry's main non-engine cost on a disk-backed /tmp
+    val root = graft.TempDirs.scratch("graft_stream", preferShm = true)
     val slice = emaSlice(s, dir)
     // three sequential writes = three files with increasing mod time
     // = three micro-batches in day order (per-key event time must be
@@ -110,7 +113,7 @@ object StreamQueries {
   private def tsUtc(c: Column): Column = c.cast("timestamp")
 
   def streamedHourly(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.TempDirs.scratch("graft_stream_hourly")
+    val root = graft.TempDirs.scratch("graft_stream_hourly", preferShm = true)
     val ev = graft.Tables.load(s, dir, "events")
       .select(tsUtc(col("ts")).as("ts"), col("event_type"), col("value"))
     // fixture transport (2 scalars for the split bounds), not result
@@ -170,7 +173,7 @@ object StreamQueries {
     * AFTER the horizon is re-emitted by design (pinned in
     * StreamOpsSpec); the rollup is a normal shuffle agg. */
   def streamedDedup(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.TempDirs.scratch("graft_stream_dedup")
+    val root = graft.TempDirs.scratch("graft_stream_dedup", preferShm = true)
     val ev = graft.Tables.load(s, dir, "events")
       .select(tsUtc(col("ts")).as("ts"), col("event_id"), col("event_type"),
         col("user_id"), col("value"))
