@@ -217,10 +217,67 @@ object StreamQueries {
         round(sum("value"), 2).as("sum_value"))
       .orderBy("event_type")
 
+  /** q119: streaming SESSION windows — per-user activity sessions
+    * with an 8h inactivity gap (`session_window`), the merging-window
+    * shape the fixed tumbling windows of q114 can't express. Same
+    * 3-batch range-split replay as q114 (event time nondecreasing →
+    * no late data), 2h watermark, append mode: a session is emitted
+    * exactly once, when the watermark passes its end (= last event
+    * + gap). The DuckDB oracle sessionizes with gaps-and-islands
+    * (break at inter-event gap >= 8h — Spark merges windows that
+    * OVERLAP, so an exactly-gap-length silence starts a new session
+    * in both engines) and applies the same ms-floored watermark
+    * close rule as q114. Bounds are epoch micros so no timestamp
+    * formatting is in the compare path.
+    *
+    * Scale: session state is per (user, open session) and merging is
+    * Spark's native state-store path — the standard sessionization
+    * plan for clickstream volumes. */
+  def streamedSessions(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_sessions", preferShm = true)
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(tsUtc(col("ts")).as("ts"), col("user_id"), col("value"))
+    val mm = ev.agg(min(tsMicros(col("ts"))).as("lo"),
+      max(tsMicros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val b1 = lo + (hi - lo) / 3
+    val b2 = lo + 2 * ((hi - lo) / 3)
+    val m = tsMicros(col("ts"))
+    Seq(m < lit(b1),
+        m >= lit(b1) && m < lit(b2),
+        m >= lit(b2))
+      .zipWithIndex.foreach { case (cond, i) =>
+        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
+      }
+    val streamIn = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in/*")
+    val sink = s"q119_sessions_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
+    val q = streamIn
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "8 hours").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  def sessionStreamValues: Q = (s, dir) =>
+    streamedSessions(s, dir).orderBy("user_id", "session_start_us")
+
   val entries: Map[String, Q] = Map(
     "q95_ema_stream_parity" -> emaStreamValues,
     "q114_stream_hourly" -> hourlyStreamValues,
-    "q116_stream_dedup" -> dedupStreamValues)
+    "q116_stream_dedup" -> dedupStreamValues,
+    "q119_stream_sessions" -> sessionStreamValues)
 
   /** DuckDB replays the EMA recursion stepwise along the contiguous
     * per-stock `day` axis (`day` is a row_number, so `rec.day + 1`
@@ -251,6 +308,30 @@ object StreamQueries {
         |SELECT strftime(h, '%Y-%m-%d %H:%M') AS hour, event_type, n, sum_value
         |FROM agg, wm WHERE h + INTERVAL 1 HOUR <= w
         |ORDER BY hour, event_type""".stripMargin,
+    // gaps-and-islands sessionization: break at inter-event silence
+    // >= the 8h gap (mirrors session_window's overlap-merge rule),
+    // session end = last event + gap, closed when end <= the
+    // ms-floored watermark (q114's rule)
+    "q119_stream_sessions" ->
+      """WITH o AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR THEN 1 ELSE 0 END AS brk
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value, sum(brk) OVER (
+        |  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM o),
+        |agg AS (
+        | SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts) + INTERVAL 8 HOUR) AS session_end_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        | FROM s GROUP BY 1, 2),
+        |wm AS (
+        | SELECT epoch_us(make_timestamp(epoch_ms(max(ts)) * 1000)
+        |   - INTERVAL 2 HOUR) AS w FROM events)
+        |SELECT user_id, session_start_us, session_end_us, n_events, sum_value
+        |FROM agg, wm WHERE session_end_us <= w
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "q95_ema_stream_parity" ->
       s"""WITH RECURSIVE ${Quotes.sqlCteWhere("user_id <= 20")},
          |t AS (SELECT stock, day, close FROM quotes),

@@ -86,6 +86,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("q119 parity: streamed sessions == batch gaps-and-islands on closed sessions") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamQueries.streamedSessions(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
+    val tsUs = unix_micros(col("ts"))
+    val gapUs = 8L * 3600 * 1000 * 1000
+    val wmUs = (ev.agg(max(tsUs)).head().getLong(0) / 1000) * 1000 -
+      2L * 3600 * 1000 * 1000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val batch = ev
+      .withColumn("brk", when(lag(col("ts"), 1).over(w).isNull ||
+        tsUs - unix_micros(lag(col("ts"), 1).over(w)) >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min(tsUs).as("session_start_us"),
+        (max(tsUs) + gapUs).as("session_end_us"),
+        count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .filter(col("session_end_us") <= wmUs)
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-event sessions exist, including ones merged ACROSS the
+    // replay's batch boundaries — otherwise the merge path is untested
+    assert(streamed.exists(_._4 > 1))
+  }
+
   test("q116 parity: overlapping redelivery deduped to the distinct source set") {
     val sf = "/root/testdata/sf0.001"
     val streamed = StreamQueries.streamedDedup(spark, sf)
