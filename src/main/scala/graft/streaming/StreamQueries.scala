@@ -273,11 +273,75 @@ object StreamQueries {
   def sessionStreamValues: Q = (s, dir) =>
     streamedSessions(s, dir).orderBy("user_id", "session_start_us")
 
+  /** q120: stream-stream INTERVAL JOIN — conversion attribution
+    * (each `view` joined to the same user's `purchase`s within the
+    * following 24h), the two-stream stateful shape none of
+    * q95/q114/q116/q119 exercises. Both sides are file streams over
+    * the same 3-batch range-split replay, each watermarked 2h; the
+    * time-range condition lets Spark derive state watermarks for
+    * BOTH buffers (views evictable 24h past the watermark, purchases
+    * immediately past it) — bounded state, the production plan for
+    * funnel attribution. Inner joins emit every match exactly once
+    * regardless of watermark (the watermark only bounds state and
+    * late data, and the monotone replay has no late rows), so the
+    * streamed result IS the batch interval join, which is what the
+    * DuckDB oracle runs. Lag is emitted in epoch micros — timestamp
+    * arithmetic is exact integer micros in both engines. */
+  def streamedAttribution(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_attrib", preferShm = true)
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(tsUtc(col("ts")).as("ts"), col("event_id"), col("user_id"),
+        col("event_type"))
+    val mm = ev.agg(min(tsMicros(col("ts"))).as("lo"),
+      max(tsMicros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val b1 = lo + (hi - lo) / 3
+    val b2 = lo + 2 * ((hi - lo) / 3)
+    val m = tsMicros(col("ts"))
+    Seq(m < lit(b1),
+        m >= lit(b1) && m < lit(b2),
+        m >= lit(b2))
+      .zipWithIndex.foreach { case (cond, i) =>
+        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
+      }
+    def src() = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in/*")
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_event_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val sink = s"q120_attrib_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
+    val q = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("v_user").as("user_id"), col("view_event_id"),
+        col("purchase_event_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  def attributionStreamValues: Q = (s, dir) =>
+    streamedAttribution(s, dir)
+      .orderBy("user_id", "view_event_id", "purchase_event_id")
+
   val entries: Map[String, Q] = Map(
     "q95_ema_stream_parity" -> emaStreamValues,
     "q114_stream_hourly" -> hourlyStreamValues,
     "q116_stream_dedup" -> dedupStreamValues,
-    "q119_stream_sessions" -> sessionStreamValues)
+    "q119_stream_sessions" -> sessionStreamValues,
+    "q120_stream_attribution" -> attributionStreamValues)
 
   /** DuckDB replays the EMA recursion stepwise along the contiguous
     * per-stock `day` axis (`day` is a row_number, so `rec.day + 1`
@@ -308,6 +372,16 @@ object StreamQueries {
         |SELECT strftime(h, '%Y-%m-%d %H:%M') AS hour, event_type, n, sum_value
         |FROM agg, wm WHERE h + INTERVAL 1 HOUR <= w
         |ORDER BY hour, event_type""".stripMargin,
+    // the streamed inner interval join equals the batch join: inner
+    // joins withhold nothing and the monotone replay has no late rows
+    "q120_stream_attribution" ->
+      """SELECT a.user_id, a.event_id AS view_event_id,
+        | b.event_id AS purchase_event_id,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+        |ORDER BY a.user_id, view_event_id, purchase_event_id""".stripMargin,
     // gaps-and-islands sessionization: break at inter-event silence
     // >= the 8h gap (mirrors session_window's overlap-merge rule),
     // session end = last event + gap, closed when end <= the

@@ -117,6 +117,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.exists(_._4 > 1))
   }
 
+  test("q120 parity: streamed interval join == batch join, incl. cross-batch matches") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamQueries.streamedAttribution(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_id"),
+        col("user_id"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("ve"),
+        unix_micros(col("ts")).as("vt"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pe"),
+        unix_micros(col("ts")).as("pt"))
+    val batch = v.join(p, col("vu") === col("pu") && col("pt") >= col("vt") &&
+        col("pt") <= col("vt") + 24L * 3600 * 1000 * 1000)
+      .select(col("vu"), col("ve"), col("pe"), (col("pt") - col("vt")).as("lag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("q116 parity: overlapping redelivery deduped to the distinct source set") {
     val sf = "/root/testdata/sf0.001"
     val streamed = StreamQueries.streamedDedup(spark, sf)
