@@ -122,6 +122,39 @@ object CorpusQueries {
       .orderBy("q_id", "rn")
   }
 
+  /** q121: int8-quantized ANN scan — per-vector symmetric int8
+    * quantization (scale = 127 / max|x|, floor(x·scale + 0.5)) and a
+    * top-k scan on the QUANTIZED dot product, with the float cosine
+    * carried alongside for quality inspection. The production
+    * memory-bandwidth play for brute-force ANN: 4 bytes→1 byte per
+    * component cuts scan I/O 4×, and the integer dot product is
+    * EXACT, so the compare path has no floating-point ordering at
+    * all (the only rounded float is the reported cosine, not the
+    * ranking key). floor(+0.5) instead of round() keeps both engines
+    * on one deterministic rounding rule. Same scan shape as q35:
+    * broadcast query row, linear candidate scan, TakeOrdered. */
+  def int8AnnSearch: Q = (s, dir) => {
+    val e = loadSpread(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val qz = {
+      val mx = array_max(transform(col("v"), x => abs(x)))
+      val scale = lit(127.0) / mx
+      when(mx > 0, transform(col("v"),
+        x => floor(x * scale + lit(0.5)).cast("long")))
+        .otherwise(transform(col("v"), x => lit(0L)))
+    }
+    val withQ = e.withColumn("qv", qz)
+    val q = withQ.filter(col("vec_id") === 7)
+      .select(col("v").as("query_v"), col("qv").as("query_qv"))
+    withQ.join(broadcast(q), col("vec_id") =!= 7)
+      .select(col("vec_id").as("cand_id"),
+        aggregate(zip_with(col("qv"), col("query_qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("qdot"),
+        round(VectorFns.cosine(col("v"), col("query_v")), 6).as("cos"))
+      .orderBy(col("qdot").desc, col("cand_id"))
+      .limit(10)
+  }
+
   /** MinHash+LSH near-dup candidates, FULLY ORACLED: the base hash is
     * [[DedupFns.portableHash60]], so the DuckDB oracle rebuilds the
     * identical signatures, band buckets and Jaccard verification
@@ -765,6 +798,7 @@ object CorpusQueries {
     "q53_multimodal_meta" -> multimodalMeta,
     "q54_multimodal_features" -> multimodalFeatures,
     "q96_ann_search" -> annSearch,
+    "q121_int8_ann" -> int8AnnSearch,
   )
 
   /** Shared oracle CTE: whitespace tokens with the blank-text guard
@@ -1181,6 +1215,27 @@ object CorpusQueries {
         |    ORDER BY cos DESC, cand_id) AS rn FROM sim)
         |SELECT q_id, cand_id, rn, cos FROM ranked WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
+    // the ranking key (qdot) is an exact integer dot product of the
+    // floor(+0.5)-quantized vectors, so ordering has NO float in it;
+    // the rounded cosine is a carried column only
+    "q121_int8_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |z AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |    THEN list_transform(v, x -> CAST(floor(
+        |      x * (127.0 / list_max(list_transform(v, y -> abs(y)))) + 0.5) AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+        | FROM e),
+        |q AS (SELECT v AS query_v, qv AS query_qv FROM z WHERE vec_id = 7),
+        |s AS (SELECT z.vec_id AS cand_id,
+        |  CAST(list_sum(list_transform(range(1, len(z.qv) + 1),
+        |    i -> z.qv[i] * q.query_qv[i])) AS BIGINT) AS qdot,
+        |  round(list_dot_product(z.v, q.query_v)
+        |    / (sqrt(list_dot_product(z.v, z.v))
+        |       * sqrt(list_dot_product(q.query_v, q.query_v))), 6) AS cos
+        | FROM z, q WHERE z.vec_id <> 7)
+        |SELECT cand_id, qdot, cos FROM s
+        |ORDER BY qdot DESC, cand_id LIMIT 10""".stripMargin,
     "q36_minhash_dedup" -> minhashOracleSql,
     "q37_simhash_pairs" -> simhashOracleSql,
     // same plane-literal embedding trick as q96 (the dedup index is

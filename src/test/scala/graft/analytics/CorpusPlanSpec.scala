@@ -74,6 +74,14 @@ class CorpusPlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 2, plan)
   }
 
+  test("int8 ANN: broadcast query + TakeOrdered, no data exchange") {
+    val plan = finalPlan(CorpusQueries.int8AnnSearch(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning")
+      && !plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("repetition: no doc_id join — dup2 rides the wordcount aggregation") {
     val plan = finalPlan(CorpusQueries.repetitionMetrics(spark, sf))
     assert(!plan.contains("Join"), plan)
