@@ -64,14 +64,16 @@ object StreamQueries {
     // unique sink name: the entry may run more than once per session
     // (spec + verify share a JVM in local runs)
     val sink = s"q95_ema_out_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
-    val q = StreamOps.emaStream(streamIn, emaAlpha)
-      .toDF("stock", "day", "ema_stream")
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", s"$root/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(s, 8) {
+      val q = StreamOps.emaStream(streamIn, emaAlpha)
+        .toDF("stock", "day", "ema_stream")
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
@@ -112,6 +114,23 @@ object StreamQueries {
     * stream schema derives from the frame that wrote the files. */
   private def tsUtc(c: Column): Column = c.cast("timestamp")
 
+  /** Runs `body` (which must START its streaming query inside) with
+    * `spark.sql.shuffle.partitions` scoped down for the stream. A
+    * streaming query captures the partition count at its FIRST
+    * checkpoint and keeps it for life — it is the state-store shard
+    * count, sized to key cardinality, not to batch scan parallelism.
+    * These replay fixtures carry a few thousand keys, where 32 shards
+    * × operators × micro-batches is pure state-store bookkeeping
+    * (measured 17 s → ~8 s on the q120 join at sf0.1). Production
+    * sizing at real cardinalities picks hundreds of shards the same
+    * way: explicitly, per stream. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   def streamedHourly(s: SparkSession, dir: String): DataFrame = {
     val root = graft.TempDirs.scratch("graft_stream_hourly", preferShm = true)
     val ev = graft.Tables.load(s, dir, "events")
@@ -137,13 +156,15 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/in/*")
     val sink = s"q114_hourly_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
-    val q = StreamOps.hourlyCounts(streamIn)
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", s"$root/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(s, 8) {
+      val q = StreamOps.hourlyCounts(streamIn)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
@@ -197,15 +218,17 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/in/*")
     val sink = s"q116_dedup_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
-    val q = streamIn
-      .withWatermark("ts", "48 hours")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", s"$root/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(s, 8) {
+      val q = streamIn
+        .withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
@@ -253,20 +276,22 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/in/*")
     val sink = s"q119_sessions_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
-    val q = streamIn
-      .withWatermark("ts", "2 hours")
-      .groupBy(session_window(col("ts"), "8 hours").as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-      .select(col("user_id"),
-        unix_micros(col("sw.start")).as("session_start_us"),
-        unix_micros(col("sw.end")).as("session_end_us"),
-        col("n_events"), col("sum_value"))
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", s"$root/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(s, 8) {
+      val q = streamIn
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "8 hours").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
@@ -316,19 +341,21 @@ object StreamQueries {
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
     val sink = s"q120_attrib_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
-    val q = views.join(purchases,
-        col("v_user") === col("p_user") &&
-          col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
-      .select(col("v_user").as("user_id"), col("view_event_id"),
-        col("purchase_event_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", s"$root/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(s, 8) {
+      val q = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
+        .select(col("v_user").as("user_id"), col("view_event_id"),
+          col("purchase_event_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
