@@ -28,6 +28,12 @@ object Bench {
       // isolated q58) for memory we don't need back — the frame is
       // ~400 MB raw against an 8 GB heap
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // shuffle compression trades CPU for I/O; with page-cache-backed
+      // local shuffle files the CPU loses (alpha derivation cold
+      // 78 -> 70 s at sf0.1 with lz4 off). A network-shuffling cluster
+      // keeps the default ON.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

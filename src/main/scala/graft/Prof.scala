@@ -40,6 +40,12 @@ object Prof {
       // isolated q58) for memory we don't need back — the frame is
       // ~400 MB raw against an 8 GB heap
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // shuffle compression trades CPU for I/O; with page-cache-backed
+      // local shuffle files the CPU loses (alpha derivation cold
+      // 78 -> 70 s at sf0.1 with lz4 off). A network-shuffling cluster
+      // keeps the default ON.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("PROF_CODEGEN", "true"))
       .config("spark.sql.codegen.factoryMode",
@@ -112,6 +118,20 @@ object Prof {
     println("PROF window ops: " + exec.toString.linesIterator.count(_.contains("Window")))
     println("PROF sort ops: " + exec.toString.linesIterator.count(l => l.contains("Sort ")))
     println("PROF exchange ops: " + exec.toString.linesIterator.count(_.contains("Exchange")))
+    // width carried through each keyed exchange: the shuffle bytes at
+    // scale are (rows × width) per exchange, so the sum of widths is
+    // the scheduler's real cost function
+    val planRoot = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val exWidths = planRoot.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        (e.outputPartitioning.toString.takeWhile(_ != '('), e.output.size)
+    }
+    println("PROF exchange widths: " + exWidths.map(_._2).sum + " total " +
+      exWidths.map { case (k, w) => s"$k:$w" }.mkString("[", ", ", "]"))
     sys.env.get("PROF_PLAN_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), exec.toString)
     }
