@@ -405,6 +405,35 @@ object CorpusQueries {
       .limit(10)
   }
 
+  /** q122: ANN recall@k audit — the index-QA step every embedding
+    * pipeline runs before trusting an approximate index: the exact
+    * cosine top-10 (ground truth) flagged with membership in the IVF
+    * top-10 ([[ivfSearch]], nprobe=2/16), plus the recall@10 scalar.
+    * Both sides are existing scan shapes (broadcast query + linear
+    * scan; cell-selective scan); the audit adds only a 10-row
+    * broadcast join, so it costs one extra pass over the corpus —
+    * exactly what a production recall sweep costs per query. */
+  def annRecallAudit: Q = (s, dir) => {
+    val e = loadSpread(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 7).select(col("v").as("qv"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= 7)
+      .select(col("vec_id").as("cand_id"),
+        round(VectorFns.cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("cand_id"))
+      .limit(10)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("cos").desc, col("cand_id")))
+          .cast("long"))
+    val ivf = ivfSearch(s, dir).select(col("cand_id").as("ivf_id"))
+    val flagged = exact.join(broadcast(ivf),
+        col("cand_id") === col("ivf_id"), "left")
+      .select(col("rn"), col("cand_id"), col("cos"),
+        col("ivf_id").isNotNull.cast("int").as("in_ivf"))
+    val recall = flagged.agg((sum("in_ivf") / 10.0).as("recall_at_10"))
+    flagged.crossJoin(broadcast(recall)).orderBy("rn")
+  }
+
   /** q108: context-window chunking — split each document's token
     * stream into fixed-size training chunks (size 32, stride 28 =
     * overlap 4), the standard pre-tokenization step for LLM training
@@ -799,6 +828,7 @@ object CorpusQueries {
     "q54_multimodal_features" -> multimodalFeatures,
     "q96_ann_search" -> annSearch,
     "q121_int8_ann" -> int8AnnSearch,
+    "q122_ann_recall" -> annRecallAudit,
   )
 
   /** Shared oracle CTE: whitespace tokens with the blank-text guard
@@ -1039,6 +1069,48 @@ object CorpusQueries {
         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         | floor(sum(n_tokens) / 2048.0 * 1e6 + 0.5) / 1e6 AS fill_ratio
         |FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin,
+    // exact ground-truth top-10 left-joined against the q107 IVF
+    // top-10 (same cell/probe SQL), plus the recall@10 scalar
+    "q122_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, c.cid,
+        |  floor(list_sum(list_transform(generate_series(1, len(e.v)),
+        |    i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) * 1e6 + 0.5) / 1e6 AS dist
+        | FROM e CROSS JOIN c),
+        |assign AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d) WHERE rn = 1),
+        |probe AS (SELECT cid AS cell FROM (
+        |  SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn
+        |  FROM d WHERE vec_id = 7) WHERE rn <= 2),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |ivf AS (
+        | SELECT e.vec_id AS ivf_id,
+        |  round(list_dot_product(e.v, qv)
+        |   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6)
+        |   AS cos
+        | FROM e JOIN assign a ON e.vec_id = a.vec_id, q
+        | WHERE e.vec_id <> 7 AND a.cell IN (SELECT cell FROM probe)
+        | ORDER BY cos DESC, ivf_id LIMIT 10),
+        |exact AS (
+        | SELECT cand_id, cos, CAST(row_number() OVER (
+        |   ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+        | FROM (
+        |  SELECT e.vec_id AS cand_id,
+        |   round(list_dot_product(e.v, qv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6)
+        |    AS cos
+        |  FROM e, q WHERE e.vec_id <> 7
+        |  ORDER BY cos DESC, cand_id LIMIT 10)),
+        |flagged AS (
+        | SELECT rn, cand_id, exact.cos,
+        |  CASE WHEN ivf.ivf_id IS NOT NULL THEN 1 ELSE 0 END AS in_ivf
+        | FROM exact LEFT JOIN ivf ON exact.cand_id = ivf.ivf_id)
+        |SELECT rn, cand_id, cos, in_ivf,
+        | (SELECT sum(in_ivf) / 10.0 FROM flagged) AS recall_at_10
+        |FROM flagged ORDER BY rn""".stripMargin,
     "q107_ivf_search" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

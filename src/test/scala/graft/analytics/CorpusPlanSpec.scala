@@ -82,6 +82,13 @@ class CorpusPlanSpec extends SparkSpec {
       && !plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("ANN recall audit: both sides broadcast-shaped, no shuffle joins") {
+    val plan = finalPlan(CorpusQueries.annRecallAudit(spark, sf))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.linesIterator.count(_.contains("BroadcastExchange")) >= 2, plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("repetition: no doc_id join — dup2 rides the wordcount aggregation") {
     val plan = finalPlan(CorpusQueries.repetitionMetrics(spark, sf))
     assert(!plan.contains("Join"), plan)
