@@ -4,38 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // AQE coalescing floor: the panel exchange shuffles only the
-      // narrow key columns (~1.6 MB at sf0.1), but feeds hundreds of
-      // derived-column windows — the default 1 MB floor coalesces it
-      // to ~5 partitions and strangles compute parallelism
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
-      // the JVM-wide generated-class cache defaults to 100 entries;
-      // a multi-query session evicts everything before the ~450-
-      // projection alpha pipeline runs, recompiling per task
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // constraint propagation is O(plan-size^2)-ish on the ~500-
-      // projection alpha DAG and infers nothing the panel queries
-      // need (no join pruning hinges on inferred IsNotNull here):
-      // measured -25% on isolated q90 (149->111 s) and q58 (90->69 s)
-      // at sf0.1 with identical results
-      .config("spark.sql.constraintPropagation.enabled", "false")
-      // the shared full-panel alpha frame (~500 double cols) is the
-      // only large persisted frame; building its columnar cache with
-      // per-column compression cost +40 s at sf0.1 (174 -> 135 s
-      // isolated q58) for memory we don't need back — the frame is
-      // ~400 MB raw against an 8 GB heap
-      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
-      // shuffle compression trades CPU for I/O; with page-cache-backed
-      // local shuffle files the CPU loses (alpha derivation cold
-      // 78 -> 70 s at sf0.1 with lz4 off). A network-shuffling cluster
-      // keeps the default ON.
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = LocalSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failed = List.empty[String]
     // Bulk-load throughput vs BASELINE.md:12 (native CSV pipe,
