@@ -1,6 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+import org.apache.spark.sql.types.DoubleType
 
 import scala.collection.immutable.ListMap
 
@@ -50,20 +54,72 @@ object PlanOps {
     * optimum; overridable via GRAFT_BATCH_CAP (0 = uncapped). */
   private val DefaultBatchCap = 32
 
-  def withColumnsBatched(df: DataFrame, defs: Seq[(String, Column)]): DataFrame = {
+  def withColumnsBatched(df: DataFrame, defs: Seq[(String, Column)]): DataFrame =
+    withColumnsBatched(df, defs, Map.empty, "day")
+
+  /** As above, with a RANK REGISTRY: definitions whose name is a key
+    * of `ranks` are percentile ranks over `partKey` of the column
+    * named by the value. They are scheduled exactly like the window
+    * expression they carry (the stored Column IS the window
+    * formulation), but LOWER to [[graft.plans.MultiRankNode]] stages
+    * — all ranks of a batch in one per-group pass instead of one
+    * WindowExec Sort per rank ordering. `GRAFT_XS_RANK=window`
+    * restores the window lowering (A/B and parity testing). */
+  def withColumnsBatched(df: DataFrame, defs: Seq[(String, Column)],
+      ranks: Map[String, String], partKey: String): DataFrame = {
     val cap = sys.env.get("GRAFT_BATCH_CAP").map(_.toInt).getOrElse(DefaultBatchCap)
+    val useExec = ranks.nonEmpty && !sys.env.get("GRAFT_XS_RANK").contains("window")
     val ordered =
-      if (sys.env.get("GRAFT_SCHED").contains("greedy")) defs else keyPhaseOrder(defs)
+      if (sys.env.get("GRAFT_SCHED").contains("greedy")) defs
+      else keyPhaseOrder(defs, ranks.keySet)
     val batches = Vector.newBuilder[ListMap[String, Column]]
     var cur = ListMap.empty[String, Column]
+    var curNonRank = 0 // cap counts projection width; ranks aren't projected
     ordered.foreach { case (name, c) =>
-      if (cur.contains(name) || refs(c).exists(cur.contains)
-          || (cap > 0 && cur.size >= cap)) {
-        batches += cur; cur = ListMap(name -> c)
-      } else cur = cur + (name -> c)
+      val isRank = useExec && ranks.contains(name)
+      // under exec lowering a rank may read an EARLIER rank of the
+      // same batch (rank-of-rank chains compute sequentially inside
+      // one group pass); any other intra-batch read still splits
+      val conflict = refs(c).exists(r =>
+        cur.contains(r) && !(isRank && ranks.contains(r)))
+      val full = cap > 0 && (if (isRank) false else curNonRank >= cap)
+      if (cur.contains(name) || conflict || full) {
+        batches += cur; cur = ListMap(name -> c); curNonRank = if (isRank) 0 else 1
+      } else { cur = cur + (name -> c); if (!isRank) curNonRank += 1 }
     }
     if (cur.nonEmpty) batches += cur
-    batches.result().foldLeft(df)((d, b) => d.withColumns(b))
+    batches.result().foldLeft(df) { (d, b) =>
+      if (!useExec) d.withColumns(b)
+      else {
+        val (rk, ex) = b.toSeq.partition { case (n, _) => ranks.contains(n) }
+        val d2 = if (ex.nonEmpty) d.withColumns(ListMap(ex: _*)) else d
+        if (rk.isEmpty) d2
+        else multiRankStage(d2, partKey, rk.map { case (n, _) => n -> ranks(n) })
+      }
+    }
+  }
+
+  /** Mount one [[graft.plans.MultiRankNode]] over `df`: `rankDefs`
+    * are (outputName, inputColName) in order; an input may name an
+    * earlier output of the same stage. */
+  private def multiRankStage(df: DataFrame, partKey: String,
+      rankDefs: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    PlanBridge.installStrategy(spark, graft.plans.MultiRankStrategy)
+    val plan = PlanBridge.analyzed(df)
+    val byName = plan.output.map(a => a.name -> a).toMap
+    val day = byName.getOrElse(partKey,
+      throw new IllegalArgumentException(s"rank partition key $partKey not in frame"))
+    val outs = rankDefs.map { case (o, _) =>
+      require(!byName.contains(o), s"rank $o would shadow an existing column")
+      AttributeReference(o, DoubleType, nullable = true)()
+    }
+    val outByName = rankDefs.map(_._1).zip(outs).toMap
+    val ins = rankDefs.map { case (_, in) =>
+      byName.getOrElse(in, outByName.getOrElse(in,
+        throw new IllegalArgumentException(s"rank input $in not in frame")))
+    }
+    PlanBridge.ofRows(spark, graft.plans.MultiRankNode(day, ins, outs, plan))
   }
 
   /** Key-phase scheduling (the default; GRAFT_SCHED=greedy restores
@@ -85,7 +141,17 @@ object PlanOps {
     * Kahn's algorithm with a phase preference: emit every ready
     * scalar or current-key definition, flip the key only when
     * starved. Deterministic (original order breaks ties). */
-  private[ops] def keyPhaseOrder(defs: Seq[(String, Column)]): Seq[(String, Column)] = {
+  private[ops] def keyPhaseOrder(defs: Seq[(String, Column)]): Seq[(String, Column)] =
+    keyPhaseOrder(defs, Set.empty)
+
+  /** `rankNames`: definitions that lower to batched rank stages. The
+    * keyed-phase inner loop emits them in their own waves (non-rank
+    * ready defs to a fixed point, then rank defs to a fixed point) so
+    * ranks cluster into long contiguous runs — each run is ONE
+    * MultiRank group pass; interleaving them with ordinary day
+    * windows would fragment the runs into many single-rank stages. */
+  private[ops] def keyPhaseOrder(defs: Seq[(String, Column)],
+      rankNames: Set[String]): Seq[(String, Column)] = {
     val n = defs.size
     val idx = defs.indices
     val name = defs.map(_._1).toArray
@@ -101,6 +167,15 @@ object PlanOps {
       }
     }
     val kind = defs.map { case (_, c) => kindOf(c) }.toArray
+    // widest partition-key list of the def's window specs: within a
+    // phase, COARSER keys emit first — hashpartitioning(day) satisfies
+    // a later (day, industry) window's clustering, but hash(day,
+    // industry) does NOT satisfy a later (day) window, which would
+    // cost an extra full-frame exchange (round-9 advice)
+    val keyLen = defs.map { case (_, c) =>
+      val ks = org.apache.spark.sql.graftbridge.ColumnBridge.windowPartitionKeys(c)
+      if (ks.isEmpty) 0 else ks.map(_.size).max
+    }.toArray
     // dependency edges j -> i (j must precede i)
     val deps = Array.fill(n)(Set.newBuilder[Int])
     val lastDef = scala.collection.mutable.Map.empty[String, Int]
@@ -117,20 +192,34 @@ object PlanOps {
       lastDef(name(i)) = i
     }
     val dep = deps.map(_.result())
+    val isRank = defs.map { case (nm, _) => rankNames.contains(nm) }.toArray
     val emitted = new Array[Boolean](n)
     val out = Vector.newBuilder[(String, Column)]
     var phase = 1 // start stock-side: stage 0 is lag/delta heavy
     var done = 0
+    val waveOrder = idx.sortBy(i => (keyLen(i), i)) // coarser keys first, stable
     while (done < n) {
-      var progressed = true
-      while (progressed) {
-        progressed = false
-        idx.foreach { i =>
-          if (!emitted(i) && (kind(i) == 0 || kind(i) == phase)
-              && dep(i).forall(emitted)) {
-            out += defs(i); emitted(i) = true; done += 1; progressed = true
+      // one wave: every ready def of the current phase matching `pred`,
+      // repeated to a fixed point
+      def emitWave(pred: Int => Boolean): Boolean = {
+        var any = false
+        var prog = true
+        while (prog) {
+          prog = false
+          waveOrder.foreach { i =>
+            if (!emitted(i) && pred(i) && (kind(i) == 0 || kind(i) == phase)
+                && dep(i).forall(emitted)) {
+              out += defs(i); emitted(i) = true; done += 1; prog = true; any = true
+            }
           }
         }
+        any
+      }
+      var progressed = true
+      while (progressed) {
+        val a = emitWave(i => !isRank(i))
+        val b = emitWave(i => isRank(i))
+        progressed = a || b
       }
       if (done < n) {
         // starved: flip phase; if neither keyed phase can run, fall
@@ -149,13 +238,70 @@ object PlanOps {
     out.result()
   }
 
+  /** Records percentile-rank definitions for batched lowering. Rank
+    * calls NESTED inside a larger expression (`-xr(x) * xr(y)`) are
+    * hoisted to fresh named defs automatically; the recorded def
+    * carries the equivalent WINDOW formulation ([[XsOps.rankPct]]),
+    * so scheduling classification and the `GRAFT_XS_RANK=window`
+    * fallback are byte-identical to the hand-written window chain. */
+  final class RankRecorder(val partKey: String) {
+    private var n = 0
+    private var pending = Vector.empty[(String, Column)]
+    private var reg = Map.empty[String, String]
+
+    /** Record a pct-rank of `x` over `partKey` under a fresh name;
+      * returns a reference to the rank column (for embedding). */
+    def rank(x: Column): Column = {
+      n += 1
+      val name = s"xr_h$n"
+      record(name, x)
+      col(name)
+    }
+
+    /** Record a NAMED pct-rank def (standalone rank columns). If the
+      * input isn't a bare column it is hoisted as `xr_in_<name>` —
+      * the prefix keeps hoists out of the `alpha_*` schema-discovery
+      * namespace (q58 discovers columns by prefix). */
+    private[ops] def record(name: String, x: Column): Unit = {
+      val input = ColumnBridge.simpleColumnName(x).getOrElse {
+        val in = s"xr_in_$name"
+        pending :+= (in -> x)
+        in
+      }
+      pending :+= (name -> XsOps.rankPct(col(input), col(partKey)))
+      reg += name -> input
+    }
+
+    private[ops] def drain(): Vector[(String, Column)] = {
+      val p = pending; pending = Vector.empty; p
+    }
+    private[ops] def registry: Map[String, String] = reg
+  }
+
   /** Drop-in deferred builder for long `.withColumn` chains: records
     * definitions without touching the plan, then [[build]] emits the
     * batched layers. Lets a 330-column pipeline keep its readable
     * one-column-per-line shape while paying analyzer cost per LAYER,
-    * not per column. */
-  final case class ColChain(df: DataFrame, defs: Vector[(String, Column)] = Vector.empty) {
-    def withColumn(name: String, c: Column): ColChain = copy(defs = defs :+ (name -> c))
-    def build: DataFrame = withColumnsBatched(df, defs)
+    * not per column. With a [[RankRecorder]] attached, rank defs
+    * recorded while an expression was being BUILT are spliced in
+    * just before the consuming definition. */
+  final case class ColChain(df: DataFrame, defs: Vector[(String, Column)] = Vector.empty,
+      rec: Option[RankRecorder] = None) {
+    private def drained: Vector[(String, Column)] =
+      rec.fold(Vector.empty[(String, Column)])(_.drain())
+    def withColumn(name: String, c: Column): ColChain =
+      copy(defs = defs ++ drained :+ (name -> c))
+    /** Named pct-rank of `x` over the recorder's partition key. */
+    def withRank(name: String, x: Column): ColChain = {
+      rec.get.record(name, x)
+      copy(defs = defs ++ drained)
+    }
+    def build: DataFrame = {
+      val all = defs ++ drained
+      rec match {
+        case Some(r) => withColumnsBatched(df, all, r.registry, r.partKey)
+        case None => withColumnsBatched(df, all)
+      }
+    }
   }
 }

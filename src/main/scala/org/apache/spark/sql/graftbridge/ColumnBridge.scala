@@ -38,6 +38,15 @@ object ColumnBridge {
     out.result()
   }
 
+  /** `Some(name)` iff the Column is a bare single-part attribute
+    * reference (`col("x")`), i.e. needs no hoisted projection when
+    * used as a rank input. */
+  def simpleColumnName(c: Column): Option[String] = c.node match {
+    case ua: org.apache.spark.sql.internal.UnresolvedAttribute
+        if ua.nameParts.size == 1 => Some(ua.nameParts.head)
+    case _ => None
+  }
+
   /** Column names referenced by an UNRESOLVED Column. The classic
     * converter wraps the ColumnNode tree in a leaf
     * `ColumnNodeExpression`, so catalyst `collect` sees no children —

@@ -88,11 +88,30 @@ class FactorPlanSpec extends SparkSpec {
     assert(ex <= 10, s"alpha plan has $ex keyed exchanges (expected <= 10)")
   }
 
+  test("alpha mega-DAG: batched XS ranks leave O(1) sorts, not one per rank") {
+    // Under per-rank WindowExec specs the ~130 distinct cross-
+    // sectional rank orderings each cost a full-panel Sort (~160
+    // Sort/Window operators, round 9). With MultiRank lowering the
+    // plan carries one single-key Sort per phase and a handful of
+    // group-pass nodes — pin all three counts so a scheduler or
+    // recorder regression can't quietly reintroduce per-rank sorts.
+    val panel = graft.sources.Quotes.panel(spark, "/root/testdata/sf0.01")
+    val plan = graft.factors.Alpha101.compute(panel)
+      .queryExecution.executedPlan.toString
+    val sorts = plan.linesIterator.count(_.contains("Sort ["))
+    val mr = plan.linesIterator.count(_.contains("MultiRank day#"))
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(mr >= 2, s"expected MultiRank stages in the alpha plan, got $mr")
+    assert(sorts <= 12, s"alpha plan has $sorts sorts (expected O(1) per phase)")
+    assert(windows <= 40, s"alpha plan has $windows window ops (expected TS-only)")
+  }
+
   test("alpha materialization restores the session codegen conf") {
     val dir = "/root/testdata/sf0.001"
-    // the one-shot interpreted materialization (wholeStage off,
-    // factoryMode NO_CODEGEN) must leave the SESSION conf untouched:
-    // a leak would silently run every later query interpreted
+    // the one-shot materialization (factoryMode NO_CODEGEN; whole-
+    // stage fusion stays ON — see FactorQueries.alphaFull's rationale)
+    // must leave the SESSION conf untouched: a leak would silently
+    // run every later query with one-shot codegen settings
     FactorQueries.columnDiscovery(spark, dir).collect()
     assert(spark.conf.get("spark.sql.codegen.wholeStage") === "true")
     assert(spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK") === "FALLBACK")

@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.{PlanOps, XsOps}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Parity + plan pins for the batched cross-sectional rank operator:
+  * [[MultiRankNode]] must be bit-identical to the WindowExec
+  * formulation ([[XsOps.rankPct]]) it replaces — including average
+  * ties, null exclusion, -0.0/0.0 merging, NaN-largest ordering, and
+  * integral inputs — while eliminating the per-rank Sort operators. */
+class MultiRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Random panel with nulls, exact ties, ±0.0, NaN, and a long col. */
+  private lazy val panel = {
+    val rnd = new Random(42)
+    val rows = for {
+      day <- 1 to 13
+      ent <- 1 to 37
+    } yield {
+      val v1 = rnd.nextInt(8) match {
+        case 0 => None
+        case 1 => Some(0.0)
+        case 2 => Some(-0.0)
+        case 3 => Some(Double.NaN)
+        case 4 => Some(rnd.nextInt(4).toDouble) // planted ties
+        case _ => Some(rnd.nextDouble() * 100 - 50)
+      }
+      val v2 = if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble())
+      (day.toLong, ent.toLong, v1, v2, rnd.nextInt(5).toLong)
+    }
+    rows.toDF("day", "ent", "v1", "v2", "lv").cache()
+  }
+
+  private def viaExec = {
+    val rk = new PlanOps.RankRecorder("day")
+    PlanOps.ColChain(panel, rec = Some(rk))
+      .withRank("r1", col("v1"))
+      .withRank("r2", col("v2"))
+      .withRank("rl", col("lv"))
+      .withRank("rr", col("r1")) // rank-of-rank, same stage
+      .withRank("re", col("v1") * 2.0 - col("v2")) // hoisted input
+      .build
+  }
+
+  private def viaWindow =
+    panel
+      .withColumn("r1", XsOps.rankPct(col("v1"), col("day")))
+      .withColumn("r2", XsOps.rankPct(col("v2"), col("day")))
+      .withColumn("rl", XsOps.rankPct(col("lv"), col("day")))
+      .withColumn("rr", XsOps.rankPct(
+        XsOps.rankPct(col("v1"), col("day")), col("day")))
+      .withColumn("re", XsOps.rankPct(col("v1") * 2.0 - col("v2"), col("day")))
+
+  test("MultiRank is bit-identical to the window formulation") {
+    val cols = Seq("day", "ent", "r1", "r2", "rl", "rr", "re")
+    val a = viaExec.select(cols.map(col): _*).orderBy("day", "ent").collect()
+    val b = viaWindow.select(cols.map(col): _*).orderBy("day", "ent").collect()
+    assert(a.length == b.length && a.length == 13 * 37)
+    a.zip(b).foreach { case (x, y) =>
+      cols.indices.foreach { i =>
+        assert(x.isNullAt(i) == y.isNullAt(i), s"null mismatch at $i: $x vs $y")
+        if (!x.isNullAt(i)) x.get(i) match {
+          case d: Double =>
+            val e = y.getDouble(i)
+            // bit-identical, NaN-safe
+            assert(java.lang.Double.doubleToLongBits(d)
+              == java.lang.Double.doubleToLongBits(e), s"col $i: $d vs $e")
+          case v => assert(v == y.get(i))
+        }
+      }
+    }
+  }
+
+  test("rank plan: one MultiRank stage, no per-rank Sorts, no extra exchange") {
+    val df = viaExec
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val mr = plan.linesIterator.count(_.contains("MultiRank day#")) // exec prints nodeName "MultiRank"
+    val sortLines = plan.linesIterator.count(_.contains("Sort ["))
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    // the five ranks (incl. a rank-of-rank chain) lower to at most two
+    // group passes on ONE day exchange with ONE single-key sort
+    assert(mr >= 1 && mr <= 2, plan)
+    assert(ex == 1, plan)
+    assert(sortLines <= 1, plan)
+  }
+
+  test("pandas tie/null semantics on a hand-checked group") {
+    // day 1: values [10, 10, null, 30] -> nonnull n=3
+    // ranks: 10 -> (1 + (2-1)/2)/3 = 0.5 ; 30 -> 3/3 = 1.0
+    val df = Seq((1L, 1L, Some(10.0)), (1L, 2L, Some(10.0)),
+      (1L, 3L, None), (1L, 4L, Some(30.0)))
+      .toDF("day", "ent", "v")
+    val rk = new PlanOps.RankRecorder("day")
+    val out = PlanOps.ColChain(df, rec = Some(rk)).withRank("r", col("v")).build
+      .orderBy("ent").select("r").collect()
+    assert(out(0).getDouble(0) == 0.5)
+    assert(out(1).getDouble(0) == 0.5)
+    assert(out(2).isNullAt(0))
+    assert(out(3).getDouble(0) == 1.0)
+  }
+}
