@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Plan-cost profiler for the Alpha101 mega-DAG: splits wall time
   * into analysis / optimization / physical planning / execution so

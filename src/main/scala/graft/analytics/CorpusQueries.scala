@@ -41,7 +41,12 @@ object CorpusQueries {
     // materialization it pays is the raw table (sub-MB at these SFs,
     // and at scale the guard is false so neither shuffle nor
     // checkpoint happens).
-    if (d.rdd.getNumPartitions < par)
+    // file-index split estimate, not d.rdd.getNumPartitions: the RDD
+    // conversion materializes a deserializer lineage per entry just
+    // to read a partition count (round-9 verdict, What's-wrong #3)
+    val splits = org.apache.spark.sql.graftbridge.PlanBridge
+      .scanSplitEstimate(d).getOrElse(par.toLong)
+    if (splits < par)
       d.repartition(par, col(keyCol)).localCheckpoint()
     else d
   }
@@ -136,20 +141,12 @@ object CorpusQueries {
   def int8AnnSearch: Q = (s, dir) => {
     val e = loadSpread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
-    val qz = {
-      val mx = array_max(transform(col("v"), x => abs(x)))
-      val scale = lit(127.0) / mx
-      when(mx > 0, transform(col("v"),
-        x => floor(x * scale + lit(0.5)).cast("long")))
-        .otherwise(transform(col("v"), x => lit(0L)))
-    }
-    val withQ = e.withColumn("qv", qz)
+    val withQ = e.withColumn("qv", VectorFns.int8Quantize(col("v")))
     val q = withQ.filter(col("vec_id") === 7)
       .select(col("v").as("query_v"), col("qv").as("query_qv"))
     withQ.join(broadcast(q), col("vec_id") =!= 7)
       .select(col("vec_id").as("cand_id"),
-        aggregate(zip_with(col("qv"), col("query_qv"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("qdot"),
+        VectorFns.int8Dot(col("qv"), col("query_qv")).as("qdot"),
         round(VectorFns.cosine(col("v"), col("query_v")), 6).as("cos"))
       .orderBy(col("qdot").desc, col("cand_id"))
       .limit(10)
@@ -919,8 +916,11 @@ object CorpusQueries {
     // the per-doc sums match bitwise before the 6-dp floor. The
     // LIMIT 50000 vocabulary prune mirrors the Spark side (a no-op
     // on this corpus, kept so the two models stay definitionally
-    // identical). Every token is in-vocab here, so the OOV floor
-    // branch never fires in either engine.
+    // identical) — and the scoring join is a LEFT join with the SAME
+    // ln(0.5/total) OOV floor as the Spark fold, so the oracle stays
+    // correct even when the prune starts dropping tail tokens (an
+    // inner join would both drop OOV tokens and break the recursive
+    // chain's i-sequence).
     "q117_lm_quality" ->
       """WITH RECURSIVE t AS (
         | SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0
@@ -933,7 +933,8 @@ object CorpusQueries {
         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt FROM c),
         |v AS (SELECT tok, ln(CAST(cnt AS DOUBLE) / tt) AS logp
         |      FROM (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 50000), tot),
-        |j AS (SELECT e.doc_id, e.i, v.logp FROM e JOIN v USING (tok)),
+        |j AS (SELECT e.doc_id, e.i, coalesce(v.logp, ln(0.5 / tt)) AS logp
+        |      FROM e LEFT JOIN v USING (tok), tot),
         |n AS (SELECT doc_id, max(i) AS n FROM j GROUP BY doc_id),
         |rec AS (
         |  SELECT doc_id, 1 AS i, logp AS acc FROM j WHERE i = 1

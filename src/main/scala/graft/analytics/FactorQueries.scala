@@ -281,48 +281,72 @@ object FactorQueries {
     * doubles (~400 MB at sf0.1), comfortable for MEMORY_AND_DISK;
     * values are deterministic, so consumers are unchanged across
     * re-reads. */
+  /** Bench hook: force the shared full-panel derivation NOW so its
+    * one-time cost appears as its own `alpha_derive` bench line
+    * instead of inflating whichever alpha consumer happens to run
+    * first (q58 under name-sorted execution — the r9 bench
+    * misattributed ~26% of total wall to it). */
+  def primeAlphaFull(s: SparkSession, dir: String): Unit = { alphaFull(s, dir); () }
+
   private val alphaFullCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def alphaFull(s: SparkSession, dir: String): DataFrame =
-    alphaFullCache.computeIfAbsent((s, dir), { case (ss, d) =>
-      // drop this session's entries when it stops: a long-lived JVM
-      // (test suites) otherwise pins persisted frames of dead
-      // sessions in the map forever
-      ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          alphaFullCache.keySet.removeIf(_._1 eq ss)
-      })
-      // One-shot materialization runs with factoryMode NO_CODEGEN:
-      // the derivation executes exactly once per session, and the
-      // per-operator Generate{UnsafeProjection,Ordering,Mutable-
-      // Projection} factories pay Janino compile + source-text
-      // formatting per plan instance for code that runs once — JFR
-      // at sf0.001 (where row work is nil) attributes ~40% of
-      // execution samples to codegen text/compile plus task-binary
-      // deserialization. Whole-stage fusion STAYS ON: its fused
-      // projection chains carry the real per-row arithmetic, and on
-      // the 8-exchange key-phase plan the cold sf0.1 derivation
-      // measures 78 s with fusion vs 89 s fully interpreted vs 97 s
-      // fully codegen'd (results identical — IEEE ops are the same
-      // either way; pinned by the q90 oracle). The conf is restored
-      // before returning, so downstream cache reads (q58 melt, q90
-      // scan, q91 IC) run with default codegen. At cluster scale the
-      // same reasoning holds per executor: factory codegen amortizes
-      // only when per-core row volume dwarfs the per-plan compile
-      // constant, which a 100 k-row local panel does not.
-      val conf = ss.conf
-      val prevFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      try {
-        val f = Alpha101.compute(Quotes.panel(ss, d))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        f.count() // materialize the cache while the one-shot conf is active
-        f
-      } finally {
-        conf.set("spark.sql.codegen.factoryMode", prevFm)
-      }
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => DataFrame]()
+  private def alphaFull(s: SparkSession, dir: String): DataFrame = {
+    // computeIfAbsent only allocates a memoizing holder (cheap): the
+    // multi-second derivation runs OUTSIDE the map's bin lock, under
+    // the holder's own per-key lazy-val lock, so a concurrent first
+    // call for a DIFFERENT (session, dir) key never blocks behind it
+    val holder = alphaFullCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      lazy val frame = deriveAlphaFull(ss, d)
+      () => frame
     })
+    holder()
+  }
+
+  private def deriveAlphaFull(ss: SparkSession, d: String): DataFrame = {
+    // drop this session's entries when it stops: a long-lived JVM
+    // (test suites) otherwise pins persisted frames of dead
+    // sessions in the map forever
+    ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        alphaFullCache.keySet.removeIf(_._1 eq ss)
+    })
+    // One-shot materialization runs with factoryMode NO_CODEGEN:
+    // the derivation executes exactly once per session, and the
+    // per-operator Generate{UnsafeProjection,Ordering,Mutable-
+    // Projection} factories pay Janino compile + source-text
+    // formatting per plan instance for code that runs once — JFR
+    // at sf0.001 (where row work is nil) attributes ~40% of
+    // execution samples to codegen text/compile plus task-binary
+    // deserialization. Whole-stage fusion STAYS ON: its fused
+    // projection chains carry the real per-row arithmetic, and on
+    // the 8-exchange key-phase plan the cold sf0.1 derivation
+    // measures 78 s with fusion vs 89 s fully interpreted vs 97 s
+    // fully codegen'd (results identical — IEEE ops are the same
+    // either way; pinned by the q90 oracle). At cluster scale the
+    // same reasoning holds per executor: factory codegen amortizes
+    // only when per-core row volume dwarfs the per-plan compile
+    // constant, which a 100 k-row local panel does not.
+    //
+    // Conf isolation: the override runs on a PRIVATE newSession()
+    // child (shares context, catalog, and cache; owns its SQLConf),
+    // so the parent session's conf is never touched and a query
+    // running concurrently on the parent cannot observe the swap.
+    // The child conf is restored before the frame escapes, so
+    // downstream reads of the persisted frame (q58 melt, q90 scan,
+    // q91 IC — their plans build on the frame's session) run with
+    // default codegen.
+    val child = ss.newSession()
+    child.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val f = Alpha101.compute(Quotes.panel(child, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count() // materialize the cache while the one-shot conf is active
+      f
+    } finally {
+      child.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 
   def columnDiscovery: Q = (s, dir) => {
     val a = alphaFull(s, dir)

@@ -64,6 +64,27 @@ object VectorFns {
   def planes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] =
     (0 until nBits).map(b => (0 until dim).map(j => splitmix(seed, b, j)))
 
+  /** Per-vector symmetric int8 quantization: scale = 127 / max|x|,
+    * component → floor(x·scale + 0.5) as long (range −127..127; the
+    * +0.5 floor is one deterministic rounding rule both engines
+    * share, unlike round()'s half-even). All-zero, all-null-ish and
+    * non-finite-max vectors quantize to zeros (the `mx > 0` guard is
+    * false for NaN). Because the scale normalizes by max|x|, the
+    * quantized vector — and therefore any integer dot-product
+    * ranking over it — is INVARIANT under positive scaling of the
+    * input (pinned in VectorFnsSpec). */
+  def int8Quantize(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / mx
+    when(mx > 0, transform(v, x => floor(x * scale + lit(0.5)).cast("long")))
+      .otherwise(transform(v, _ => lit(0L)))
+  }
+
+  /** Exact integer dot product of two quantized vectors (the q121
+    * ranking key — no floating point in the compare path). */
+  def int8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** SimHash-style LSH bucket id for a dense vector: `nBits` random
     * hyperplane signs packed into a long. Deterministic across runs.
     * dim must cover the vector length. */

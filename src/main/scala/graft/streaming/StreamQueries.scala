@@ -123,7 +123,14 @@ object StreamQueries {
     * × operators × micro-batches is pure state-store bookkeeping
     * (measured 17 s → ~8 s on the q120 join at sf0.1). Production
     * sizing at real cardinalities picks hundreds of shards the same
-    * way: explicitly, per stream. */
+    * way: explicitly, per stream.
+    *
+    * SINGLE-THREADING ASSUMPTION: the override is session-global for
+    * the duration of `body` (awaitTermination included); a batch
+    * query running CONCURRENTLY on the same session would silently
+    * plan with `n` shuffle partitions. The sequential Verify/Bench
+    * drivers satisfy this; a concurrent caller should run the stream
+    * on `s.newSession()` instead. */
   private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)

@@ -39,4 +39,49 @@ class VectorFnsSpec extends SparkSpec {
       .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(got.toSeq == Seq(Some(1.0), Some(0.0), None))
   }
+
+  test("int8 quantizer edges: all-zero, NaN max-guard, ±max asymmetry") {
+    val df = Seq(
+      Seq(0.0, 0.0, 0.0),              // all-zero: guard -> zeros
+      Seq(1.0, Double.NaN, 2.0),       // NaN max: guard false -> zeros
+      Seq(-3.0, 1.5, 3.0),             // symmetric extremes hit ±127
+      Seq(-4.0, 1.0)                   // max from the NEGATIVE side
+    ).toDF("v")
+    val got = df.select(VectorFns.int8Quantize(col("v"))).collect()
+      .map(_.getSeq[Long](0))
+    assert(got(0) == Seq(0L, 0L, 0L))
+    assert(got(1) == Seq(0L, 0L, 0L))
+    // scale 127/3: floor(-127 + .5) = -127, floor(63.5 + .5) = 64
+    assert(got(2) == Seq(-127L, 64L, 127L))
+    // scale 127/4: -4 -> floor(-126.5) = -127, 1 -> floor(32.25) = 32
+    assert(got(3) == Seq(-127L, 32L))
+  }
+
+  test("int8 quantizer: invariant under power-of-two vector scaling") {
+    // scale = 127/max|x| normalizes the vector's magnitude away; for
+    // power-of-two scalings every intermediate (c·x, scale/c) is an
+    // exact float op, so the quantized vector — and hence the q121
+    // integer ranking key — is BIT-identical. (Non-power-of-two
+    // scalings are invariant up to one ulp of the pre-floor product;
+    // the pinned guarantee is the exact one.)
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e4, 1e4))
+    val cGen = Gen.oneOf(0.5, 0.25, 4.0, 1024.0, math.pow(2, -20), math.pow(2, 40))
+    val qGen = Gen.listOfN(16, Gen.chooseNum(-1e2, 1e2))
+    val prop = Prop.forAllNoShrink(Gen.listOfN(8, Gen.zip(vecGen, cGen, qGen))) { rows =>
+      val df = rows.map { case (v, c, q) => (v, v.map(_ * c), q) }
+        .toDF("v", "vc", "q")
+      val out = df.select(
+          VectorFns.int8Quantize(col("v")).as("qa"),
+          VectorFns.int8Quantize(col("vc")).as("qb"),
+          VectorFns.int8Dot(VectorFns.int8Quantize(col("v")),
+            VectorFns.int8Quantize(col("q"))).as("d1"),
+          VectorFns.int8Dot(VectorFns.int8Quantize(col("vc")),
+            VectorFns.int8Quantize(col("q"))).as("d2"))
+        .collect()
+      out.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)
+        && r.getLong(2) == r.getLong(3))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -98,6 +98,35 @@ class IngestSpec extends SparkSpec {
     assert(one.sameElements(one.sorted))
   }
 
+  test("hive sink: a partition-key filter scans ONLY that partition's files") {
+    // the reference's core read optimization (quant_db_ddl.md:176-179,
+    // SURVEY §4 row 1): the sink's hive layout must give readers
+    // partition PRUNING — a key-filtered read lists one partition
+    // directory, not a post-scan filter over all of them
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val path = s"$workDir/prune_sink"
+    Ingest.writeSortedParquet(df, path, Seq("o_orderstatus"), Seq("o_totalprice"))
+    def parquetFiles(p: String): Long = {
+      val it = Files.walk(Paths.get(p)).iterator()
+      var n = 0L
+      while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val fFiles = parquetFiles(s"$path/o_orderstatus=F")
+    val allFiles = parquetFiles(path)
+    assert(fFiles > 0 && fFiles < allFiles, s"$fFiles of $allFiles")
+    val read = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+    read.collect()
+    val scan = read.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.metrics.contains("numFiles"), scan.toString)
+    assert(scan.metrics("numFiles").value == fFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, partition has $fFiles")
+    // and the filter reached the scan as a PARTITION filter, not a
+    // post-scan predicate
+    assert(scan.toString.contains("PartitionFilters"), scan.toString)
+  }
+
   test("checkpointParquet: roundtrip with truncated lineage") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
     val back = Ingest.checkpointParquet(df, s"$workDir/ckpt")
