@@ -12,8 +12,33 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * on a bucket key, never an all-pairs cross join, so they scale to
   * 100 TB (bucket cardinality grows with the corpus, keeping
   * per-bucket work bounded).
+  *
+  * HOT-BUCKET GUARD: real corpora have pathological buckets — one
+  * boilerplate shingle / band value shared by a large fraction of
+  * documents — whose candidate pairs grow O(population²). Every pair
+  * miner below takes a `maxBucket` population cap: buckets over the
+  * cap are EXCLUDED from candidate generation, and the exclusion is
+  * accounted, not silent — the query publishes observed metrics
+  * (`Dataset.observe`: `<op>_hot_buckets` = excluded bucket count,
+  * `<op>_max_bucket` = the largest population seen) that any
+  * `QueryExecutionListener` reads per run. Because verification
+  * re-checks exact similarity on every surviving candidate, capping
+  * can only DROP candidates, never admit false pairs; a TRUE pair is
+  * lost only if every bucket it shares is hot (boilerplate-only
+  * overlap) — DedupSpec plants exactly that scenario and pins that
+  * pairs sharing any rare feature keep recall 1.0. Defaults are far
+  * above any non-adversarial population so the testdata oracles are
+  * byte-identical with the guard armed.
   */
 object DedupFns {
+
+  /** Default bucket-population cap: 2^14 docs sharing one bucket is
+    * already ~134M candidate pairs from that bucket alone. */
+  val DefaultMaxBucket = 1 << 14
+
+  /** Count-if helper for the observe metrics. */
+  private def nOver(c: Column, cap: Int): Column =
+    sum(when(c > cap, 1L).otherwise(0L))
 
   /** |A∩B| of two sorted long arrays via the codegen'd merge
     * expression [[graft.expressions.SortedLongIntersectCount]]. */
@@ -97,7 +122,8 @@ object DedupFns {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 12, bands: Int = 4,
-                        minJaccard: Double = 0.5): DataFrame = {
+                        minJaccard: Double = 0.5,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // hv is its own column, referenced k times by the signature and
     // once by the verifier — one string-hash pass per doc total
     val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -107,7 +133,16 @@ object DedupFns {
     val withSig = hashed
       .withColumn("sig", minhashSignatureFromHashes(col("hv"), k))
     val buckets = lshBuckets(withSig, "doc_id", "sig", bands, k / bands)
-    val a = buckets.as("a"); val b = buckets.as("b")
+    // hot-bucket guard: population per (band, bucket) — one narrow
+    // map-side-combined aggregation on the SAME key the candidate
+    // join shuffles on; over-cap buckets are excluded and accounted
+    val pop = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bpop"))
+    val capped = buckets.join(pop, Seq("band", "bucket"))
+    val a = capped.observe("minhash_hot",
+        nOver(col("bpop"), maxBucket).as("minhash_hot_postings"),
+        max(col("bpop")).as("minhash_max_bucket"))
+      .filter(col("bpop") <= maxBucket).as("a")
+    val b = capped.filter(col("bpop") <= maxBucket).as("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
@@ -141,7 +176,8 @@ object DedupFns {
     * high-cardinality columns; per-shingle fan-out is bounded by the
     * prefix property rather than data luck. */
   def jaccardPrefixPairs(docs: DataFrame, idCol: String, blockCol: String,
-                         shinglesCol: String, threshold: Double): DataFrame = {
+                         shinglesCol: String, threshold: Double,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val d = docs
       .withColumn("n_sh", size(col(shinglesCol)))
       .filter(col("n_sh") > 0)
@@ -153,7 +189,19 @@ object DedupFns {
       .withColumn("rk", row_number().over(
         Window.partitionBy(idCol).orderBy("dfreq", "shingle")))
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
-    val a = prefix.as("a"); val b = prefix.as("b")
+    // hot-shingle guard: rk is computed over the FULL shingle order
+    // (prefix semantics unchanged); only the candidate join skips
+    // postings whose shingle's document frequency exceeds the cap.
+    // The ascending-dfreq prefix order already pushes hot shingles
+    // out of most prefixes — the cap bounds the residue where a hot
+    // shingle IS the prefix (near-boilerplate documents). Accounted
+    // via observed metrics on the probe side.
+    val aSide = prefix.observe("jaccard_hot",
+      nOver(col("dfreq"), maxBucket).as("jaccard_hot_postings"),
+      max(col("dfreq")).as("jaccard_max_bucket"))
+      .filter(col("dfreq") <= maxBucket)
+    val a = aSide.as("a")
+    val b = prefix.filter(col("dfreq") <= maxBucket).as("b")
     // PPJoin positional filter: a shared prefix token at positions
     // (rk_a, rk_b) bounds the overlap by min(remaining)+1; J >= t
     // needs overlap >= t/(1+t)*(|A|+|B|). Valid for the FIRST shared
@@ -193,7 +241,8 @@ object DedupFns {
     * (band, value) bucket. No false negatives; the all-pairs self-
     * join becomes a bucket-keyed equi-join. */
   def simhashBandedPairs(docs: DataFrame, idCol: String, blockCol: String,
-                         hashCol: String, maxHamming: Int): DataFrame = {
+                         hashCol: String, maxHamming: Int,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val nBands = maxHamming + 1
     val base = 64 / nBands
     val rem = 64 % nBands
@@ -208,24 +257,28 @@ object DedupFns {
         explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col(blockCol), col(hashCol),
         col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val a = banded.as("a"); val b = banded.as("b")
-    // emit each pair exactly once — at its FIRST matching band — via
-    // bitwise arithmetic on the two carried hashes (no distinct
-    // shuffle): band j matches iff the xor is 0 in that band's bits
-    val xorCol = col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol"))
-    val firstMatch = widths.zip(offsets).zipWithIndex.foldRight(lit(-1)) {
-      case (((w, off), i), els) =>
-        when(shiftright(xorCol, off).bitwiseAND(lit((1L << w) - 1)) === 0L, lit(i))
-          .otherwise(els)
-    }
+    // hot-bucket guard (accounted, as in the minhash miner). The
+    // pre-guard version deduped pairs with a first-matching-band
+    // bitwise trick instead of distinct(); under a cap that trick
+    // would DROP a pair whose first match is a hot bucket even when
+    // a cold band also matches it, so dedup is a distinct() over the
+    // narrow candidate pairs — a pair survives iff ANY shared bucket
+    // is cold, which is the guard's recall contract.
+    val pop = banded.groupBy(blockCol, "band", "bval").agg(count(lit(1)).as("bpop"))
+    val capped = banded.join(pop, Seq(blockCol, "band", "bval"))
+    val a = capped.observe("simhash_hot",
+        nOver(col("bpop"), maxBucket).as("simhash_hot_postings"),
+        max(col("bpop")).as("simhash_max_bucket"))
+      .filter(col("bpop") <= maxBucket).as("a")
+    val b = capped.filter(col("bpop") <= maxBucket).as("b")
     a.join(b,
         col(s"a.$blockCol") === col(s"b.$blockCol")
           && col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
-          && col(s"a.$idCol") < col(s"b.$idCol")
-          && col("a.band") === firstMatch)
+          && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         hamming(col(s"a.$hashCol"), col(s"b.$hashCol")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Token hashes for [[simhash64FromHashes]] — materialize as a

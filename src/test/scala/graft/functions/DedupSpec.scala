@@ -143,6 +143,113 @@ class DedupSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  // ---- hot-bucket guard: planted pathological buckets ----
+  // The guard's recall contract: capping a hot bucket can only drop
+  // CANDIDATES (verification re-checks every survivor), and a true
+  // pair is lost only if every bucket it shares is hot. Each planted
+  // scenario has a boilerplate feature shared by many non-duplicate
+  // docs (the hot bucket) plus true pairs that also share rare
+  // features — capped output must equal uncapped output, with the
+  // exclusion visible in the observed metrics.
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+
+  // observed metrics live on the queryExecution that RAN — read them
+  // from the same Dataset pairSet collected, after the action
+  private def observed(df: org.apache.spark.sql.DataFrame, name: String) =
+    df.queryExecution.observedMetrics(name)
+
+  test("jaccard hot-shingle cap: bounded candidates, planted recall 1.0") {
+    // THE pathological AllPairs case: ascending-dfreq prefix ordering
+    // already pushes a hot shingle out of rich documents' prefixes,
+    // so the pile is boilerplate-DOMINATED docs (2 shingles) where
+    // the hot shingle unavoidably sits inside the prefix — 120 docs
+    // sharing shingle 0L (pairwise jaccard 1/3 < 0.5: all-false
+    // candidates, O(n²) of them uncapped). 3 planted near-dup pairs
+    // share 7 RARE shingles (jaccard 8/10 = 0.8) and survive via
+    // their rare prefixes.
+    val rows = (0 until 120).map { i =>
+      (i.toLong, "blk", Seq(0L, 5000L + i))
+    } ++ (0 until 3).flatMap { p =>
+      val shared = (1 to 7).map(j => 900000L + p * 10L + j)
+      Seq((200L + p * 2, "blk", Seq(0L) ++ shared ++ Seq(777000L + p)),
+          (201L + p * 2, "blk", Seq(0L) ++ shared ++ Seq(888000L + p)))
+    }
+    val df = rows.toDF("doc_id", "source", "sh")
+    // the plant IS hot: shingle 0 appears in all 126 docs
+    val hot = df.select(explode(col("sh")).as("s")).groupBy("s").count()
+      .filter(col("count") > 50).collect()
+    assert(hot.map(_.getLong(0)).toSeq == Seq(0L))
+    val capped = DedupFns.jaccardPrefixPairs(df, "doc_id", "source", "sh",
+      threshold = 0.5, maxBucket = 50)
+    val cappedPairs = pairSet(capped)
+    val uncapped = pairSet(DedupFns.jaccardPrefixPairs(df, "doc_id", "source", "sh",
+      threshold = 0.5, maxBucket = Int.MaxValue))
+    val planted = Set((200L, 201L), (202L, 203L), (204L, 205L))
+    assert(cappedPairs == uncapped, "cap dropped a true pair")
+    assert(planted.subsetOf(cappedPairs), s"recall < 1.0: $cappedPairs")
+    val m = observed(capped, "jaccard_hot")
+    assert(m.getAs[Long]("jaccard_hot_postings") > 0)
+    assert(m.getAs[Long]("jaccard_max_bucket") == 126L)
+  }
+
+  test("minhash hot-bucket cap: boilerplate pile excluded, planted recall 1.0") {
+    // 30 docs: 40-word boilerplate + 1 unique word (pairwise jaccard
+    // ~0.95 < the 0.99 threshold -> ALL pile pairs are false
+    // candidates, but their signatures collide -> hot band buckets);
+    // 3 planted IDENTICAL pairs (jaccard 1.0, tiny buckets)
+    val boiler = (1 to 40).map(j => s"w$j").mkString(" ")
+    val rows = (0 until 30).map(i => (i.toLong, s"$boiler extra$i")) ++
+      (0 until 3).flatMap(p => Seq(
+        (100L + p * 2, s"pair $p zig zag alpha beta gamma delta"),
+        (101L + p * 2, s"pair $p zig zag alpha beta gamma delta")))
+    val df = rows.toDF("doc_id", "text")
+    val capped = DedupFns.minhashCandidates(df, "doc_id", "text",
+      shingleN = 2, k = 12, bands = 6, minJaccard = 0.99, maxBucket = 8)
+    val cappedPairs = pairSet(capped)
+    val uncapped = pairSet(DedupFns.minhashCandidates(df, "doc_id", "text",
+      shingleN = 2, k = 12, bands = 6, minJaccard = 0.99, maxBucket = Int.MaxValue))
+    val planted = Set((100L, 101L), (102L, 103L), (104L, 105L))
+    assert(cappedPairs == uncapped, "cap dropped a true pair")
+    assert(planted.subsetOf(cappedPairs), s"recall < 1.0: $cappedPairs")
+    val m = observed(capped, "minhash_hot")
+    assert(m.getAs[Long]("minhash_hot_postings") > 0,
+      s"plant failed to create a hot bucket (max=${m.getAs[Long]("minhash_max_bucket")})")
+  }
+
+  test("simhash hot-bucket cap: shared band excluded, planted recall 1.0") {
+    // synthetic 64-bit hashes, maxHamming=3 -> 4 bands of 16 bits.
+    // Pile: 30 hashes sharing band 0 (low 16 bits = 0) but pairwise
+    // far apart in the upper 48 bits (splitmix-spread -> hamming >> 3:
+    // false candidates in a pop-30 bucket). Planted: 3 identical
+    // pairs with unique band values (pop-2 buckets).
+    def spread(i: Int): Long = {
+      var z = 0x9E3779B97F4A7C15L * (i + 1)
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z | 0x8000000000000000L) & ~0xFFFFL | 0L // clear low 16 bits
+    }
+    val rows = (0 until 30).map(i => (i.toLong, "blk", spread(i))) ++
+      (0 until 3).flatMap(p => Seq(
+        (100L + p * 2, "blk", 0x1234L + p),
+        (101L + p * 2, "blk", 0x1234L + p)))
+    val df = rows.toDF("doc_id", "source", "h")
+    // sanity: the pile really is pairwise-far
+    val hs = (0 until 30).map(spread)
+    for (x <- hs; y <- hs if x != y)
+      assert(java.lang.Long.bitCount(x ^ y) > 3)
+    val capped = DedupFns.simhashBandedPairs(df, "doc_id", "source", "h",
+      maxHamming = 3, maxBucket = 8)
+    val cappedPairs = pairSet(capped)
+    val uncapped = pairSet(DedupFns.simhashBandedPairs(df, "doc_id", "source", "h",
+      maxHamming = 3, maxBucket = Int.MaxValue))
+    val planted = Set((100L, 101L), (102L, 103L), (104L, 105L))
+    assert(cappedPairs == uncapped, "cap dropped a true pair")
+    assert(planted.subsetOf(cappedPairs), s"recall < 1.0: $cappedPairs")
+    val m = observed(capped, "simhash_hot")
+    assert(m.getAs[Long]("simhash_max_bucket") >= 30L)
+  }
+
   test("exactDedup keeps min id per fingerprint") {
     val dups = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")
