@@ -431,6 +431,55 @@ object CorpusQueries {
     flagged.crossJoin(broadcast(recall)).orderBy("rn")
   }
 
+  /** q123: recall@10 vs nprobe sweep — THE index-tuning artifact a
+    * production ANN pipeline produces: for nprobe ∈ {1,2,4,8}, the
+    * IVF search's recall against the exact top-10 plus the number of
+    * candidates scanned (the cost axis of the recall curve). Each
+    * probe level is the production scan shape (cell-pruned scan,
+    * volume ∝ nprobe/16 of the corpus, broadcast query, TakeOrdered);
+    * the sweep costs one cell-pruned pass per level plus one exact
+    * ground-truth pass — exactly what the tuning run costs for real. */
+  def annRecallSweep: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val e = loadSpread(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))).as("cs"))
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def distCells(v: Column): Column =
+      transform(col("cs"), c =>
+        struct(fr6(l2(v, c.getField("cv"))).as("d"), c.getField("cid").as("cid")))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        array_min(distCells(col("v"))).getField("cid").as("cell"))
+    // all 16 cells in probe order, once; each sweep level slices it
+    val q = e.filter(col("vec_id") === 7).crossJoin(broadcast(cents))
+      .select(col("v").as("qv"),
+        transform(array_sort(distCells(col("v"))), s => s.getField("cid")).as("cells"))
+    val exact = e.join(broadcast(e.filter(col("vec_id") === 7)
+        .select(col("v").as("qv"))), col("vec_id") =!= 7)
+      .select(col("vec_id").as("cand_id"),
+        round(VectorFns.cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("cand_id")).limit(10)
+    val levels = Seq(1, 2, 4, 8).map { np =>
+      val scan = assigned.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 7
+          && array_contains(slice(col("cells"), 1, np), col("cell")))
+        .select(col("vec_id").as("cand_id"),
+          round(VectorFns.cosine(col("v"), col("qv")), 6).as("cos"))
+      val scanned = scan.agg(count(lit(1)).as("n_scanned"))
+      val top = scan.orderBy(col("cos").desc, col("cand_id")).limit(10)
+      val recall = exact.select("cand_id").join(top.select("cand_id"), "cand_id")
+        .agg((count(lit(1)) / 10.0).as("recall_at_10"))
+      scanned.crossJoin(recall)
+        .select(lit(np).cast("bigint").as("nprobe"),
+          col("n_scanned"), col("recall_at_10"))
+    }
+    levels.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
   /** q108: context-window chunking — split each document's token
     * stream into fixed-size training chunks (size 32, stride 28 =
     * overlap 4), the standard pre-tokenization step for LLM training
@@ -826,6 +875,7 @@ object CorpusQueries {
     "q96_ann_search" -> annSearch,
     "q121_int8_ann" -> int8AnnSearch,
     "q122_ann_recall" -> annRecallAudit,
+    "q123_recall_sweep" -> annRecallSweep,
   )
 
   /** Shared oracle CTE: whitespace tokens with the blank-text guard
@@ -1112,6 +1162,50 @@ object CorpusQueries {
         |SELECT rn, cand_id, cos, in_ivf,
         | (SELECT sum(in_ivf) / 10.0 FROM flagged) AS recall_at_10
         |FROM flagged ORDER BY rn""".stripMargin,
+    // same cell/probe SQL as q107/q122, swept over nprobe 1/2/4/8:
+    // per level, the cell-pruned candidate count and recall@10 vs
+    // the exact top-10
+    "q123_recall_sweep" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, c.cid,
+        |  floor(list_sum(list_transform(generate_series(1, len(e.v)),
+        |    i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) * 1e6 + 0.5) / 1e6 AS dist
+        | FROM e CROSS JOIN c),
+        |assign AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d) WHERE rn = 1),
+        |qd AS (SELECT cid, row_number() OVER (ORDER BY dist, cid) AS prn
+        |       FROM d WHERE vec_id = 7),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+        |cand AS (
+        | SELECT np.nprobe, e.vec_id AS cand_id,
+        |  round(list_dot_product(e.v, qv)
+        |   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6)
+        |   AS cos
+        | FROM e JOIN assign a ON e.vec_id = a.vec_id
+        | JOIN qd ON a.cell = qd.cid, q, np
+        | WHERE e.vec_id <> 7 AND qd.prn <= np.nprobe),
+        |scanned AS (SELECT nprobe, count(*) AS n_scanned FROM cand GROUP BY nprobe),
+        |ivf AS (SELECT nprobe, cand_id FROM (
+        |  SELECT nprobe, cand_id, row_number() OVER (
+        |    PARTITION BY nprobe ORDER BY cos DESC, cand_id) AS rn FROM cand)
+        |  WHERE rn <= 10),
+        |exact AS (SELECT cand_id FROM (
+        |  SELECT e.vec_id AS cand_id,
+        |   round(list_dot_product(e.v, qv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6)
+        |    AS cos
+        |  FROM e, q WHERE e.vec_id <> 7
+        |  ORDER BY cos DESC, cand_id LIMIT 10)),
+        |hits AS (SELECT nprobe, count(*) AS nhit
+        |         FROM ivf JOIN exact USING (cand_id) GROUP BY nprobe)
+        |SELECT np.nprobe, CAST(coalesce(scanned.n_scanned, 0) AS BIGINT) AS n_scanned,
+        | coalesce(hits.nhit, 0) / 10.0 AS recall_at_10
+        |FROM np LEFT JOIN scanned USING (nprobe) LEFT JOIN hits USING (nprobe)
+        |ORDER BY np.nprobe""".stripMargin,
     "q107_ivf_search" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
