@@ -121,11 +121,39 @@ object Bench {
       name -> secs
     }
     val results = ("alpha_derive" -> alphaDerive) +: queryResults
+    // second scale point: headline entries at a 10x-smaller SF so
+    // scaling behavior (constant-dominated vs row-work-dominated) is
+    // visible per round. Diagnostics only: a failure records -1 here
+    // without failing the run. Streams are fixture-driven
+    // (scale-independent) and skipped.
+    val sf2Dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
+    val sf2: Seq[(String, Double)] =
+      if (sf2Dir == sfDir || !new java.io.File(sf2Dir).isDirectory) Nil
+      else {
+        val t0 = System.nanoTime()
+        val ad =
+          try { graft.analytics.FactorQueries.primeAlphaFull(spark, sf2Dir)
+            (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Exception => -1.0 }
+        val names = Seq("q01_pricing_summary", "q05_join_wide",
+          "q34_jaccard_pairs", "q36_minhash_dedup", "q35_cosine_topk",
+          "q102_dup_clusters", "q117_lm_quality",
+          "q58_column_discovery", "q90_alpha_all", "q91_rank_ic")
+        ("alpha_derive" -> ad) +: names.flatMap { n =>
+          SparkEntry.queries.get(n).map { fn =>
+            val t = System.nanoTime()
+            try { fn(spark, sf2Dir).write.format("noop").mode("overwrite").save()
+              n -> (System.nanoTime() - t) / 1e9 }
+            catch { case _: Exception => n -> -1.0 }
+          }
+        }
+      }
+    val sf2Json = sf2.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRps,"ingest_medium":"$ingestMedium","ingest_rows_per_sec_disk":$ingestRpsDisk,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRps,"ingest_medium":"$ingestMedium","ingest_rows_per_sec_disk":$ingestRpsDisk,"sf":"$sfDir","sf2":"$sf2Dir","queries_sf2":$sf2Json}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -277,10 +277,11 @@ object FactorQueries {
     * from the full one — which paid the DAG constant twice per sweep
     * (~70 s at sf0.1). Full-market is also the faithful semantics:
     * the reference's Alpha lab ranks over the whole market
-    * (`pages/5_Alpha lab.py:43-141`). The frame is rows × ~500
-    * doubles (~400 MB at sf0.1), comfortable for MEMORY_AND_DISK;
-    * values are deterministic, so consumers are unchanged across
-    * re-reads. */
+    * (`pages/5_Alpha lab.py:43-141`). The persisted frame is pruned
+    * to keys + close + the 101 alphas (rows × ~104 doubles, ~85 MB
+    * at sf0.1 — the raw compute frame's ~460 intermediates stay out
+    * of the cache), comfortable for MEMORY_AND_DISK; values are
+    * deterministic, so consumers are unchanged across re-reads. */
   /** Bench hook: force the shared full-panel derivation NOW so its
     * one-time cost appears as its own `alpha_derive` bench line
     * instead of inflating whichever alpha consumer happens to run
@@ -339,7 +340,15 @@ object FactorQueries {
     val child = ss.newSession()
     child.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
-      val f = Alpha101.compute(Quotes.panel(child, d))
+      val full = Alpha101.compute(Quotes.panel(child, d))
+      // persist only what the consumers read — keys, close (q91's
+      // forward return) and the alpha_* columns: the raw compute
+      // frame carries ~460 dead intermediate columns that would
+      // otherwise sit in the cache (~5x the memory) and be re-scanned
+      // by every consumer
+      val keep = Seq("stock", "day", "close") ++
+        full.schema.fieldNames.filter(_.startsWith("alpha_"))
+      val f = full.select(keep.map(org.apache.spark.sql.functions.col): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       f.count() // materialize the cache while the one-shot conf is active
       f
