@@ -312,49 +312,29 @@ object FactorQueries {
           e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
         alphaFullCache.keySet.removeIf(_._1 eq ss)
     })
-    // One-shot materialization runs with factoryMode NO_CODEGEN:
-    // the derivation executes exactly once per session, and the
-    // per-operator Generate{UnsafeProjection,Ordering,Mutable-
-    // Projection} factories pay Janino compile + source-text
-    // formatting per plan instance for code that runs once — JFR
-    // at sf0.001 (where row work is nil) attributes ~40% of
-    // execution samples to codegen text/compile plus task-binary
-    // deserialization. Whole-stage fusion STAYS ON: its fused
-    // projection chains carry the real per-row arithmetic, and on
-    // the 8-exchange key-phase plan the cold sf0.1 derivation
-    // measures 78 s with fusion vs 89 s fully interpreted vs 97 s
-    // fully codegen'd (results identical — IEEE ops are the same
-    // either way; pinned by the q90 oracle). At cluster scale the
-    // same reasoning holds per executor: factory codegen amortizes
-    // only when per-core row volume dwarfs the per-plan compile
-    // constant, which a 100 k-row local panel does not.
-    //
-    // Conf isolation: the override runs on a PRIVATE newSession()
-    // child (shares context, catalog, and cache; owns its SQLConf),
-    // so the parent session's conf is never touched and a query
-    // running concurrently on the parent cannot observe the swap.
-    // The child conf is restored before the frame escapes, so
-    // downstream reads of the persisted frame (q58 melt, q90 scan,
-    // q91 IC — their plans build on the frame's session) run with
-    // default codegen.
-    val child = ss.newSession()
-    child.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try {
-      val full = Alpha101.compute(Quotes.panel(child, d))
-      // persist only what the consumers read — keys, close (q91's
-      // forward return) and the alpha_* columns: the raw compute
-      // frame carries ~460 dead intermediate columns that would
-      // otherwise sit in the cache (~5x the memory) and be re-scanned
-      // by every consumer
-      val keep = Seq("stock", "day", "close") ++
-        full.schema.fieldNames.filter(_.startsWith("alpha_"))
-      val f = full.select(keep.map(org.apache.spark.sql.functions.col): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      f.count() // materialize the cache while the one-shot conf is active
-      f
-    } finally {
-      child.conf.unset("spark.sql.codegen.factoryMode")
-    }
+    // No one-shot codegen override: the NO_CODEGEN factory swap was
+    // tuned for the pre-MultiRank plan (~450 projections / ~160
+    // window operators, where per-plan Janino compile dominated a
+    // run-once execution: 78 s vs 97 s codegen'd at sf0.1, round 9).
+    // The batched-rank plan is ~30 operators and flips the tradeoff:
+    // re-measured at sf0.1, cold derivation is 41 s codegen'd vs
+    // 49 s with NO_CODEGEN factories (interpreted per-row factory
+    // paths now cost more than the compile they avoid). Running
+    // stock-default codegen also removes the session-conf swap the
+    // round-9 advice flagged — nothing here touches the caller's
+    // conf at all.
+    val full = Alpha101.compute(Quotes.panel(ss, d))
+    // persist only what the consumers read — keys, close (q91's
+    // forward return) and the alpha_* columns: the raw compute
+    // frame carries ~460 dead intermediate columns that would
+    // otherwise sit in the cache (~5x the memory) and be re-scanned
+    // by every consumer
+    val keep = Seq("stock", "day", "close") ++
+      full.schema.fieldNames.filter(_.startsWith("alpha_"))
+    val f = full.select(keep.map(org.apache.spark.sql.functions.col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count() // materialize eagerly: one derivation serves q58/q90/q91
+    f
   }
 
   def columnDiscovery: Q = (s, dir) => {

@@ -108,10 +108,10 @@ class FactorPlanSpec extends SparkSpec {
 
   test("alpha materialization restores the session codegen conf") {
     val dir = "/root/testdata/sf0.001"
-    // the one-shot materialization (factoryMode NO_CODEGEN; whole-
-    // stage fusion stays ON — see FactorQueries.alphaFull's rationale)
-    // must leave the SESSION conf untouched: a leak would silently
-    // run every later query with one-shot codegen settings
+    // the materialization must leave the SESSION conf untouched
+    // (since round 10 it runs stock-default codegen and sets no conf
+    // at all — this pins that a future one-shot override can't leak
+    // into the session and silently degrade every later query)
     FactorQueries.columnDiscovery(spark, dir).collect()
     assert(spark.conf.get("spark.sql.codegen.wholeStage") === "true")
     assert(spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK") === "FALLBACK")
