@@ -835,7 +835,11 @@ object Alpha101 {
       .withColumn("alpha_097", -(col("r97a") - col("tsr97b")))
       .withColumn("alpha_100",
         -(((lit(1.5) * col("sc100a")) - col("sc100b")) * col("aratio")))
-      ).build
+      // liveness-pruned build: the output keeps the quotes base
+      // columns + the 101 alphas; intermediates are dropped at the
+      // earliest batch boundary where nothing later reads them —
+      // narrower exchanges, window buffers, and codegen units
+      ).buildKeeping(Some(quotes.columns.toSeq ++ columns))
   }
 
   /** Implemented alpha columns, batches 1-4 (q46/q47/q59/q60). */

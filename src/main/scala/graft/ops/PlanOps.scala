@@ -66,7 +66,21 @@ object PlanOps {
     * WindowExec Sort per rank ordering. `GRAFT_XS_RANK=window`
     * restores the window lowering (A/B and parity testing). */
   def withColumnsBatched(df: DataFrame, defs: Seq[(String, Column)],
-      ranks: Map[String, String], partKey: String): DataFrame = {
+      ranks: Map[String, String], partKey: String): DataFrame =
+    withColumnsBatched(df, defs, ranks, partKey, None)
+
+  /** As above with build-time LIVENESS PRUNING: when `keep` is given
+    * (the columns the caller's consumers read), a narrow `select` is
+    * inserted after every batch whose columns include names no later
+    * definition references. Catalyst's ColumnPruning does this for
+    * pure Project/Window chains, but cannot push a projection through
+    * a custom operator ([[graft.plans.MultiRankNode]]) — and at scale
+    * the dead width rides every exchange and every WindowExec buffer
+    * copy. Build-time pruning is deterministic, engine-independent,
+    * and applies identically to both rank lowerings. */
+  def withColumnsBatched(df: DataFrame, defs: Seq[(String, Column)],
+      ranks: Map[String, String], partKey: String,
+      keep: Option[Seq[String]]): DataFrame = {
     val cap = sys.env.get("GRAFT_BATCH_CAP").map(_.toInt).getOrElse(DefaultBatchCap)
     val useExec = ranks.nonEmpty && !sys.env.get("GRAFT_XS_RANK").contains("window")
     val ordered =
@@ -88,13 +102,38 @@ object PlanOps {
       } else { cur = cur + (name -> c); if (!isRank) curNonRank += 1 }
     }
     if (cur.nonEmpty) batches += cur
-    batches.result().foldLeft(df) { (d, b) =>
-      if (!useExec) d.withColumns(b)
+    val bs = batches.result()
+    // suffix liveness: what must still exist AFTER batch i = keep ∪
+    // everything referenced by any later definition (window partition
+    // keys and rank inputs included — refs() walks them)
+    val liveAfter: Array[Set[String]] = keep match {
+      case None => null
+      case Some(k) =>
+        val arr = new Array[Set[String]](bs.size)
+        var needed = k.toSet
+        var i = bs.size - 1
+        while (i >= 0) {
+          arr(i) = needed
+          needed = (needed -- bs(i).keySet) ++ bs(i).valuesIterator.flatMap(refs)
+          i -= 1
+        }
+        arr
+    }
+    bs.zipWithIndex.foldLeft(df) { case (d, (b, i)) =>
+      val applied =
+        if (!useExec) d.withColumns(b)
+        else {
+          val (rk, ex) = b.toSeq.partition { case (n, _) => ranks.contains(n) }
+          val d2 = if (ex.nonEmpty) d.withColumns(ListMap(ex: _*)) else d
+          if (rk.isEmpty) d2
+          else multiRankStage(d2, partKey, rk.map { case (n, _) => n -> ranks(n) })
+        }
+      if (liveAfter == null) applied
       else {
-        val (rk, ex) = b.toSeq.partition { case (n, _) => ranks.contains(n) }
-        val d2 = if (ex.nonEmpty) d.withColumns(ListMap(ex: _*)) else d
-        if (rk.isEmpty) d2
-        else multiRankStage(d2, partKey, rk.map { case (n, _) => n -> ranks(n) })
+        val live = liveAfter(i)
+        val cols = applied.columns
+        if (cols.forall(live.contains)) applied
+        else applied.select(cols.filter(live.contains).map(col): _*)
       }
     }
   }
@@ -296,11 +335,14 @@ object PlanOps {
       rec.get.record(name, x)
       copy(defs = defs ++ drained)
     }
-    def build: DataFrame = {
+    def build: DataFrame = buildKeeping(None)
+    /** Build with liveness pruning down to `keep` (see
+      * [[withColumnsBatched]]'s pruning overload). */
+    def buildKeeping(keep: Option[Seq[String]]): DataFrame = {
       val all = defs ++ drained
       rec match {
-        case Some(r) => withColumnsBatched(df, all, r.registry, r.partKey)
-        case None => withColumnsBatched(df, all)
+        case Some(r) => withColumnsBatched(df, all, r.registry, r.partKey, keep)
+        case None => withColumnsBatched(df, all, Map.empty, "day", keep)
       }
     }
   }
