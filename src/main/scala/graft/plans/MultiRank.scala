@@ -131,10 +131,17 @@ private final class MultiRankGroupIterator(
   private val proj = UnsafeProjection.create(outputTypes)
   private val buffer = new SpillableRowBuffer(memRows, spillRows, spillBytes)
   private val rankRow = new GenericInternalRow(numRanks)
+  // children normally emit UnsafeRow (a Sort or Window sits below);
+  // convert defensively if a future child satisfies the required
+  // ordering with a different row class
+  private val toUnsafe = UnsafeProjection.create(outputTypes.dropRight(numRanks))
+  private def unsafe(r: InternalRow): UnsafeRow = r match {
+    case u: UnsafeRow => u
+    case o => toUnsafe(o)
+  }
 
   // head row of the NEXT group (copied: the stream row is reused)
-  private var pendingHead: UnsafeRow =
-    input.next().asInstanceOf[UnsafeRow].copy()
+  private var pendingHead: UnsafeRow = unsafe(input.next()).copy()
   private var groupSize = 0
   private var groupPos = 0
   private var groupRows: Iterator[UnsafeRow] = Iterator.empty
@@ -187,7 +194,7 @@ private final class MultiRankGroupIterator(
     buffer.add(head)
     var break = false
     while (!break && input.hasNext) {
-      val r = input.next().asInstanceOf[UnsafeRow]
+      val r = unsafe(input.next())
       if (sameDay(head, r)) buffer.add(r) // add() copies
       else { pendingHead = r.copy(); break = true }
     }

@@ -106,6 +106,25 @@ class FactorPlanSpec extends SparkSpec {
     assert(windows <= 40, s"alpha plan has $windows window ops (expected TS-only)")
   }
 
+  test("alpha mega-DAG: liveness pruning keeps exchanges narrow") {
+    // shuffle bytes at scale = rows x summed exchange width; the
+    // build-time liveness pass holds the four keyed exchanges to
+    // ~600 summed columns (was 2024 when dead intermediates rode
+    // every exchange) — pin a ceiling so a pruning regression shows
+    val panel = graft.sources.Quotes.panel(spark, "/root/testdata/sf0.01")
+    val exec = graft.factors.Alpha101.compute(panel).queryExecution.executedPlan
+    val root = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val widths = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.size
+    }
+    assert(widths.sum <= 800, s"exchange widths ${widths.mkString("+")} = ${widths.sum}")
+  }
+
   test("alpha materialization restores the session codegen conf") {
     val dir = "/root/testdata/sf0.001"
     // the materialization must leave the SESSION conf untouched

@@ -91,6 +91,23 @@ class MultiRankSpec extends SparkSpec {
     assert(sortLines <= 1, plan)
   }
 
+  test("spill path: rank groups larger than the in-memory buffer threshold") {
+    // force the spillable buffer past its in-memory threshold (the
+    // 100TB-scale path: a day group bigger than the window buffer)
+    // and pin value parity against the in-memory run
+    val key = "spark.sql.windowExec.buffer.in.memory.threshold"
+    val prev = spark.conf.get(key)
+    try {
+      val expect = viaExec.select("day", "ent", "r1", "r2", "rr")
+        .orderBy("day", "ent").collect()
+      spark.conf.set(key, "4") // groups are 37 rows -> guaranteed spill-array path
+      val got = viaExec.select("day", "ent", "r1", "r2", "rr")
+        .orderBy("day", "ent").collect()
+      assert(got.length == expect.length)
+      got.zip(expect).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("pandas tie/null semantics on a hand-checked group") {
     // day 1: values [10, 10, null, 30] -> nonnull n=3
     // ranks: 10 -> (1 + (2-1)/2)/3 = 0.5 ; 30 -> 3/3 = 1.0
