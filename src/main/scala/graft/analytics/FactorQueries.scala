@@ -383,9 +383,12 @@ object FactorQueries {
       .select(col("stock"), col("day"), col("fwd"),
         col("p.alpha").as("alpha"), col("p.v").as("v"))
       .filter(col("v").isNotNull && col("fwd").isNotNull)
-    val ranked = melted
-      .withColumn("rv", graft.ops.XsOps.avgRank(col("v"), col("day"), col("alpha")))
-      .withColumn("rf", graft.ops.XsOps.avgRank(col("fwd"), col("day"), col("alpha")))
+    // both Spearman ranks in ONE composite-key MultiRank group pass
+    // (raw avg-tie mode, XsOps.avgRank semantics) instead of two
+    // WindowExec sorts of the rows×alphas melt; the ntile keeps its
+    // own ordered window (different op), sharing the same exchange
+    val ranked = graft.ops.PlanOps.multiRank(melted, Seq("day", "alpha"),
+        Seq(("rv", "v", false), ("rf", "fwd", false)))
       .withColumn("dec", ntile(10).over(
         Window.partitionBy("day", "alpha").orderBy(col("v"), col("stock"))))
     val g = ranked.groupBy("alpha", "day").agg(

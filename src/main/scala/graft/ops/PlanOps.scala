@@ -138,27 +138,35 @@ object PlanOps {
     }
   }
 
-  /** Mount one [[graft.plans.MultiRankNode]] over `df`: `rankDefs`
-    * are (outputName, inputColName) in order; an input may name an
-    * earlier output of the same stage. */
   private def multiRankStage(df: DataFrame, partKey: String,
-      rankDefs: Seq[(String, String)]): DataFrame = {
+      rankDefs: Seq[(String, String)]): DataFrame =
+    multiRank(df, Seq(partKey), rankDefs.map { case (o, in) => (o, in, true) })
+
+  /** Mount one [[graft.plans.MultiRankNode]] over `df`: every
+    * (outputName, inputColName, pct) rank of one cross-section
+    * (composite `partKeys`) computed in a single group pass.
+    * pct=true → pandas pct rank ([[XsOps.rankPct]] semantics);
+    * pct=false → raw average-tie rank ([[XsOps.avgRank]] semantics).
+    * An input may name an earlier output of the same stage. */
+  def multiRank(df: DataFrame, partKeys: Seq[String],
+      rankDefs: Seq[(String, String, Boolean)]): DataFrame = {
     val spark = df.sparkSession
     PlanBridge.installStrategy(spark, graft.plans.MultiRankStrategy)
     val plan = PlanBridge.analyzed(df)
     val byName = plan.output.map(a => a.name -> a).toMap
-    val day = byName.getOrElse(partKey,
-      throw new IllegalArgumentException(s"rank partition key $partKey not in frame"))
-    val outs = rankDefs.map { case (o, _) =>
+    val keys = partKeys.map(k => byName.getOrElse(k,
+      throw new IllegalArgumentException(s"rank partition key $k not in frame")))
+    val outs = rankDefs.map { case (o, _, _) =>
       require(!byName.contains(o), s"rank $o would shadow an existing column")
       AttributeReference(o, DoubleType, nullable = true)()
     }
     val outByName = rankDefs.map(_._1).zip(outs).toMap
-    val ins = rankDefs.map { case (_, in) =>
+    val ins = rankDefs.map { case (_, in, _) =>
       byName.getOrElse(in, outByName.getOrElse(in,
         throw new IllegalArgumentException(s"rank input $in not in frame")))
     }
-    PlanBridge.ofRows(spark, graft.plans.MultiRankNode(day, ins, outs, plan))
+    PlanBridge.ofRows(spark,
+      graft.plans.MultiRankNode(keys, ins, outs, rankDefs.map(_._3), plan))
   }
 
   /** Key-phase scheduling (the default; GRAFT_SCHED=greedy restores

@@ -42,9 +42,10 @@ import org.apache.spark.sql.types._
   * output attribute (rank-of-rank chains lower into one group pass).
   */
 case class MultiRankNode(
-    day: Attribute,
+    keys: Seq[Attribute],
     inputs: Seq[Attribute],
     rankOutput: Seq[Attribute],
+    pct: Seq[Boolean], // per rank: true = pct rank, false = raw avg-tie rank
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ rankOutput
   override def producedAttributes: AttributeSet = AttributeSet(rankOutput)
@@ -55,16 +56,17 @@ case class MultiRankNode(
 
 object MultiRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case MultiRankNode(day, ins, out, child) =>
-      MultiRankExec(day, ins, out, planLater(child)) :: Nil
+    case MultiRankNode(keys, ins, out, pct, child) =>
+      MultiRankExec(keys, ins, out, pct, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 case class MultiRankExec(
-    day: Attribute,
+    keys: Seq[Attribute],
     inputs: Seq[Attribute],
     rankOutput: Seq[Attribute],
+    pct: Seq[Boolean],
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ rankOutput
@@ -73,9 +75,9 @@ case class MultiRankExec(
   // Window operators: clustering (not exact hash) distribution, and
   // pass-through partitioning/ordering above
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(day)))
+    Seq(ClusteredDistribution(keys))
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(day, Ascending)))
+    Seq(keys.map(k => SortOrder(k, Ascending)))
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override protected def withNewChildInternal(newChild: SparkPlan): MultiRankExec =
@@ -83,8 +85,11 @@ case class MultiRankExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val dayOrd = childOutput.indexWhere(_.exprId == day.exprId)
-    require(dayOrd >= 0, s"day key $day not found in child output")
+    val keyOrds = keys.map { k =>
+      val o = childOutput.indexWhere(_.exprId == k.exprId)
+      require(o >= 0, s"group key $k not found in child output")
+      o
+    }.toArray
     // input source per rank: >=0 child ordinal, <0 = ~(earlier rank index)
     val srcOrds = inputs.zipWithIndex.map { case (a, j) =>
       val o = childOutput.indexWhere(_.exprId == a.exprId)
@@ -104,15 +109,16 @@ case class MultiRankExec(
         case t => throw new IllegalArgumentException(s"unsupported rank input type $t")
       }
     }.toArray
-    val dayType = day.dataType
+    val keyTypes = keys.map(_.dataType).toArray
     val outputTypes = output.map(_.dataType).toArray
+    val pctArr = pct.toArray
     val memRows = conf.windowExecBufferInMemoryThreshold
     val spillRows = conf.windowExecBufferSpillThreshold
     val spillBytes = conf.windowExecBufferSpillSizeThreshold
     child.execute().mapPartitions { iter =>
       if (!iter.hasNext) Iterator.empty
-      else new MultiRankGroupIterator(iter, outputTypes, dayOrd, dayType,
-        srcOrds, srcKinds, memRows, spillRows, spillBytes)
+      else new MultiRankGroupIterator(iter, outputTypes, keyOrds, keyTypes,
+        srcOrds, srcKinds, pctArr, memRows, spillRows, spillBytes)
     }
   }
 }
@@ -122,8 +128,9 @@ case class MultiRankExec(
 private final class MultiRankGroupIterator(
     input: Iterator[InternalRow],
     outputTypes: Array[DataType],
-    dayOrd: Int, dayType: DataType,
+    keyOrds: Array[Int], keyTypes: Array[DataType],
     srcOrds: Array[Int], srcKinds: Array[Int],
+    pct: Array[Boolean],
     memRows: Int, spillRows: Int, spillBytes: Long) extends Iterator[InternalRow] {
 
   private val numRanks = srcOrds.length
@@ -163,14 +170,22 @@ private final class MultiRankGroupIterator(
     proj(join(r, rankRow))
   }
 
-  private def sameDay(a: InternalRow, b: InternalRow): Boolean = {
-    val an = a.isNullAt(dayOrd); val bn = b.isNullAt(dayOrd)
-    if (an || bn) an && bn
-    else dayType match {
-      case LongType => a.getLong(dayOrd) == b.getLong(dayOrd)
-      case IntegerType | DateType => a.getInt(dayOrd) == b.getInt(dayOrd)
-      case _ => a.get(dayOrd, dayType) == b.get(dayOrd, dayType)
+  private def sameKeys(a: InternalRow, b: InternalRow): Boolean = {
+    var i = 0
+    while (i < keyOrds.length) {
+      val ord = keyOrds(i)
+      val an = a.isNullAt(ord); val bn = b.isNullAt(ord)
+      val eq =
+        if (an || bn) an && bn
+        else keyTypes(i) match {
+          case LongType => a.getLong(ord) == b.getLong(ord)
+          case IntegerType | DateType => a.getInt(ord) == b.getInt(ord)
+          case _ => a.get(ord, keyTypes(i)) == b.get(ord, keyTypes(i))
+        }
+      if (!eq) return false
+      i += 1
     }
+    true
   }
 
   private def readDouble(r: InternalRow, ord: Int): Double = outputTypes(ord) match {
@@ -195,7 +210,7 @@ private final class MultiRankGroupIterator(
     var break = false
     while (!break && input.hasNext) {
       val r = unsafe(input.next())
-      if (sameDay(head, r)) buffer.add(r) // add() copies
+      if (sameKeys(head, r)) buffer.add(r) // add() copies
       else { pendingHead = r.copy(); break = true }
     }
     val n = buffer.length
@@ -253,8 +268,10 @@ private final class MultiRankGroupIterator(
       while (lo < m) {
         var hi = lo + 1
         while (hi < m && cmp.compare(ord(hi), ord(lo)) == 0) hi += 1
-        // EXACT window arithmetic: (rank + (peers - 1) / 2.0) / count
-        val v = ((lo + 1).toDouble + (hi - lo - 1).toDouble / 2.0) / m.toDouble
+        // EXACT window arithmetic: rank + (peers - 1) / 2.0, divided
+        // by the non-null count only in pct mode
+        val avg = (lo + 1).toDouble + (hi - lo - 1).toDouble / 2.0
+        val v = if (pct(j)) avg / m.toDouble else avg
         var t2 = lo
         while (t2 < hi) { out(ord(t2)) = v; t2 += 1 }
         lo = hi

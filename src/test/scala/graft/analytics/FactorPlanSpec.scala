@@ -99,7 +99,7 @@ class FactorPlanSpec extends SparkSpec {
     val plan = graft.factors.Alpha101.compute(panel)
       .queryExecution.executedPlan.toString
     val sorts = plan.linesIterator.count(_.contains("Sort ["))
-    val mr = plan.linesIterator.count(_.contains("MultiRank day#"))
+    val mr = plan.linesIterator.count(_.contains("MultiRank ["))
     val windows = plan.linesIterator.count(_.contains("Window ["))
     assert(mr >= 2, s"expected MultiRank stages in the alpha plan, got $mr")
     assert(sorts <= 12, s"alpha plan has $sorts sorts (expected O(1) per phase)")

@@ -80,7 +80,7 @@ class MultiRankSpec extends SparkSpec {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    val mr = plan.linesIterator.count(_.contains("MultiRank day#")) // exec prints nodeName "MultiRank"
+    val mr = plan.linesIterator.count(_.contains("MultiRank ["))
     val sortLines = plan.linesIterator.count(_.contains("Sort ["))
     val ex = plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
@@ -106,6 +106,27 @@ class MultiRankSpec extends SparkSpec {
       assert(got.length == expect.length)
       got.zip(expect).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
     } finally spark.conf.set(key, prev)
+  }
+
+  test("composite keys + raw avg-tie mode == XsOps.avgRank windows, bitwise") {
+    // the q91 shape: rank within (day, group) cross-sections, raw
+    // average-tie rank (no pct division)
+    val df = panel.filter(col("v1").isNotNull && col("v2").isNotNull)
+      .withColumn("g", col("ent") % 3)
+    val viaNode = PlanOps.multiRank(df, Seq("day", "g"),
+      Seq(("rv", "v1", false), ("rf", "v2", false)))
+    val viaWin = df
+      .withColumn("rv", XsOps.avgRank(col("v1"), col("day"), col("g")))
+      .withColumn("rf", XsOps.avgRank(col("v2"), col("day"), col("g")))
+    val a = viaNode.select("day", "ent", "rv", "rf").orderBy("day", "ent").collect()
+    val b = viaWin.select("day", "ent", "rv", "rf").orderBy("day", "ent").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      (2 to 3).foreach { i =>
+        assert(java.lang.Double.doubleToLongBits(x.getDouble(i))
+          == java.lang.Double.doubleToLongBits(y.getDouble(i)), s"$x vs $y")
+      }
+    }
   }
 
   test("pandas tie/null semantics on a hand-checked group") {
