@@ -10,20 +10,7 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // AQE coalescing floor: the panel exchange shuffles only the
-      // narrow key columns (~1.6 MB at sf0.1), but feeds hundreds of
-      // derived-column windows — the default 1 MB floor coalesces it
-      // to ~5 partitions and strangles compute parallelism
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
-      // the JVM-wide generated-class cache defaults to 100 entries;
-      // a multi-query session evicts everything before the ~450-
-      // projection alpha pipeline runs, recompiling per task
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = LocalSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
@@ -34,7 +21,8 @@ object PlanAudit {
         def n(p: String) = plan.linesIterator.count(_.contains(p))
         println(f"AUDIT $name%-28s ex=${n("Exchange hashpartitioning") - n("ReusedExchange")}%2d " +
           f"range=${n("Exchange rangepartitioning")}%2d single=${n("Exchange SinglePartition")}%2d " +
-          f"bcast=${n("BroadcastExchange")}%2d smj=${n("SortMergeJoin")}%2d win=${n("Window")}%3d")
+          f"bcast=${n("BroadcastExchange")}%2d smj=${n("SortMergeJoin")}%2d win=${n("Window")}%3d " +
+          f"mrank=${n("MultiRank [")}%2d cart=${n("CartesianProduct")}%2d")
       } catch {
         case e: Exception => println(s"AUDIT $name FAILED: ${e.getMessage}")
       }
