@@ -115,7 +115,49 @@ object IngestQueries {
       .orderBy("code")
   }
 
-  val entries: Map[String, Q] = Map("q93_ingest_roundtrip" -> ingestRoundtrip)
+  /** q124: bucketed, sorted storage + CO-LOCATED join (S8). Two
+    * quotes-derived tables are sunk with
+    * `bucketBy(8, stock, day).sortBy(stock, day)` — Spark's
+    * pre-shuffled layout — then re-read and merge-joined on the
+    * bucket keys with ZERO exchange on either side (pinned in
+    * IngestSpec): the join reads bucket i of both tables into the
+    * same task. THE storage-side answer to repeated big fact⋈fact
+    * joins at 100 TB — the shuffle is paid once at write time and
+    * amortized over every subsequent join; only the final per-stock
+    * rollup (post-join, map-side combined) shuffles, and it moves
+    * aggregated rows. The `merge` hint keeps the demonstration
+    * honest at tiny SF where AQE would otherwise broadcast.
+    *
+    * Values are bucketing-independent (the join is 1:1 on the panel
+    * key), so the DuckDB oracle is the same rollup over the quotes
+    * CTE — the entry's hash proves the bucketed write+read+join
+    * chain is lossless. */
+  def bucketedJoin: Q = (s, dir) => {
+    val root = graft.TempDirs.scratch("graft_bucket_join")
+    val panel = graft.sources.Quotes.panel(s, dir)
+    def sink(df: DataFrame, name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.format("parquet")
+        .bucketBy(8, "stock", "day").sortBy("stock", "day")
+        .option("path", s"$root/$name").mode("overwrite")
+        .saveAsTable(name)
+    }
+    sink(panel.select("stock", "day", "close"), "g124_prices")
+    sink(panel.select("stock", "day", "volume"), "g124_volumes")
+    val p = s.table("g124_prices")
+    val v = s.table("g124_volumes")
+    p.hint("merge").join(v, Seq("stock", "day"))
+      .groupBy("stock")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("volume")).as("sum_vol"),
+        (floor(sum(col("close") * col("volume")) / sum(col("volume")) * 1e6
+          + lit(0.5)) / 1e6).as("vw_close"))
+      .orderBy("stock")
+  }
+
+  val entries: Map[String, Q] = Map(
+    "q93_ingest_roundtrip" -> ingestRoundtrip,
+    "q124_bucketed_join" -> bucketedJoin)
 
   /** The zip fixture is not DuckDB-visible, but every value in it is a
     * closed-form function of (code, z, i) — so the oracle REPLAYS the
@@ -127,6 +169,16 @@ object IngestQueries {
     * and the 6-dp floor are bit-stable in both engines regardless of
     * addition order. */
   val oracles: Map[String, String] = Map(
+    // values are bucketing-independent (1:1 join on the panel key):
+    // the oracle is the same per-stock rollup over the quotes CTE.
+    // Float-exact: close is integer + 1/64 grain and volume integer,
+    // so sum(close*volume) and sum(volume) are exact in both engines.
+    "q124_bucketed_join" ->
+      s"""WITH ${graft.sources.Quotes.sqlCte}
+         |SELECT stock, count(*) AS n_days,
+         | CAST(sum(volume) AS BIGINT) AS sum_vol,
+         | floor(sum(close * volume) / sum(volume) * 1e6 + 0.5) / 1e6 AS vw_close
+         |FROM quotes GROUP BY stock ORDER BY stock""".stripMargin,
     "q93_ingest_roundtrip" ->
       """WITH codes(dig, code) AS (VALUES
         |  (6, '600001.SH'), (0, '000002.SZ'), (4, '430047.BJ'), (6, '688001.SH')),

@@ -127,6 +127,24 @@ class IngestSpec extends SparkSpec {
     assert(scan.toString.contains("PartitionFilters"), scan.toString)
   }
 
+  test("bucketed co-located join: zero exchanges below the merge join") {
+    // q124's storage contract: both sides pre-shuffled into the same
+    // 8 (stock, day) buckets, so the merge join reads bucket i of
+    // both tables in one task — no Exchange under the SMJ; the only
+    // shuffle is the post-join per-stock rollup
+    val df = graft.analytics.IngestQueries.bucketedJoin(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), plan)
+    val joinPart = plan.split("SortMergeJoin").last // everything BELOW the join
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      "exchange under the bucketed join:\n" + joinPart)
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(ex <= 1, plan) // the per-stock rollup only
+    assert(plan.contains("Bucketed: true"), plan)
+  }
+
   test("checkpointParquet: roundtrip with truncated lineage") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
     val back = Ingest.checkpointParquet(df, s"$workDir/ckpt")
