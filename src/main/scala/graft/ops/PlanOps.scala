@@ -340,6 +340,7 @@ object PlanOps {
       copy(defs = defs ++ drained :+ (name -> c))
     /** Named pct-rank of `x` over the recorder's partition key. */
     def withRank(name: String, x: Column): ColChain = {
+      require(rec.nonEmpty, "withRank needs a RankRecorder: ColChain(df, rec = Some(...))")
       rec.get.record(name, x)
       copy(defs = defs ++ drained)
     }
