@@ -128,6 +128,85 @@ object FactorQueries {
       .select("stock", "day", "dist")
   }
 
+  /** q125: the flagship similarity search AT SCALE — q48's weighted-
+    * Euclidean "History Mirror" (`QuantDB.py:190-205`) accelerated
+    * with the engine's own IVF machinery (the scale path SURVEY
+    * §7.3-6 sketches): coarse cells over the (rsi_14, bias_20,
+    * cci_14) factor space, a cell-pruned scan (nprobe=4 of 16 cells
+    * → ~1/4 of the corpus touched instead of all of it), exact
+    * re-rank of the survivors, and a recall@3 audit against the
+    * exact q48 ranking so the approximation is measured, not
+    * trusted. Cells are the factor vectors of the 16 lowest-id
+    * stocks on day 39 used as fixed centroids (k-means would train
+    * them in production; assignment/probe/re-rank mechanics — the
+    * part under test — are identical, and fixed centroids keep both
+    * engines bit-agreed). Assignment = argmin of 6-dp-quantized
+    * squared weighted distance (tie → lowest cid), a pure projection
+    * against one broadcast centroid row: at 100 TB `cell` is a
+    * precomputed partition/bucket key and the probe scan reads
+    * nprobe/16 of the corpus — no shuffle anywhere, three broadcasts
+    * + TakeOrdered. Output: the pruned top-3 with the scan volume
+    * (`n_scanned`, the cost axis) and `recall_at_3` (the quality
+    * axis). */
+  def similaritySearchIvf: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val f = Technical.compute(Quotes.panel(s, dir))
+      .select(col("stock"), col("day"), col("rsi_14"), col("cci_14"), col("bias_20"))
+      .filter(col("rsi_14").isNotNull && col("bias_20").isNotNull
+        && col("cci_14").isNotNull)
+    // centroid set as ONE broadcast row of array<struct>: argmin /
+    // sort over it are order-independent, so collect_list's
+    // nondeterministic order is harmless (q107's convention)
+    val cents = f.filter(col("day") === 39)
+      .orderBy("stock").limit(16)
+      .agg(collect_list(struct(col("stock").as("cid"), col("rsi_14").as("c_rsi"),
+        col("bias_20").as("c_bias"), col("cci_14").as("c_cci"))).as("cs"))
+    def d2(rsi: Column, bias: Column, cci: Column, c: Column): Column =
+      fr6(pow((rsi - c.getField("c_rsi")) * 1.0, 2)
+        + pow((bias - c.getField("c_bias")) * 5.0, 2)
+        + pow((cci - c.getField("c_cci")) * 0.5, 2))
+    def distCells(rsi: Column, bias: Column, cci: Column): Column =
+      transform(col("cs"), c =>
+        struct(d2(rsi, bias, cci, c).as("d"), c.getField("cid").as("cid")))
+    val searched = f.filter(col("day") < 40)
+    val assigned = searched.crossJoin(broadcast(cents))
+      .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"), col("cci_14"),
+        array_min(distCells(col("rsi_14"), col("bias_20"), col("cci_14")))
+          .getField("cid").as("cell"))
+    val q = f.filter(col("stock") === 7 && col("day") === 40)
+      .crossJoin(broadcast(cents))
+      .select(col("rsi_14").as("t_rsi"), col("bias_20").as("t_bias"),
+        col("cci_14").as("t_cci"),
+        transform(slice(array_sort(
+          distCells(col("rsi_14"), col("bias_20"), col("cci_14"))), 1, 4),
+          c => c.getField("cid")).as("probe"))
+    val exactDist = graft.functions.VectorFns.weightedEuclideanCols(Seq(
+      (col("rsi_14"), col("t_rsi"), 1.0),
+      (col("bias_20"), col("t_bias"), 5.0),
+      (col("cci_14"), col("t_cci"), 0.5)))
+    val scan = assigned.crossJoin(broadcast(q))
+      .filter(array_contains(col("probe"), col("cell")))
+      .withColumn("dist", round(exactDist, 6))
+      .select("stock", "day", "dist")
+    val stats = scan.agg(count(lit(1)).as("n_scanned"))
+    val top3 = scan.orderBy(col("dist"), col("stock"), col("day")).limit(3)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("dist"), col("stock"), col("day"))).cast("long"))
+    // exact ground truth = the q48 ranking, top 3
+    val exact3 = searched.crossJoin(broadcast(
+        f.filter(col("stock") === 7 && col("day") === 40)
+          .select(col("rsi_14").as("t_rsi"), col("bias_20").as("t_bias"),
+            col("cci_14").as("t_cci"))))
+      .withColumn("dist", round(exactDist, 6))
+      .orderBy(col("dist"), col("stock"), col("day")).limit(3)
+      .select("stock", "day")
+    val recall = top3.select("stock", "day").join(broadcast(exact3), Seq("stock", "day"))
+      .agg((count(lit(1)) / 3.0).as("recall_at_3"))
+    top3.crossJoin(broadcast(stats)).crossJoin(broadcast(recall))
+      .select("rn", "stock", "day", "dist", "n_scanned", "recall_at_3")
+      .orderBy("rn")
+  }
+
   /** q49: kline replay around an anchor day
     * (`app/Quantlib/QuantDB.py:207-224`): day-offset re-index in
     * [-10, +20] around day 30 per stock, close normalized to the
@@ -565,6 +644,7 @@ object FactorQueries {
     "q45_factor_value" -> valueEntry,
     "q90_alpha_all" -> alphaAll,
     "q48_similarity_search" -> similaritySearch,
+    "q125_similarity_ivf" -> similaritySearchIvf,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
     "q56_factor_snapshot" -> factorSnapshot,
@@ -1880,6 +1960,70 @@ object FactorQueries {
          |WHERE day < 40 AND rsi IS NOT NULL AND bias IS NOT NULL AND cci IS NOT NULL
          |ORDER BY dist, stock, day
          |LIMIT 5""".stripMargin,
+    // q125 replays the full IVF pipeline: the same f3 factor CTE as
+    // q48, centroid selection (16 lowest-id stocks at day 39), 6-dp-
+    // quantized squared-distance cell assignment with lowest-cid tie-
+    // break, nprobe=4 probe-list, cell-pruned scan, exact re-rank,
+    // and the recall@3 join against the exact q48 top-3
+    "q125_similarity_ivf" ->
+      s"""$baseCte,
+         |f2 AS (
+         |  SELECT stock, day, close, tp,
+         |    100.0 * sum(up_move) OVER f14
+         |      / nullif(sum(up_move) OVER f14 + sum(dn_move) OVER f14, 0) AS rsi,
+         |    (close - avg(close) OVER f20) / nullif(avg(close) OVER f20, 0) AS bias,
+         |    avg(tp) OVER f14 AS tp_m,
+         |    list(tp) OVER f14 AS tp_l
+         |  FROM b2
+         |  WINDOW $frames),
+         |f3 AS (
+         |  SELECT stock, day, rsi, bias,
+         |    (tp - tp_m) / nullif(0.015 *
+         |      (list_sum(list_transform(tp_l, x -> abs(x - tp_m))) / len(tp_l)), 0) AS cci
+         |  FROM f2
+         |  WHERE rsi IS NOT NULL AND bias IS NOT NULL),
+         |f4 AS (SELECT stock, day, rsi, bias, cci FROM f3 WHERE cci IS NOT NULL),
+         |cents AS (
+         |  SELECT stock AS cid, rsi AS c_rsi, bias AS c_bias, cci AS c_cci
+         |  FROM f4 WHERE day = 39 ORDER BY stock LIMIT 16),
+         |dists AS (
+         |  SELECT f.stock, f.day, f.rsi, f.bias, f.cci, c.cid,
+         |    floor((pow((f.rsi - c.c_rsi) * 1.0, 2) + pow((f.bias - c.c_bias) * 5.0, 2)
+         |      + pow((f.cci - c.c_cci) * 0.5, 2)) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM f4 f CROSS JOIN cents c WHERE f.day < 40),
+         |assigned AS (
+         |  SELECT stock, day, rsi, bias, cci, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY stock, day ORDER BY d, cid) AS rnk
+         |    FROM dists) WHERE rnk = 1),
+         |tgt AS (SELECT rsi AS t_rsi, bias AS t_bias, cci AS t_cci
+         |  FROM f4 WHERE stock = 7 AND day = 40),
+         |probe AS (
+         |  SELECT cid FROM cents CROSS JOIN tgt
+         |  ORDER BY floor((pow((t_rsi - c_rsi) * 1.0, 2) + pow((t_bias - c_bias) * 5.0, 2)
+         |    + pow((t_cci - c_cci) * 0.5, 2)) * 1e6 + 0.5) / 1e6, cid LIMIT 4),
+         |scan AS (
+         |  SELECT a.stock, a.day,
+         |    round(sqrt(pow((a.rsi - t_rsi) * 1.0, 2) + pow((a.bias - t_bias) * 5.0, 2)
+         |      + pow((a.cci - t_cci) * 0.5, 2)), 6) + 0.0 AS dist
+         |  FROM assigned a CROSS JOIN tgt
+         |  WHERE a.cell IN (SELECT cid FROM probe)),
+         |stats AS (SELECT count(*) AS n_scanned FROM scan),
+         |top3 AS (
+         |  SELECT stock, day, dist,
+         |    row_number() OVER (ORDER BY dist, stock, day) AS rn
+         |  FROM scan ORDER BY dist, stock, day LIMIT 3),
+         |exact3 AS (
+         |  SELECT f.stock, f.day
+         |  FROM f4 f CROSS JOIN tgt
+         |  WHERE f.day < 40
+         |  ORDER BY round(sqrt(pow((f.rsi - t_rsi) * 1.0, 2) + pow((f.bias - t_bias) * 5.0, 2)
+         |    + pow((f.cci - t_cci) * 0.5, 2)), 6) + 0.0, f.stock, f.day LIMIT 3),
+         |recall AS (
+         |  SELECT count(*) / 3.0 AS recall_at_3
+         |  FROM top3 JOIN exact3 USING (stock, day))
+         |SELECT rn, stock, day, dist, n_scanned, recall_at_3
+         |FROM top3 CROSS JOIN stats CROSS JOIN recall
+         |ORDER BY rn""".stripMargin,
     "q49_kline_replay" ->
       s"""WITH ${Quotes.sqlCte},
          |nf AS (

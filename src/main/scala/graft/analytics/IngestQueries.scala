@@ -135,17 +135,27 @@ object IngestQueries {
   def bucketedJoin: Q = (s, dir) => {
     val root = graft.TempDirs.scratch("graft_bucket_join")
     val panel = graft.sources.Quotes.panel(s, dir)
+    // catalog names are SESSION-GLOBAL state: suffix them with the
+    // per-run scratch root's hash (the streaming sinks' pattern) so
+    // two sessions sharing a warehouse — parallel test suites, a
+    // concurrent Verify — never race on the same table name
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
     def sink(df: DataFrame, name: String): Unit = {
-      s.sql(s"DROP TABLE IF EXISTS $name")
       df.write.format("parquet")
         .bucketBy(8, "stock", "day").sortBy("stock", "day")
         .option("path", s"$root/$name").mode("overwrite")
         .saveAsTable(name)
     }
-    sink(panel.select("stock", "day", "close"), "g124_prices")
-    sink(panel.select("stock", "day", "volume"), "g124_volumes")
-    val p = s.table("g124_prices")
-    val v = s.table("g124_volumes")
+    val (pName, vName) = (s"g124_prices_$tag", s"g124_volumes_$tag")
+    sink(panel.select("stock", "day", "close"), pName)
+    sink(panel.select("stock", "day", "volume"), vName)
+    // no DROP here: the returned frame is LAZY (the caller — and the
+    // IngestSpec plan pin — executes it after this function returns),
+    // so the catalog entries must outlive the call. The data files
+    // live under the self-deleting scratch root; the few per-run
+    // catalog entries in the session-local metastore are inert.
+    val p = s.table(pName)
+    val v = s.table(vName)
     p.hint("merge").join(v, Seq("stock", "day"))
       .groupBy("stock")
       .agg(count(lit(1)).as("n_days"),

@@ -19,9 +19,11 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * miner below takes a `maxBucket` population cap: buckets over the
   * cap are EXCLUDED from candidate generation, and the exclusion is
   * accounted, not silent — the query publishes observed metrics
-  * (`Dataset.observe`: `<op>_hot_buckets` = excluded bucket count,
-  * `<op>_max_bucket` = the largest population seen) that any
-  * `QueryExecutionListener` reads per run. Because verification
+  * (`Dataset.observe`: `<op>_hot_postings` = number of posting rows
+  * excluded because their bucket is over the cap — i.e. excluded
+  * VOLUME, not distinct buckets — and `<op>_max_bucket` = the largest
+  * bucket population seen) that any `QueryExecutionListener` reads
+  * per run. Because verification
   * re-checks exact similarity on every surviving candidate, capping
   * can only DROP candidates, never admit false pairs; a TRUE pair is
   * lost only if every bucket it shares is hot (boilerplate-only
@@ -263,7 +265,15 @@ object DedupFns {
     // would DROP a pair whose first match is a hot bucket even when
     // a cold band also matches it, so dedup is a distinct() over the
     // narrow candidate pairs — a pair survives iff ANY shared bucket
-    // is cold, which is the guard's recall contract.
+    // is cold, which is the guard's recall contract. Considered and
+    // rejected (round-10 advice): a cap-aware first-match ("first
+    // COLD matching band") needs each candidate row to know the
+    // hotness of its pair's EARLIER bands, i.e. a per-doc hot-band
+    // mask — one extra groupBy(doc) shuffle over all (h+1)·n banded
+    // rows plus joins into both pair sides, to save one distinct()
+    // over the surviving pairs, a set the verification joins shuffle
+    // anyway and that the caps keep bounded. The distinct() is the
+    // cheaper shape at every corpus profile we can construct.
     val pop = banded.groupBy(blockCol, "band", "bval").agg(count(lit(1)).as("bpop"))
     val capped = banded.join(pop, Seq(blockCol, "band", "bval"))
     val a = capped.observe("simhash_hot",

@@ -145,10 +145,35 @@ object PlanOps {
   /** Mount one [[graft.plans.MultiRankNode]] over `df`: every
     * (outputName, inputColName, pct) rank of one cross-section
     * (composite `partKeys`) computed in a single group pass.
-    * pct=true → pandas pct rank ([[XsOps.rankPct]] semantics);
-    * pct=false → raw average-tie rank ([[XsOps.avgRank]] semantics).
-    * An input may name an earlier output of the same stage. */
+    * pct=true → pandas pct rank ([[XsOps.rankPct]] semantics, null
+    * input → null rank, bit-parity pinned). pct=false → average-tie
+    * rank over the NON-NULL inputs, null input → null rank. NOTE:
+    * on null-bearing input pct=false diverges from [[XsOps.avgRank]]
+    * (whose window orders nulls FIRST, assigning them real ranks and
+    * shifting every non-null rank up by the null count); on null-free
+    * input the two agree exactly (parity-pinned in MultiRankSpec,
+    * including a null-bearing case pinning the documented divergence).
+    * Callers wanting avgRank's null behavior must pre-filter or
+    * pre-coalesce nulls — q91 pre-filters. An input may name an
+    * earlier output of the same call (rank-of-rank chains).
+    *
+    * Calls carrying more than [[RankStageCap]] ranks are split into
+    * chained stages, bounding the unspillable per-group rank-value
+    * block (MultiRankGroupIterator's memory note) at K × group
+    * doubles per task. The split adds no exchange or sort —
+    * consecutive stages chain on the same clustering and ordering —
+    * and costs one extra (spillable) row-buffer pass per additional
+    * stage; rank-of-rank references across a split resolve through
+    * the earlier stage's output attribute. */
   def multiRank(df: DataFrame, partKeys: Seq[String],
+      rankDefs: Seq[(String, String, Boolean)]): DataFrame =
+    rankDefs.grouped(RankStageCap).foldLeft(df)((d, chunk) =>
+      multiRankSingle(d, partKeys, chunk))
+
+  /** Ranks per stage — see [[multiRank]]'s memory-bound note. */
+  private[ops] val RankStageCap = 32
+
+  private def multiRankSingle(df: DataFrame, partKeys: Seq[String],
       rankDefs: Seq[(String, String, Boolean)]): DataFrame = {
     val spark = df.sparkSession
     PlanBridge.installStrategy(spark, graft.plans.MultiRankStrategy)
@@ -320,9 +345,18 @@ object PlanOps {
     }
 
     private[ops] def drain(): Vector[(String, Column)] = {
+      drainGen += 1
       val p = pending; pending = Vector.empty; p
     }
     private[ops] def registry: Map[String, String] = reg
+    /** Monotone drain counter backing [[ColChain]]'s linearity guard:
+      * each chain value remembers the generation it was built at and
+      * refuses to extend if the recorder has been drained since —
+      * catching the silent-misattachment hazards of sharing one
+      * mutable recorder (branching a chain value, reusing a recorder
+      * across chains) at the first misuse instead of producing a
+      * frame with ranks attached to the wrong branch. */
+    private[ops] var drainGen: Int = 0
   }
 
   /** Drop-in deferred builder for long `.withColumn` chains: records
@@ -331,23 +365,45 @@ object PlanOps {
     * one-column-per-line shape while paying analyzer cost per LAYER,
     * not per column. With a [[RankRecorder]] attached, rank defs
     * recorded while an expression was being BUILT are spliced in
-    * just before the consuming definition. */
+    * just before the consuming definition.
+    *
+    * CONTRACT: a recorder-backed chain is SINGLE-LINEAR — each chain
+    * value is extended at most once, the recorder belongs to exactly
+    * one chain, and every `rec.rank()` call's expression is passed to
+    * the NEXT `withColumn`/`withRank` on that chain. Violations
+    * (branching a value, reusing a recorder, abandoning a branch)
+    * would silently drop or misattach pending rank definitions, so
+    * the chain enforces linearity: every extension checks that the
+    * recorder has not been drained by another branch since this value
+    * was created, and fails fast otherwise. */
   final case class ColChain(df: DataFrame, defs: Vector[(String, Column)] = Vector.empty,
-      rec: Option[RankRecorder] = None) {
+      rec: Option[RankRecorder] = None, recGen: Int = 0) {
+    private def guard(): Unit = rec.foreach { r =>
+      require(r.drainGen == recGen,
+        s"ColChain linearity violation: this chain value was created at recorder " +
+          s"drain generation $recGen but the recorder is now at ${r.drainGen} — " +
+          "a chain value was branched (used twice) or the RankRecorder is shared " +
+          "with another chain; build each chain with its own fresh recorder and " +
+          "extend each value at most once")
+    }
     private def drained: Vector[(String, Column)] =
       rec.fold(Vector.empty[(String, Column)])(_.drain())
-    def withColumn(name: String, c: Column): ColChain =
-      copy(defs = defs ++ drained :+ (name -> c))
+    def withColumn(name: String, c: Column): ColChain = {
+      guard()
+      copy(defs = defs ++ drained :+ (name -> c), recGen = recGen + (if (rec.isDefined) 1 else 0))
+    }
     /** Named pct-rank of `x` over the recorder's partition key. */
     def withRank(name: String, x: Column): ColChain = {
       require(rec.nonEmpty, "withRank needs a RankRecorder: ColChain(df, rec = Some(...))")
+      guard()
       rec.get.record(name, x)
-      copy(defs = defs ++ drained)
+      copy(defs = defs ++ drained, recGen = recGen + 1)
     }
     def build: DataFrame = buildKeeping(None)
     /** Build with liveness pruning down to `keep` (see
       * [[withColumnsBatched]]'s pruning overload). */
     def buildKeeping(keep: Option[Seq[String]]): DataFrame = {
+      guard()
       val all = defs ++ drained
       rec match {
         case Some(r) => withColumnsBatched(df, all, r.registry, r.partKey, keep)

@@ -124,7 +124,20 @@ case class MultiRankExec(
 }
 
 /** Streams day-groups: buffer one group (spillable), compute all rank
-  * columns for it, emit joined rows, move to the next group. */
+  * columns for it, emit joined rows, move to the next group.
+  *
+  * MEMORY BOUND: besides the spillable row buffer, each group holds
+  * ONE unspillable block of numRanks × n doubles (+ 1 byte of null
+  * flag each, + a long gather array per integral-sourced rank) — the
+  * rank values being emitted. This is the irreducible floor for a
+  * node that emits rows row-major with every rank attached (gather
+  * staging was folded into it by ranking in place), ~9·R·n bytes:
+  * the reference's 5k-entity × ~130-rank cross-sections need ~6 MB
+  * per task; a 100×-entity cross-section ~0.6 GB un-split — which is
+  * why PlanOps.multiRankStage caps stages at 32 ranks, making the
+  * practical per-task block n × 32 × 9 bytes (~10 MB even at a
+  * 100×-entity cross-section). Pinned by the many-ranks ×
+  * large-group spill test in MultiRankSpec. */
 private final class MultiRankGroupIterator(
     input: Iterator[InternalRow],
     outputTypes: Array[DataType],
@@ -214,13 +227,22 @@ private final class MultiRankGroupIterator(
       else { pendingHead = r.copy(); break = true }
     }
     val n = buffer.length
-    // gather: one pass reads every CHILD-sourced rank input
-    val dvals = Array.ofDim[Double](numRanks, n)
+    // gather CHILD-sourced double inputs DIRECTLY into the output
+    // arrays and rank IN PLACE: the tie-scan only reads values at
+    // sorted positions >= the current run while rank writes go to
+    // sorted positions < it (ord is a permutation), so the overwrite
+    // never races a read. This halves the per-group heap bound to
+    // the irreducible part — the rank-value block the node must hold
+    // to emit rows row-major (numRanks × n doubles + the null flags);
+    // only integral inputs need a separate gather (their long order
+    // is not representable in the double output slot).
     val lvals: Array[Array[Long]] =
       srcKinds.zipWithIndex.map { case (k, j) =>
         if (k == 1 && srcOrds(j) >= 0) new Array[Long](n) else null
       }
     val nulls = Array.ofDim[Boolean](numRanks, n)
+    rankVals = Array.ofDim[Double](numRanks, n)
+    rankNull = nulls
     var i = 0
     val gather = buffer.iterator
     while (gather.hasNext) {
@@ -231,7 +253,7 @@ private final class MultiRankGroupIterator(
         if (ord >= 0) {
           if (r.isNullAt(ord)) nulls(j)(i) = true
           else if (srcKinds(j) == 1) lvals(j)(i) = readLong(r, ord)
-          else dvals(j)(i) = readDouble(r, ord)
+          else rankVals(j)(i) = readDouble(r, ord)
         }
         j += 1
       }
@@ -239,14 +261,12 @@ private final class MultiRankGroupIterator(
     }
     // compute ranks in declaration order (later ranks may read earlier
     // ranks' outputs — rank-of-rank chains in one pass)
-    rankVals = Array.ofDim[Double](numRanks, n)
-    rankNull = nulls
     val ord = new Array[Integer](n)
     var j = 0
     while (j < numRanks) {
       val src = srcOrds(j)
       val dv: Array[Double] =
-        if (src >= 0) dvals(j)
+        if (src >= 0) rankVals(j) // in-place: input slot IS the output slot
         else { // earlier rank's output: its nulls become this rank's nulls
           val prev = ~src
           var t = 0

@@ -125,6 +125,34 @@ class FactorPlanSpec extends SparkSpec {
     assert(widths.sum <= 800, s"exchange widths ${widths.mkString("+")} = ${widths.sum}")
   }
 
+  test("q125 IVF search: cell pruning bounds the scan, exact recall audited") {
+    // the scale contract of the IVF-accelerated flagship search: the
+    // probe scan touches roughly nprobe/Ncells of the candidate
+    // corpus, never all of it (allowing 2x slack for cell imbalance
+    // around fixed centroids), and the pruned top-3 is audited
+    // against the exact ranking in the result itself
+    val rows = FactorQueries.similaritySearchIvf(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 3, s"expected 3 rows, got ${rows.length}")
+    val nScanned = rows.head.getAs[Long]("n_scanned")
+    val total = graft.factors.Technical
+      .compute(graft.sources.Quotes.panel(spark, "/root/testdata/sf0.001"))
+      .filter(org.apache.spark.sql.functions.col("day") < 40)
+      .filter(org.apache.spark.sql.functions.col("rsi_14").isNotNull
+        && org.apache.spark.sql.functions.col("bias_20").isNotNull
+        && org.apache.spark.sql.functions.col("cci_14").isNotNull)
+      .count()
+    assert(nScanned > 0 && nScanned <= total * 2 * 4 / 16,
+      s"scan touched $nScanned of $total candidates (nprobe=4 of 16 cells)")
+    val recall = rows.head.getAs[Double]("recall_at_3")
+    assert(recall >= 0.0 && recall <= 1.0, s"recall_at_3=$recall")
+    // no shuffle anywhere: broadcasts + TakeOrdered only
+    val df = FactorQueries.similaritySearchIvf(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("alpha materialization restores the session codegen conf") {
     val dir = "/root/testdata/sf0.001"
     // the materialization must leave the SESSION conf untouched

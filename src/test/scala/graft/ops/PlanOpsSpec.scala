@@ -73,6 +73,24 @@ class PlanOpsSpec extends SparkSpec {
     assert(flips(out) <= flips(defs.map(_._1)))
   }
 
+  test("ColChain linearity guard: branching a recorder-backed chain fails fast") {
+    import spark.implicits._
+    val base = Seq((1L, 1L, 1.0)).toDF("stock", "day", "x")
+    val rk = new PlanOps.RankRecorder("day")
+    val c0 = PlanOps.ColChain(base, rec = Some(rk))
+    val c1 = c0.withRank("r1", col("x"))
+    // branching: extending the ALREADY-EXTENDED c0 again would attach
+    // pending rank defs to the wrong branch — must fail, not misattach
+    val ex = intercept[IllegalArgumentException](c0.withColumn("y", lit(1)))
+    assert(ex.getMessage.contains("linearity"), ex.getMessage)
+    // the linear continuation still works
+    assert(c1.withColumn("y", col("r1") * 2).build.columns.contains("y"))
+    // a fresh chain reusing the SAME (already-drained) recorder fails
+    val ex2 = intercept[IllegalArgumentException](
+      PlanOps.ColChain(base, rec = Some(rk)).withColumn("z", lit(1)))
+    assert(ex2.getMessage.contains("linearity"), ex2.getMessage)
+  }
+
   test("batched build equals sequential withColumn chain") {
     import spark.implicits._
     val base = Seq((1L, 1L, 1.0, 2.0), (1L, 2L, 2.0, 3.0), (2L, 1L, 3.0, 4.0))

@@ -36,6 +36,28 @@ class SkewOpsSpec extends SparkSpec {
     assert(saltCounts.length == 8 && saltCounts.max < 2500, saltCounts.mkString(","))
   }
 
+  test("saltedJoin edge cases: null keys, n=1, n > build cardinality") {
+    // null probe keys must behave exactly like the plain join (dropped
+    // by inner, null-extended by left) even though the salt hashes
+    // over the null column; keys absent from the build side must
+    // null-extend under left despite the build-side explosion
+    val probeN = Seq((Some(1L), 1L), (None, 2L), (Some(99L), 3L), (None, 4L))
+      .toDF("k", "pv")
+    val buildSmall = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    for (jt <- Seq("inner", "left"); n <- Seq(1, 7)) {
+      val plain = probeN.join(buildSmall, Seq("k"), jt)
+        .select("k", "pv", "bv").orderBy("pv").collect()
+      val salted = SkewOps.saltedJoin(probeN, buildSmall, Seq("k"), n, jt)
+        .select("k", "pv", "bv").orderBy("pv").collect()
+      assert(salted.length == plain.length, s"$jt n=$n: ${salted.length} vs ${plain.length}")
+      salted.zip(plain).foreach { case (a, b) => assert(a == b, s"$jt n=$n: $a vs $b") }
+    }
+    // left_anti on a key missing from the build: survives salting
+    val anti = SkewOps.saltedJoin(probeN, buildSmall, Seq("k"), 4, "left_anti")
+      .select("pv").collect().map(_.getLong(0)).sorted
+    assert(anti.toSeq == Seq(2L, 3L, 4L), anti.mkString(","))
+  }
+
   test("saltedJoin rejects build-duplicating join types") {
     intercept[IllegalArgumentException] {
       SkewOps.saltedJoin(probe, build, Seq("k"), 4, joinType = "full_outer")

@@ -108,6 +108,46 @@ class MultiRankSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("many ranks x large group under a tiny buffer threshold (memory-bound path)") {
+    // the 100TB-shape plant for the per-group memory note: ONE group
+    // far over the in-memory buffer threshold (spilled row buffer)
+    // carrying 100 rank columns — exercises the in-place gather/rank
+    // reuse and the 32-rank stage split (PlanOps.RankStageCap) at
+    // once, pinned for value parity against the window formulation
+    val key = "spark.sql.windowExec.buffer.in.memory.threshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "4")
+      val rnd = new Random(7)
+      val big = (1 to 3000).map { i =>
+        (1L, i.toLong, rnd.nextDouble() * 100 - 50, rnd.nextInt(7).toDouble)
+      }.toDF("day", "ent", "a", "b")
+      val defs = (0 until 100).map { j =>
+        val in = if (j == 0) "a" else if (j % 3 == 0) s"r${j - 1}" // rank-of-rank across splits
+          else if (j % 2 == 0) "a" else "b"
+        (s"r$j", in, j % 4 != 0) // mixed pct / raw modes
+      }
+      val got = PlanOps.multiRank(big, Seq("day"), defs)
+      // >= 4 MultiRank stages (100 ranks / 32 cap) and still no extra exchange
+      got.collect()
+      val plan = got.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.linesIterator.count(_.contains("MultiRank [")) >= 4, plan)
+      assert(plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 1, plan)
+      // value parity on a sample of ranks spanning chunk boundaries
+      val sample = Seq("r0", "r31", "r32", "r33", "r63", "r99")
+      val win = defs.foldLeft(big) { case (d, (n, in, pct)) =>
+        d.withColumn(n,
+          if (pct) XsOps.rankPct(col(in), col("day"))
+          else XsOps.avgRank(col(in), col("day")))
+      }
+      val a = got.select(("ent" +: sample).map(col): _*).orderBy("ent").collect()
+      val b = win.select(("ent" +: sample).map(col): _*).orderBy("ent").collect()
+      assert(a.length == 3000)
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("composite keys + raw avg-tie mode == XsOps.avgRank windows, bitwise") {
     // the q91 shape: rank within (day, group) cross-sections, raw
     // average-tie rank (no pct division)
@@ -127,6 +167,27 @@ class MultiRankSpec extends SparkSpec {
           == java.lang.Double.doubleToLongBits(y.getDouble(i)), s"$x vs $y")
       }
     }
+  }
+
+  test("raw avg-tie mode on NULL-bearing input: documented divergence from avgRank") {
+    // PlanOps.multiRank doc: pct=false emits null for null inputs and
+    // ranks non-nulls from 1; XsOps.avgRank's window (default nulls
+    // FIRST) gives nulls real ranks and shifts non-nulls up. Pin BOTH
+    // on a hand-checked group so the divergence stays documented-and-
+    // tested instead of latent (round-10 advice #1).
+    // day 1: [null, 5.0, 5.0, 9.0]
+    val df = Seq((1L, 1L, None), (1L, 2L, Some(5.0)), (1L, 3L, Some(5.0)),
+      (1L, 4L, Some(9.0))).toDF("day", "ent", "v")
+    val node = PlanOps.multiRank(df, Seq("day"), Seq(("r", "v", false)))
+      .orderBy("ent").select("r").collect()
+    assert(node(0).isNullAt(0)) // null input -> null rank
+    assert(node(1).getDouble(0) == 1.5 && node(2).getDouble(0) == 1.5)
+    assert(node(3).getDouble(0) == 3.0)
+    val win = df.withColumn("r", XsOps.avgRank(col("v"), col("day")))
+      .orderBy("ent").select("r").collect()
+    assert(win(0).getDouble(0) == 1.0) // null ranked FIRST, a real rank
+    assert(win(1).getDouble(0) == 2.5 && win(2).getDouble(0) == 2.5)
+    assert(win(3).getDouble(0) == 4.0) // non-nulls shifted by the null count
   }
 
   test("pandas tie/null semantics on a hand-checked group") {
