@@ -40,6 +40,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = load1
     var failed = List.empty[String]
+    // capture the dedup miners' hot-bucket observe() metrics
+    // (DedupFns guard doc): a skewed future corpus then shows up IN
+    // the bench artifact instead of only in per-run listener logs.
+    // Values merge by max across reruns; the map is read after a
+    // short drain wait since listener delivery is asynchronous.
+    val skew = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        try qe.observedMetrics.foreach { case (name, row) =>
+          if (name.endsWith("_hot")) {
+            val fields = row.schema.fieldNames
+            var i = 0
+            while (i < fields.length) {
+              if (!row.isNullAt(i)) row.get(i) match {
+                case l: java.lang.Long =>
+                  skew.merge(fields(i), l, (a, b) => math.max(a, b))
+                case _ => ()
+              }
+              i += 1
+            }
+          }
+        } catch { case _: Throwable => () } // diagnostics must never fail the run
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    })
     // Bulk-load throughput vs BASELINE.md:12 (native CSV pipe,
     // 0.8-1.2M rows/s): zip fixture -> encoding-sniffing parse ->
     // code normalization -> partitioned sorted parquet sink. Fixture
@@ -210,8 +236,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val hostLoad = s"""{"start":${r3(loadStart)},"end":${r3(load1)},"cores":${Runtime.getRuntime.availableProcessors}}"""
+    Thread.sleep(1500) // drain async listener delivery for the skew map
+    val skewJson = {
+      import scala.jdk.CollectionConverters._
+      skew.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    }
     // the ONE machine-readable result line, printed LAST
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpu,"rerun":$rerun,"host_load":$hostLoad,"failed":$failedJson,"ingest_rows":$ingestRows,"ingest_rows_per_sec":${r3(ingestRps)},"ingest_cpu":${r3(ingestCpu)},"ingest_medium":"$ingestMedium","ingest_rows_per_sec_disk":${r3(ingestRpsDisk)},"ingest_cpu_disk":${r3(ingestCpuDisk)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpu,"rerun":$rerun,"host_load":$hostLoad,"skew":$skewJson,"failed":$failedJson,"ingest_rows":$ingestRows,"ingest_rows_per_sec":${r3(ingestRps)},"ingest_cpu":${r3(ingestCpu)},"ingest_medium":"$ingestMedium","ingest_rows_per_sec_disk":${r3(ingestRpsDisk)},"ingest_cpu_disk":${r3(ingestCpuDisk)},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -182,4 +182,29 @@ class StreamOpsSpec extends SparkSpec {
       assert(ids == Seq(1L, 1L, 2L))
     } finally q.stop()
   }
+
+  test("q119 sessions: RocksDB state-store provider is value-identical") {
+    // production guidance for the streaming tier is the RocksDB
+    // provider (state no longer bounded by executor heap at real key
+    // cardinalities); run the q119 sessionization under it and pin
+    // value parity with the default HDFS-backed provider so the
+    // recommendation is tested, not asserted. Each run uses a fresh
+    // scratch source/checkpoint, so the two queries are independent.
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toVector).toVector.sortBy(_.mkString("|"))
+    val default = rows(StreamQueries.sessionStreamValues(spark, sf))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = rows(StreamQueries.sessionStreamValues(spark, sf))
+      assert(rocks.nonEmpty && rocks == default,
+        s"rocksdb=${rocks.take(3)} default=${default.take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
