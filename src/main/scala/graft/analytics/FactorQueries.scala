@@ -150,10 +150,16 @@ object FactorQueries {
     * axis). */
   def similaritySearchIvf: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    // the narrow factor frame feeds FOUR branches (centroids, query,
+    // pruned scan, exact ground truth); materialize it once instead
+    // of re-deriving the technical pipeline per branch. ~35 bytes/row
+    // — at 100 TB this frame is the (tiny) index side, and a real
+    // deployment persists it as the ANN index anyway.
     val f = Technical.compute(Quotes.panel(s, dir))
       .select(col("stock"), col("day"), col("rsi_14"), col("cci_14"), col("bias_20"))
       .filter(col("rsi_14").isNotNull && col("bias_20").isNotNull
         && col("cci_14").isNotNull)
+      .localCheckpoint()
     // centroid set as ONE broadcast row of array<struct>: argmin /
     // sort over it are order-independent, so collect_list's
     // nondeterministic order is harmless (q107's convention)

@@ -81,7 +81,8 @@ object GraphOps {
     * @return columns `id`, `comp` (= min vertex id of the component)
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 64): DataFrame = {
+                          maxIter: Int = 64,
+                          broadcastLimit: Long = FrontierBroadcastRows): DataFrame = {
     val spark = vertices.sparkSession
     val sc = spark.sparkContext
     val idType = vertices.schema("id").dataType
@@ -121,7 +122,7 @@ object GraphOps {
     var iter = 0
     while (frontierSize > 0 && iter < maxIter) {
       val msgs: RDD[(Long, Long)] =
-        if (frontierSize <= FrontierBroadcastRows) {
+        if (frontierSize <= broadcastLimit) {
           // broadcast-build of the small side, exactly as a SQL
           // broadcast join would: shuffle-free edge scan this round
           val fm = sc.broadcast(frontier.collectAsMap())

@@ -42,4 +42,27 @@ class GraphOpsPropSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("join-path frontier (broadcastLimit=0) matches the broadcast path") {
+    // the at-scale message path: every round's frontier goes through
+    // the co-partitioned edge join instead of the small-side
+    // broadcast. Force it on a long-chain + dense-cluster mix (chains
+    // exercise multi-round frontiers, the clique exercises fan-in)
+    // and pin equality with the default (broadcast) run and with the
+    // sequential union-find.
+    val vs = (0L until 400L)
+    val chain = (0L until 199L).map(i => (i, i + 1))          // one 200-hop chain
+    val clique = for { a <- 200L until 230L; b <- (a + 1) until 230L } yield (a, b)
+    val pairs = (230L until 400L by 2).map(i => (i, i + 1))
+    val es = chain ++ clique ++ pairs
+    val expect = unionFind(vs, es)
+    val viaJoin = GraphOps.connectedComponents(
+        vs.toDF("id"), es.toDF("src", "dst"), broadcastLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBcast = GraphOps.connectedComponents(
+        vs.toDF("id"), es.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin == expect, "join-path mismatch")
+    assert(viaBcast == expect, "broadcast-path mismatch")
+  }
 }
