@@ -718,6 +718,110 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** q126: mixture MATERIALIZATION — the step after q111's planning:
+    * actually select the documents that realize the planned per-source
+    * sample rates, deterministically. Acceptance is a pure per-row
+    * decision — uniform u = portableHash60(text)/2^60 < rate(source) —
+    * so the sample is reproducible across runs/engines (no rand()),
+    * stable under re-partitioning, and embarrassingly parallel at
+    * 100 TB (one broadcast of the 20-row rate table, no shuffle
+    * before the final per-source rollup). Content-keyed hashing also
+    * means a re-crawled duplicate gets the same verdict everywhere.
+    * Output: per source, planned vs achieved rate and counts. */
+  def mixMaterialize: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val perSrc = d.groupBy("source")
+      .agg(sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        when(col("source").isin("src0", "src1", "src2", "src3"), 2.0).otherwise(1.0))
+    val tot = perSrc.agg(sum("n_tokens").as("tot_tokens"),
+      sum("weight").as("tot_weight"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(col("weight") / col("tot_weight") * col("tot_tokens").cast("double")
+          / col("n_tokens"), lit(1.0)).as("rate"))
+    val u = DedupFns.portableHash60(col("text")).cast("double") /
+      lit(1152921504606846976.0) // 2^60, exactly representable
+    d.join(broadcast(rates), "source")
+      .withColumn("accept", (u < col("rate")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("accept").as("n_selected"),
+        fr6(min(col("rate"))).as("target_rate"),
+        fr6(sum("accept").cast("double") / count(lit(1))).as("achieved_rate"))
+      .orderBy("source")
+  }
+
+  /** q127: INCREMENTAL dedup-on-arrival — the production shape exact
+    * dedup takes once a corpus is live: a historical fingerprint
+    * index stored BUCKETED by fingerprint (S8's layout put to work
+    * for dedup), and each arriving batch deduped first within itself
+    * (keep lowest arrival id per fingerprint), then checked against
+    * the index with a merge join in which the bucketed index side
+    * never reshuffles — only the day's (small) batch moves. At
+    * 100 TB the index join is bucket-local by construction; the
+    * alternative (re-grouping the full corpus per day, q33's shape)
+    * reshuffles history every run. The batch replays 50 re-crawled
+    * and 20 re-submitted documents so every counter is exercised.
+    * Catalog name is per-run hashed (q124's convention); zero-
+    * exchange-on-index-side pinned in CorpusPlanSpec. */
+  def incrementalDedup: Q = (s, dir) => {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val fp = TextFns.fingerprint(col("text"))
+    val root = graft.TempDirs.scratch("graft_fp_index")
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val idxName = s"g127_fp_index_$tag"
+    d.filter(col("doc_id") < 400)
+      .groupBy(fp.as("fp")).agg(min("doc_id").as("keep_id"))
+      .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
+      .option("path", s"$root/$idxName").mode("overwrite").saveAsTable(idxName)
+    val index = s.table(idxName)
+    val arrivals = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id").as("arrival_id"), col("source"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 50) // re-crawl: new ids, same text
+        .select((col("doc_id") + 100000).as("arrival_id"), col("source"), col("text")))
+      .unionAll(d.filter(col("doc_id") < 20) // double submission within the batch
+        .select((col("doc_id") + 200000).as("arrival_id"), col("source"), col("text")))
+    val winners = arrivals
+      .select(col("arrival_id"), col("source"), fp.as("fp"))
+      .groupBy("fp")
+      .agg(min("arrival_id").as("arrival_id"), count(lit(1)).as("n_in_batch"),
+        min("source").as("source"))
+    winners.hint("merge").join(index, Seq("fp"), "left")
+      .groupBy("source")
+      .agg(sum("n_in_batch").as("n_arrived"),
+        (sum("n_in_batch") - count(lit(1))).as("n_batch_dups"),
+        sum(when(col("keep_id").isNotNull, 1L).otherwise(0L)).as("n_index_dups"),
+        sum(when(col("keep_id").isNull, 1L).otherwise(0L)).as("n_new"))
+      .orderBy("source")
+  }
+
+  /** q128: QUALITY-BASED canonical selection — the policy layer over
+    * q102's clusters: production pipelines keep the best-quality
+    * member of each near-duplicate cluster, not the lowest id. One
+    * window (rank by quality desc, id asc within cluster) over the
+    * cluster labels joined with the q31 quality score: the join and
+    * window both key on high-cardinality columns, so the policy adds
+    * two keyed shuffles of the (narrow) label frame at any scale. */
+  def qualityCanonical: Q = (s, dir) => {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val sh = d.select(col("doc_id"), col("source"),
+      TextFns.charShinglesPacked(col("text")).as("sh"))
+    val edges = DedupFns.jaccardPrefixPairs(sh, "doc_id", "source", "sh", threshold = 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val lab = graft.ops.GraphOps.connectedComponents(
+      d.select(col("doc_id").as("id")), edges)
+    val quality = d.select(col("doc_id"),
+      round(TextFns.qualityScore(col("text")), 6).as("quality"))
+    lab.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .join(quality, "doc_id")
+      .withColumn("is_canonical",
+        (row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("quality").desc, col("doc_id"))) === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
   private val bm25Terms = Seq("spark", "window", "join")
 
   /** q112: BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term
@@ -876,6 +980,9 @@ object CorpusQueries {
     "q121_int8_ann" -> int8AnnSearch,
     "q122_ann_recall" -> annRecallAudit,
     "q123_recall_sweep" -> annRecallSweep,
+    "q126_mix_materialize" -> mixMaterialize,
+    "q127_incremental_dedup" -> incrementalDedup,
+    "q128_quality_canonical" -> qualityCanonical,
   )
 
   /** Shared oracle CTE: whitespace tokens with the blank-text guard
@@ -1243,6 +1350,97 @@ object CorpusQueries {
         | CAST(len(list_intersect(c.s, ev.es)) AS BIGINT) AS n_shared
         |FROM c JOIN ev ON len(list_intersect(c.s, ev.es)) >= 1
         |ORDER BY doc_id, eval_id""".stripMargin,
+    // q126: same rate derivation text as the q111 oracle; the accept
+    // uniform replays portableHash60 with DuckDB's hex parse, and
+    // 2^60 is an exactly representable double so the division (and
+    // therefore the accept boundary) is bit-identical in both engines
+    "q126_mix_materialize" ->
+      """WITH t AS (
+        | SELECT source,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+        |       THEN 2.0 ELSE 1.0 END AS DOUBLE) AS weight
+        | FROM documents GROUP BY source),
+        |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |             sum(weight) AS tot_weight FROM t),
+        |r AS (SELECT source,
+        |  least(weight / tot_weight * tot_tokens / n_tokens, 1.0) AS rate
+        | FROM t, g),
+        |acc AS (
+        | SELECT d.source, r.rate,
+        |  CASE WHEN CAST(concat('0x', substr(md5(d.text), 1, 15)) AS BIGINT)
+        |        / 1152921504606846976.0 < r.rate THEN 1 ELSE 0 END AS accept
+        | FROM documents d JOIN r USING (source))
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(accept) AS BIGINT) AS n_selected,
+        | floor(min(rate) * 1e6 + 0.5) / 1e6 AS target_rate,
+        | floor(CAST(sum(accept) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+        |   AS achieved_rate
+        |FROM acc GROUP BY source ORDER BY source""".stripMargin,
+    // q127: the bucketed index + batch replay, re-derived relationally
+    // (values are storage-independent; the entry's hash proves the
+    // bucketed write+read+merge-join chain is lossless, as in q124)
+    "q127_incremental_dedup" ->
+      """WITH fps AS (
+        | SELECT doc_id, source,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        | FROM documents),
+        |idx AS (SELECT fp, min(doc_id) AS keep_id
+        |  FROM fps WHERE doc_id < 400 GROUP BY fp),
+        |arr AS (
+        |  SELECT doc_id AS arrival_id, source, fp FROM fps WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, fp FROM fps WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 200000, source, fp FROM fps WHERE doc_id < 20),
+        |w AS (SELECT fp, min(arrival_id) AS arrival_id, count(*) AS n_in_batch,
+        |  min(source) AS source FROM arr GROUP BY fp),
+        |j AS (SELECT w.source, w.n_in_batch, idx.keep_id
+        |  FROM w LEFT JOIN idx USING (fp))
+        |SELECT source, CAST(sum(n_in_batch) AS BIGINT) AS n_arrived,
+        | CAST(sum(n_in_batch) - count(*) AS BIGINT) AS n_batch_dups,
+        | CAST(sum(CASE WHEN keep_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_index_dups,
+        | CAST(sum(CASE WHEN keep_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // q128: q102's recursive-CTE components + q31's quality formula +
+    // the same (quality desc, doc_id) canonical window
+    "q128_quality_canonical" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(generate_series(1, length(text) - 2),
+        |    i -> substr(text, i, 3))) AS s
+        | FROM documents WHERE length(text) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS src, b.doc_id AS dst
+        | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |reach AS (
+        | SELECT doc_id AS id, doc_id AS r FROM documents
+        | UNION
+        | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |q AS (
+        | SELECT doc_id,
+        |  round(0.4 * (1.0 - CAST(len(list_filter(toks, t -> list_contains(
+        |      ['the','a','an','of','and','to','is','in','it','on'], t))) AS DOUBLE)
+        |      / len(toks))
+        |   + 0.4 * (CAST(len(list_filter(toks, t -> length(t) >= 5)) AS DOUBLE)
+        |      / len(toks))
+        |   + 0.2 * (1.0 - CAST(nc - nc_nopunct AS DOUBLE) / nc), 6) AS quality
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |   length(text) AS nc,
+        |   length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS nc_nopunct
+        |   FROM documents))
+        |SELECT lab.doc_id, lab.cluster_id, q.quality,
+        | CAST(row_number() OVER (PARTITION BY lab.cluster_id
+        |   ORDER BY q.quality DESC, lab.doc_id) = 1 AS INT) AS is_canonical
+        |FROM lab JOIN q ON lab.doc_id = q.doc_id
+        |ORDER BY lab.doc_id""".stripMargin,
     "q102_dup_clusters" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id, source,

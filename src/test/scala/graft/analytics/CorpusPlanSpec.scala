@@ -96,6 +96,29 @@ class CorpusPlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 2, plan)
   }
 
+  test("q127 incremental dedup: bucketed index side joins without an exchange") {
+    // the storage contract: the historical fingerprint index is
+    // bucketed by fp, so the arrival-vs-index merge join reshuffles
+    // only the batch side — the index scan feeds the join directly.
+    // Exchange budget: batch-side shuffle to the index bucketing +
+    // the winners aggregation + the final per-source rollup = 3; an
+    // index-side shuffle would make it 4.
+    val plan = finalPlan(CorpusQueries.incrementalDedup(spark, sf))
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(ex <= 3, s"$ex hash exchanges (index side must not reshuffle):\n$plan")
+  }
+
+  test("q126 mixture materialization: rates broadcast, one rollup exchange") {
+    val plan = finalPlan(CorpusQueries.mixMaterialize(spark, sf))
+    // the 20-row rate table reaches the corpus as a broadcast; the
+    // only hash exchanges aggregate (rates build + final rollup)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("loadSpread: parallelizes the tiny scan without changing content") {
     val plain = graft.Tables.load(spark, sf, "documents")
     val spread = CorpusQueries.loadSpread(spark, sf, "documents", "doc_id")
