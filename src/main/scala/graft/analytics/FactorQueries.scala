@@ -213,6 +213,41 @@ object FactorQueries {
       .orderBy("rn")
   }
 
+  /** q129: INCREMENTAL daily factor maintenance — the production
+    * shape of the reference's nightly factor job at 100 TB: the
+    * quotes panel lives in a day-partitioned store, and computing
+    * "today's" factor rows reads only the trailing window-depth
+    * partitions (25 days here for the 14/20-frame trio), never the
+    * full history. Row-frame windows make the tail computation exact
+    * for the last day: every frame that day d reads is fully inside
+    * the 25-day tail (rsi_14 needs 14 closes +1 lag, bias_20 needs
+    * 20, cci_14 needs 14). Cost is ∝ window depth × entities,
+    * independent of history length; the pruned scan is pinned in
+    * FactorPlanSpec (PartitionFilters + file count). maxDay is a
+    * fixture scalar (one metadata-cheap aggregate), the same pattern
+    * as the stream entries' range splits. The increment recomputes
+    * the last 5 days (a catch-up window absorbing restatements); the
+    * day filter sits ABOVE the stock-keyed windows, so only the
+    * 25-day partition filter reaches the scan — exactly right, since
+    * the frames need the tail rows. */
+  def incrementalFactors: Q = (s, dir) => {
+    val root = graft.TempDirs.scratch("graft_day_store")
+    Quotes.panel(s, dir)
+      .repartition(col("day")) // one file per day partition
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/panel")
+    val stored = s.read.parquet(s"$root/panel")
+    val maxDay = stored.agg(max(col("day").cast("long"))).head().getLong(0)
+    val f = Technical.compute(
+      stored.filter(col("day") > maxDay - 25)
+        .withColumn("day", col("day").cast("long")))
+    f.filter(col("day") > maxDay - 5)
+      .select(col("stock"), col("day"),
+        round(col("rsi_14"), 6).as("rsi_14"),
+        round(col("bias_20"), 6).as("bias_20"),
+        round(col("cci_14"), 6).as("cci_14"))
+      .orderBy("stock", "day")
+  }
+
   /** q49: kline replay around an anchor day
     * (`app/Quantlib/QuantDB.py:207-224`): day-offset re-index in
     * [-10, +20] around day 30 per stock, close normalized to the
@@ -651,6 +686,7 @@ object FactorQueries {
     "q90_alpha_all" -> alphaAll,
     "q48_similarity_search" -> similaritySearch,
     "q125_similarity_ivf" -> similaritySearchIvf,
+    "q129_incremental_factors" -> incrementalFactors,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
     "q56_factor_snapshot" -> factorSnapshot,
@@ -1966,6 +2002,36 @@ object FactorQueries {
          |WHERE day < 40 AND rsi IS NOT NULL AND bias IS NOT NULL AND cci IS NOT NULL
          |ORDER BY dist, stock, day
          |LIMIT 5""".stripMargin,
+    // q129 mirrors the tail restriction itself (values equal the
+    // full-history computation by the frame-containment argument in
+    // the entry doc, but the oracle replays the SAME restricted
+    // computation so the hash never leans on that argument)
+    "q129_incremental_factors" -> {
+      val restricted = baseCte
+        .replace("base AS (",
+          "mx AS (SELECT max(day) AS maxday FROM quotes),\n" +
+            "qr AS (SELECT quotes.* FROM quotes, mx WHERE day > maxday - 25),\n" +
+            "base AS (")
+        .replace("FROM quotes\n", "FROM qr\n")
+      s"""$restricted,
+         |f2 AS (
+         |  SELECT stock, day, close, tp,
+         |    100.0 * sum(up_move) OVER f14
+         |      / nullif(sum(up_move) OVER f14 + sum(dn_move) OVER f14, 0) AS rsi,
+         |    (close - avg(close) OVER f20) / nullif(avg(close) OVER f20, 0) AS bias,
+         |    avg(tp) OVER f14 AS tp_m,
+         |    list(tp) OVER f14 AS tp_l
+         |  FROM b2
+         |  WINDOW $frames),
+         |f3 AS (
+         |  SELECT stock, day, rsi, bias,
+         |    (tp - tp_m) / nullif(0.015 *
+         |      (list_sum(list_transform(tp_l, x -> abs(x - tp_m))) / len(tp_l)), 0) AS cci
+         |  FROM f2)
+         |SELECT stock, day, round(rsi, 6) + 0.0 AS rsi_14,
+         | round(bias, 6) + 0.0 AS bias_20, round(cci, 6) + 0.0 AS cci_14
+         |FROM f3, mx WHERE day > maxday - 5 ORDER BY stock, day""".stripMargin
+    },
     // q125 replays the full IVF pipeline: the same f3 factor CTE as
     // q48, centroid selection (16 lowest-id stocks at day 39), 6-dp-
     // quantized squared-distance cell assignment with lowest-cid tie-

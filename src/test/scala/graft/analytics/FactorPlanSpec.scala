@@ -153,6 +153,31 @@ class FactorPlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q129 incremental factors: the day store prunes to the 25-day tail") {
+    // the incremental job's scale contract: the scan reads only the
+    // trailing window-depth day partitions, never the full history —
+    // the partition filter must reach the scan and the file count
+    // must equal the tail (one file per day partition by layout)
+    val df = FactorQueries.incrementalFactors(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // descend through AQE wrappers and query stages to the real scan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, df.queryExecution.executedPlan.toString)
+    val scan = found.head
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    val files = scan.metrics("numFiles").value
+    assert(files > 0 && files <= 25,
+      s"scan read $files files — the tail is at most 25 day partitions")
+  }
+
   test("alpha materialization restores the session codegen conf") {
     val dir = "/root/testdata/sf0.001"
     // the materialization must leave the SESSION conf untouched
