@@ -165,9 +165,65 @@ object IngestQueries {
       .orderBy("stock")
   }
 
+  /** q130: partition COMPACTION — the maintenance pass every
+    * append-heavy lakehouse store needs: streaming/micro-batch writes
+    * leave many small files per partition (simulated here: 8 writers
+    * × every day ⇒ 8 files/day), and the nightly compactor rewrites
+    * each partition into one right-sized file (`repartition(partCol)`
+    * ⇒ one task owns each partition's rows). At 100 TB small files
+    * are a primary scan-performance killer (footer/open overhead per
+    * file, tiny row groups); compaction cost is one full shuffle of
+    * the store, amortized over every subsequent read. The entry
+    * returns a per-day rollup of the compacted store — values are
+    * layout-independent, so the hash proves the rewrite lossless
+    * (q124's convention); file counts before/after are pinned in
+    * IngestSpec. */
+  def compactPartitions: Q = (s, dir) => {
+    val root = graft.TempDirs.scratch("graft_compact")
+    val panel = graft.sources.Quotes.panel(s, dir)
+      .select(col("stock"), col("day"), col("close"), col("volume"))
+    panel.repartition(8) // row-hash spread: every writer hits every day
+      .write.partitionBy("day").parquet(s"$root/raw")
+    Ingest.compactPartitioned(s, s"$root/raw", s"$root/compact", "day")
+    s.read.parquet(s"$root/compact")
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("volume")).as("sum_vol"),
+        (floor(sum(col("close")) * 1e6 + lit(0.5)) / 1e6).as("sum_close"))
+      .orderBy("day")
+  }
+
+  /** q131: SCHEMA-EVOLUTION read — a corpus/market store accretes
+    * columns over time (an early batch lacks `volume`); the reader
+    * must union batches of different widths without a migration
+    * rewrite. `mergeSchema` reconciles parquet footers at planning
+    * time and nulls the missing column in old batches — at 100 TB
+    * "rewrite history to add a column" is not an option, so this read
+    * path IS the schema-migration story. The rollup aggregates both
+    * eras with explicit null handling, oracled by re-deriving the
+    * same era split. */
+  def schemaEvolution: Q = (s, dir) => {
+    val root = graft.TempDirs.scratch("graft_schema_evo")
+    val panel = graft.sources.Quotes.panel(s, dir)
+    panel.filter(col("day") <= 40).select(col("stock"), col("day"), col("close"))
+      .write.parquet(s"$root/b1") // old schema: no volume column
+    panel.filter(col("day") > 40)
+      .select(col("stock"), col("day"), col("close"), col("volume"))
+      .write.parquet(s"$root/b2") // evolved schema
+    s.read.option("mergeSchema", "true").parquet(s"$root/b1", s"$root/b2")
+      .groupBy(when(col("day") <= 40, "v1").otherwise("v2").as("era"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("volume").isNull, 1L).otherwise(0L)).as("n_null_vol"),
+        coalesce(sum(col("volume")), lit(0L)).as("sum_vol"),
+        (floor(sum(col("close")) * 1e6 + lit(0.5)) / 1e6).as("sum_close"))
+      .orderBy("era")
+  }
+
   val entries: Map[String, Q] = Map(
     "q93_ingest_roundtrip" -> ingestRoundtrip,
-    "q124_bucketed_join" -> bucketedJoin)
+    "q124_bucketed_join" -> bucketedJoin,
+    "q130_compact_partitions" -> compactPartitions,
+    "q131_schema_evolution" -> schemaEvolution)
 
   /** The zip fixture is not DuckDB-visible, but every value in it is a
     * closed-form function of (code, z, i) — so the oracle REPLAYS the
@@ -189,6 +245,24 @@ object IngestQueries {
          | CAST(sum(volume) AS BIGINT) AS sum_vol,
          | floor(sum(close * volume) / sum(volume) * 1e6 + 0.5) / 1e6 AS vw_close
          |FROM quotes GROUP BY stock ORDER BY stock""".stripMargin,
+    // values are layout-independent: the hash proves the
+    // spread-write -> compact -> read chain lossless
+    "q130_compact_partitions" ->
+      s"""WITH ${graft.sources.Quotes.sqlCte}
+         |SELECT day, count(*) AS n,
+         | CAST(sum(volume) AS BIGINT) AS sum_vol,
+         | floor(sum(close) * 1e6 + 0.5) / 1e6 AS sum_close
+         |FROM quotes GROUP BY day ORDER BY day""".stripMargin,
+    // the era split re-derived; v1 rows contribute NULL volume after
+    // the mergeSchema union, counted and zero-coalesced identically
+    "q131_schema_evolution" ->
+      s"""WITH ${graft.sources.Quotes.sqlCte}
+         |SELECT CASE WHEN day <= 40 THEN 'v1' ELSE 'v2' END AS era,
+         | count(*) AS n,
+         | CAST(sum(CASE WHEN day <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vol,
+         | CAST(sum(CASE WHEN day <= 40 THEN 0 ELSE volume END) AS BIGINT) AS sum_vol,
+         | floor(sum(close) * 1e6 + 0.5) / 1e6 AS sum_close
+         |FROM quotes GROUP BY 1 ORDER BY era""".stripMargin,
     "q93_ingest_roundtrip" ->
       """WITH codes(dig, code) AS (VALUES
         |  (6, '600001.SH'), (0, '000002.SZ'), (4, '430047.BJ'), (6, '688001.SH')),

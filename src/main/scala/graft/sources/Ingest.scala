@@ -151,6 +151,23 @@ object Ingest {
       .write.partitionBy(partCols: _*).mode("overwrite").parquet(path)
   }
 
+  /** S9: partition compaction — rewrite a hive-partitioned store so
+    * each partition's rows land in ONE task (and therefore one
+    * right-sized file): `repartition(partCol)` makes every task the
+    * owner of the partitions hashed to it, and `partitionBy` then
+    * emits exactly one file per (task, partition-value) pair. The
+    * maintenance pass every append-heavy store needs — small files
+    * from streaming/micro-batch writers cost a footer read + open per
+    * file per scan. Cost: one shuffle of the store, amortized over
+    * every later read. For very large partitions add a bounded
+    * `maxRecordsPerFile` option at the call site instead of changing
+    * the layout contract here. */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         src: String, dst: String, partCol: String): Unit =
+    spark.read.parquet(src)
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(dst)
+
   /** S5: parquet checkpoint between pipeline stages — truncates the
     * lineage so an expensive cleaned table is computed once and
     * re-read by every downstream consumer. */

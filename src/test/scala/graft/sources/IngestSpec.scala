@@ -145,6 +145,29 @@ class IngestSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan)
   }
 
+  test("compactPartitioned: many files per partition become exactly one, lossless") {
+    import java.nio.file.{Files, Paths}
+    def files(p: String): Seq[String] = {
+      val it = Files.walk(Paths.get(p)).iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) { val f = it.next().toString; if (f.endsWith(".parquet")) b += f }
+      b.result()
+    }
+    val raw = s"$workDir/compact_raw"; val dst = s"$workDir/compact_out"
+    val df = (1 to 400).map(i => (i.toLong, (i % 5).toLong, i * 1.5)).toDF("id", "p", "v")
+    df.repartition(8).write.partitionBy("p").mode("overwrite").parquet(raw)
+    // the simulated append-heavy state: several files in each partition
+    assert(files(s"$raw/p=0").size > 1, files(raw).mkString("\n"))
+    Ingest.compactPartitioned(spark, raw, dst, "p")
+    (0L until 5L).foreach { p =>
+      assert(files(s"$dst/p=$p").size == 1, s"p=$p: " + files(s"$dst/p=$p"))
+    }
+    // lossless: same multiset of rows
+    val a = spark.read.parquet(raw).select("id", "p", "v").orderBy("id").collect()
+    val b = spark.read.parquet(dst).select("id", "p", "v").orderBy("id").collect()
+    assert(a.length == 400 && a.toSeq == b.toSeq)
+  }
+
   test("checkpointParquet: roundtrip with truncated lineage") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
     val back = Ingest.checkpointParquet(df, s"$workDir/ckpt")
