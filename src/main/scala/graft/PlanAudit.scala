@@ -18,8 +18,9 @@ object PlanAudit {
         df.collect() // finalize AQE
         val plan = df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==")(0)
-        def n(p: String) = plan.linesIterator.count(_.contains(p))
-        println(f"AUDIT $name%-28s ex=${n("Exchange hashpartitioning") - n("ReusedExchange")}%2d " +
+        def n(p: String) = plan.linesIterator.count(l =>
+          l.contains(p) && !l.contains("ReusedExchange"))
+        println(f"AUDIT $name%-28s ex=${n("Exchange hashpartitioning")}%2d " +
           f"range=${n("Exchange rangepartitioning")}%2d single=${n("Exchange SinglePartition")}%2d " +
           f"bcast=${n("BroadcastExchange")}%2d smj=${n("SortMergeJoin")}%2d win=${n("Window")}%3d " +
           f"mrank=${n("MultiRank [")}%2d cart=${n("CartesianProduct")}%2d")

@@ -539,17 +539,41 @@ object CorpusQueries {
     * Fully oracled: DuckDB replays the same edges brute-force and
     * resolves components with a recursive CTE. */
   def dupClusters: Q = (s, dir) => {
-    val d = loadSpread(s, dir, "documents", "doc_id")
+    dupClusterLabels(s, dir)
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared cluster-label derivation for q102/q128: the Jaccard
+    * candidate mining + connected-components fixpoint is the
+    * expensive part of both entries and is deterministic per
+    * (session, dir), so it is memoized with the same holder idiom as
+    * [[FactorQueries]]'s alpha derivation (the labels frame is backed
+    * by the kernel's checkpointed RDD — stable across re-reads). */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => DataFrame]()
+  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val holder = clusterCache.computeIfAbsent((s, dir), { case (ss, d0) =>
+      lazy val frame = deriveClusterLabels(ss, d0)
+      () => frame
+    })
+    holder()
+  }
+  private def deriveClusterLabels(ss: SparkSession, dir: String): DataFrame = {
+    ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        clusterCache.keySet.removeIf(_._1 eq ss)
+    })
+    val d = loadSpread(ss, dir, "documents", "doc_id")
     val sh = d.select(col("doc_id"), col("source"),
       TextFns.charShinglesPacked(col("text")).as("sh"))
     val edges = DedupFns.jaccardPrefixPairs(sh, "doc_id", "source", "sh", threshold = 0.5)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val lab = graft.ops.GraphOps.connectedComponents(
-      d.select(col("doc_id").as("id")), edges)
-    lab.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
-      .orderBy("doc_id")
+    graft.ops.GraphOps.connectedComponents(
+        d.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
   /** q103: deterministic hash-based train/val/test split — the
@@ -806,15 +830,9 @@ object CorpusQueries {
     * two keyed shuffles of the (narrow) label frame at any scale. */
   def qualityCanonical: Q = (s, dir) => {
     val d = loadSpread(s, dir, "documents", "doc_id")
-    val sh = d.select(col("doc_id"), col("source"),
-      TextFns.charShinglesPacked(col("text")).as("sh"))
-    val edges = DedupFns.jaccardPrefixPairs(sh, "doc_id", "source", "sh", threshold = 0.5)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val lab = graft.ops.GraphOps.connectedComponents(
-      d.select(col("doc_id").as("id")), edges)
     val quality = d.select(col("doc_id"),
       round(TextFns.qualityScore(col("text")), 6).as("quality"))
-    lab.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    dupClusterLabels(s, dir)
       .join(quality, "doc_id")
       .withColumn("is_canonical",
         (row_number().over(Window.partitionBy("cluster_id")
