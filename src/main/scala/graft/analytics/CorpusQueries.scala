@@ -840,6 +840,57 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q132 sketch geometry + row-hash parameters, shared between the
+    * Spark entry and the DuckDB oracle (interpolated as literals). */
+  private val cmsDepth = 4
+  // width 32 against the fixture's ~40-token vocabulary forces real
+  // bucket collisions, so the entry demonstrates the one-sided error
+  // (cms_n > true_n on collided tokens), not just exact pass-through;
+  // production sizing is w = ceil(e/ε) for error ε·N
+  private val cmsWidth = 32L
+  private val cmsA = (0 until cmsDepth).map(i => 1299721L * (i + 1) + 7919L)
+  private val cmsB = (0 until cmsDepth).map(i => 104729L * (i + 1))
+  private val cmsTerms = Seq("spark", "window", "join", "table", "customer")
+
+  /** q132: COUNT-MIN SKETCH token-frequency estimation — the
+    * mergeable-sketch pattern every streaming/federated counting
+    * pipeline rests on: token counts are folded into a fixed d×w
+    * counter grid (here 4×512), so the "aggregation" is one
+    * map-side-combined groupBy onto 2048 cells REGARDLESS of corpus
+    * size, and sketches from partitions/days/clusters merge by cell
+    * addition. Estimate(t) = min over rows of cell(r, h_r(t)) ≥ the
+    * true count (one-sided error ≤ ε·N with ε = e/w). Hashing is the
+    * portable md5-60-bit hash permuted mod the minhash prime — fully
+    * deterministic, so unlike library CMS/HLL implementations the
+    * DuckDB oracle replays the sketch bit for bit and the entry
+    * reports true vs estimated side by side. */
+  def cmsFrequency: Q = (s, dir) => {
+    import s.implicits._
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val flat = d.select(explode(TextFns.tokens(col("text"))).as("tok"))
+    // reduce the 60-bit hash mod p FIRST so h*a stays under 2^63
+    // (ANSI mode; same discipline as the minhash permutations)
+    def hm(c: Column): Column = pmod(DedupFns.portableHash60(c), lit(DedupFns.minhashP))
+    def bkt(h: Column, i: Int): Column =
+      pmod(pmod(h * cmsA(i) + cmsB(i), lit(DedupFns.minhashP)), lit(cmsWidth))
+    val hashed = flat.withColumn("h", hm(col("tok")))
+    val cells = hashed
+      .select(explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("r"), bkt(col("h"), i).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val queries = cmsTerms.toDF("token")
+      .withColumn("h", hm(col("token")))
+      .select(col("token"), explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("r"), bkt(col("h"), i).as("b"))): _*)).as("rb"))
+      .select(col("token"), col("rb.r").as("r"), col("rb.b").as("b"))
+    val est = queries.join(broadcast(cells), Seq("r", "b"))
+      .groupBy("token").agg(min("c").as("cms_n"))
+    val tru = flat.filter(col("tok").isin(cmsTerms: _*))
+      .groupBy(col("tok").as("token")).agg(count(lit(1)).as("true_n"))
+    tru.join(est, Seq("token")).orderBy("token")
+  }
+
   private val bm25Terms = Seq("spark", "window", "join")
 
   /** q112: BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term
@@ -1001,6 +1052,7 @@ object CorpusQueries {
     "q126_mix_materialize" -> mixMaterialize,
     "q127_incremental_dedup" -> incrementalDedup,
     "q128_quality_canonical" -> qualityCanonical,
+    "q132_cms_frequency" -> cmsFrequency,
   )
 
   /** Shared oracle CTE: whitespace tokens with the blank-text guard
@@ -1368,6 +1420,38 @@ object CorpusQueries {
         | CAST(len(list_intersect(c.s, ev.es)) AS BIGINT) AS n_shared
         |FROM c JOIN ev ON len(list_intersect(c.s, ev.es)) >= 1
         |ORDER BY doc_id, eval_id""".stripMargin,
+    // q132: the sketch replayed cell for cell — the same (depth,
+    // width, a_i, b_i) literals, the same md5-60-bit base hash
+    // reduced mod the minhash prime; all arithmetic stays under 2^63
+    "q132_cms_frequency" -> {
+      val params = cmsA.zip(cmsB).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      val terms = cmsTerms.map(t => s"('$t')").mkString(", ")
+      s"""WITH $toksCte,
+         |flat AS (SELECT unnest(t) AS tok FROM toks),
+         |hm AS (SELECT tok,
+         |  CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+         |    % ${DedupFns.minhashP} AS h FROM flat),
+         |params(r, a, b) AS (VALUES $params),
+         |cells AS (
+         |  SELECT r, ((h * a + b) % ${DedupFns.minhashP}) % $cmsWidth AS bkt,
+         |    count(*) AS c
+         |  FROM hm CROSS JOIN params GROUP BY r, bkt),
+         |q(token) AS (VALUES $terms),
+         |qh AS (SELECT token,
+         |  CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)
+         |    % ${DedupFns.minhashP} AS h FROM q),
+         |est AS (
+         |  SELECT qh.token, min(c) AS cms_n
+         |  FROM qh CROSS JOIN params
+         |  JOIN cells ON cells.r = params.r
+         |   AND cells.bkt = ((qh.h * params.a + params.b) % ${DedupFns.minhashP}) % $cmsWidth
+         |  GROUP BY qh.token),
+         |tru AS (SELECT tok AS token, count(*) AS true_n FROM flat
+         |  WHERE tok IN (SELECT token FROM q) GROUP BY tok)
+         |SELECT token, true_n, CAST(cms_n AS BIGINT) AS cms_n
+         |FROM tru JOIN est USING (token) ORDER BY token""".stripMargin
+    },
     // q126: same rate derivation text as the q111 oracle; the accept
     // uniform replays portableHash60 with DuckDB's hex parse, and
     // 2^60 is an exactly representable double so the division (and

@@ -21,6 +21,15 @@ class EntryShapeSpec extends SparkSpec {
     }
   }
 
+  test("q132 CMS: estimates are one-sided (never under the true count)") {
+    val rows = CorpusQueries.cmsFrequency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_n") >= r.getAs[Long]("true_n"),
+        s"CMS undercounted: $r")
+    }
+  }
+
   test("q94 sector equity: curve is positive and starts near 1") {
     val rows = FactorQueries.sectorEquityCurve(spark, sf)
       .filter(col("day") === 2).collect()
