@@ -891,6 +891,45 @@ object CorpusQueries {
     tru.join(est, Seq("token")).orderBy("token")
   }
 
+  /** q133: bigram COLLOCATION mining — the statistical phrase-vocab
+    * induction step (find token pairs that co-occur far above chance,
+    * the input to phrase-aware tokenizers). Association is ranked by
+    * LIFT = P(ab) / (P(a)·P(b)) — PMI's argument — computed as ONE
+    * division of exact integer products, so the ranking is
+    * bit-identical across engines (ln differs in the last ulp across
+    * libms, so PMI itself is presentation, not a compare key).
+    * Scale: bigram and unigram counts are map-side-combined
+    * aggregations; the vocabulary joins are keyed on the token (no
+    * broadcast assumption — vocabularies reach 10^7+ at corpus
+    * scale); the two scalar totals broadcast as 1-row frames. */
+  def collocations: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val toks = d.select(TextFns.tokens(col("text")).as("t"))
+    val flat = toks.select(explode(col("t")).as("tok"))
+    val uni = flat.groupBy("tok").agg(count(lit(1)).as("n"))
+    val nTot = uni.agg(sum("n").as("n_tokens"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .as("bigram"))
+    val biCnt = bi.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+    val nBi = biCnt.agg(sum("n_ab").as("n_bigrams"))
+    biCnt
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("n").as("n_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("n").as("n_b")), "w2")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(nBi))
+      .filter(col("n_ab") >= 5)
+      .withColumn("lift", fr6(
+        (col("n_ab") * col("n_tokens") * col("n_tokens")).cast("double")
+          / (col("n_bigrams") * col("n_a") * col("n_b"))))
+      .select(col("bigram"), col("n_ab"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
   private val bm25Terms = Seq("spark", "window", "join")
 
   /** q112: BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term
@@ -1053,6 +1092,7 @@ object CorpusQueries {
     "q127_incremental_dedup" -> incrementalDedup,
     "q128_quality_canonical" -> qualityCanonical,
     "q132_cms_frequency" -> cmsFrequency,
+    "q133_collocations" -> collocations,
   )
 
   /** Shared oracle CTE: whitespace tokens with the blank-text guard
@@ -1420,6 +1460,30 @@ object CorpusQueries {
         | CAST(len(list_intersect(c.s, ev.es)) AS BIGINT) AS n_shared
         |FROM c JOIN ev ON len(list_intersect(c.s, ev.es)) >= 1
         |ORDER BY doc_id, eval_id""".stripMargin,
+    // q133: lift ranked on one division of exact integer products
+    // (bit-identical across engines); DuckDB arrays are 1-based like
+    // element_at, so the bigram construction mirrors index for index
+    "q133_collocations" ->
+      s"""WITH $toksCte,
+         |flat AS (SELECT unnest(t) AS tok FROM toks),
+         |n1 AS (SELECT tok, count(*) AS n FROM flat GROUP BY tok),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens FROM n1),
+         |bi AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+         |  FROM toks WHERE len(t) >= 2),
+         |b1 AS (SELECT bigram, count(*) AS n_ab FROM bi GROUP BY bigram),
+         |nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bigrams FROM b1),
+         |j AS (
+         |  SELECT b1.bigram, b1.n_ab, a.n AS n_a, b.n AS n_b
+         |  FROM b1
+         |  JOIN n1 a ON a.tok = split_part(b1.bigram, ' ', 1)
+         |  JOIN n1 b ON b.tok = split_part(b1.bigram, ' ', 2))
+         |SELECT bigram, n_ab,
+         | floor(CAST(n_ab * n_tokens * n_tokens AS DOUBLE)
+         |   / (n_bigrams * n_a * n_b) * 1e6 + 0.5) / 1e6 AS lift
+         |FROM j, tot, nb WHERE n_ab >= 5
+         |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
     // q132: the sketch replayed cell for cell — the same (depth,
     // width, a_i, b_i) literals, the same md5-60-bit base hash
     // reduced mod the minhash prime; all arithmetic stays under 2^63
