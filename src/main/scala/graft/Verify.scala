@@ -36,8 +36,8 @@ object Verify {
     // worker thread under a job group; on timeout the group's Spark
     // jobs are cancelled and the loop moves on. The slowest entry —
     // the first alpha consumer, which triggers the shared full-panel
-    // derivation — is ~16 s at sf0.01 since the round-10 MultiRank
-    // plan (was ~90 s); 450 s keeps deep headroom so a contended
+    // derivation — is ~10 s at sf0.01 since the round-10/11 MultiRank
+    // plan work (was ~90 s); 450 s keeps deep headroom so a contended
     // driver box (2.8x slowdowns observed round 7) can't turn a slow
     // entry into a missing row. Overridable for ad-hoc big-SF runs.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "450").toLong
