@@ -199,9 +199,14 @@ object IngestQueries {
     * rewrite. `mergeSchema` reconciles parquet footers at planning
     * time and nulls the missing column in old batches — at 100 TB
     * "rewrite history to add a column" is not an option, so this read
-    * path IS the schema-migration story. The rollup aggregates both
-    * eras with explicit null handling, oracled by re-deriving the
-    * same era split. */
+    * path IS the schema-migration story. Footer merging itself costs
+    * a distributed footer-read job over the file listing, so a
+    * production store amortizes it by recording the merged schema in
+    * a catalog (metastore/table format) and reading with that
+    * explicit schema — the RESULT is identical to this entry; only
+    * the schema-discovery step moves out of the per-query path. The
+    * rollup aggregates both eras with explicit null handling, oracled
+    * by re-deriving the same era split. */
   def schemaEvolution: Q = (s, dir) => {
     val root = graft.TempDirs.scratch("graft_schema_evo")
     val panel = graft.sources.Quotes.panel(s, dir)
