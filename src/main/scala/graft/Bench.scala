@@ -32,6 +32,43 @@ object Bench {
     * truncated out of the artifact). */
   private def r3(d: Double): String =
     if (d.isNaN) "-1" else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private def r1(d: Double): String =
+    if (d.isNaN) "-1" else BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private val EntryNum = "^q(\\d+)_.*".r
+  /** Compact artifact key: `q34_jaccard_pairs` → `34` (entry numbers
+    * are unique across the corpus); the derivation lines keep a short
+    * word (`alpha_derive` → `alpha`). The driver's log-tail capture
+    * holds ~2.9 KB and the r10/r11 final lines (full entry names ×
+    * two keyed maps + diagnostic fields ≈ 5.9 KB) overflowed it three
+    * rounds running — the surviving artifact then held the tail of
+    * the CPU map and ZERO wall numbers. */
+  def entryKey(name: String): String = name match {
+    case EntryNum(n) => n
+    case other => other.stripSuffix("_derive")
+  }
+
+  /** Builds the ONE machine-readable result line. Sizing is a hard
+    * requirement, not a style choice (see [[entryKey]]): wall map is
+    * number-keyed at 3 dp; per-entry CPU is a 1-dp ARRAY aligned
+    * with the wall map's key order (`cpu_by_query_order`) — a second
+    * keyed map is what doubled the r11 line; rerun lists compact
+    * keys; skew + ingest-cpu detail live on the earlier diag line.
+    * BenchLineSpec pins the whole line under 2,800 bytes at 120
+    * entries so a future field can't silently re-overflow the
+    * capture. */
+  def finalLine(results: Seq[(String, Double, Double, Boolean)],
+                hostLoad: String, failed: Seq[String], sf: String,
+                ingest: String): String = {
+    val qs = results.map { case (k, w, _, _) => "\"" + entryKey(k) + "\":" + r3(w) }
+      .mkString("{", ",", "}")
+    val cpu = results.map { case (_, _, c, _) => r1(c) }.mkString("[", ",", "]")
+    val rerun = results.collect { case (k, _, _, true) => "\"" + entryKey(k) + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu_by_query_order":$cpu,"rerun":$rerun,"host_load":$hostLoad,"ingest":$ingest,"failed":$failedJson,"sf":"$sf"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,13 +124,16 @@ object Bench {
     // sort regression (e.g. losing the sort that makes delta+dict
     // encodings bite) would show here before it shows at 100 TB
     def dirBytes(p: String): Long = {
-      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator()
-      var b = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.toString.endsWith(".parquet")) b += java.nio.file.Files.size(f)
-      }
-      b
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        val it = st.iterator()
+        var b = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.toString.endsWith(".parquet")) b += java.nio.file.Files.size(f)
+        }
+        b
+      } finally st.close() // the walk holds directory handles until closed
     }
     def measureIngest(preferShm: Boolean, tag: String): (Long, Double, Double, Double, String) =
       try {
@@ -163,18 +203,28 @@ object Bench {
     // cost serving q58/q90/q91; time it as its own line so the
     // first consumer's number stops carrying it and derivation-vs-
     // consumer regressions are separately visible (r9 verdict #2)
-    val alphaDerive: (Double, Double) = {
+    def timeDerive(name: String, prime: () => Unit): (Double, Double) = {
       val t0 = System.nanoTime(); val c0 = cpuSecs
       try {
-        graft.analytics.FactorQueries.primeAlphaFull(spark, sfDir)
+        prime()
         ((System.nanoTime() - t0) / 1e9, cpuSecs - c0)
       } catch {
         case e: Exception =>
-          System.err.println(s"BENCH FAIL alpha_derive: ${e.getClass.getName}: ${e.getMessage}")
-          failed ::= "alpha_derive"
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          failed ::= name
           (-1.0, -1.0)
       }
     }
+    val alphaDerive = timeDerive("alpha_derive",
+      () => graft.analytics.FactorQueries.primeAlphaFull(spark, sfDir))
+    // the q102/q128 cluster derivation is memoized per (session, dir)
+    // exactly like the alpha frame; priming it HERE (its own line)
+    // keeps min-of-rerun honest — without the prime, the rerun
+    // re-times a warm cache and the kept minimum reports the rollup
+    // over the cached frame (~0.14 s) as if it were the mining+CC
+    // work (~2 s) — round-11 verdict, What's-missing #2.
+    val clusterDerive = timeDerive("cluster_derive",
+      () => graft.analytics.CorpusQueries.primeClusterLabels(spark, sfDir))
     // noop-format write materializes EVERY output column (count()
     // would let ColumnPruning delete the window/project work under
     // measurement). A failing query records a -1 sentinel and is
@@ -210,7 +260,8 @@ object Bench {
         if (w2 >= 0 && w2 < w) (name, w2, c2, true) else (name, w, c, true)
       } else (name, w, c, false)
     }
-    val results = ("alpha_derive", alphaDerive._1, alphaDerive._2, false) +: measured
+    val results = ("alpha_derive", alphaDerive._1, alphaDerive._2, false) +:
+      ("cluster_derive", clusterDerive._1, clusterDerive._2, false) +: measured
     // second scale point: headline entries at a 10x-smaller SF so
     // scaling behavior (constant-dominated vs row-work-dominated) is
     // visible per round. Diagnostics only: a failure records -1 here
@@ -238,11 +289,20 @@ object Bench {
             (System.nanoTime() - t) / 1e9 }
           catch { case _: Exception => -1.0 }
         }
+        // cluster derivation primed the same way as the main sweep so
+        // the q102 reading below measures the consumer rollup, with
+        // the mining+CC cost on its own line
+        val cd = {
+          val t = System.nanoTime()
+          try { graft.analytics.CorpusQueries.primeClusterLabels(spark, sf2Dir)
+            (System.nanoTime() - t) / 1e9 }
+          catch { case _: Exception => -1.0 }
+        }
         // same contention armor as the main sweep (min of a rerun for
         // slow first readings); alpha_derive is excluded — the
         // derivation memoizes per dir, so a second call measures
         // nothing
-        ("alpha_derive" -> ad) +: names.flatMap { n =>
+        ("alpha_derive" -> ad) +: ("cluster_derive" -> cd) +: names.flatMap { n =>
           SparkEntry.queries.get(n).map { fn =>
             val w1 = once(n, fn)
             val w = if (w1 >= rerunWall) { val w2 = once(n, fn)
@@ -253,14 +313,6 @@ object Bench {
       }
     val sf2Json = sf2.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"sf2_diag","sf2":"$sf2Dir","queries_sf2":$sf2Json}""")
-    val qs = results.map { case (k, w, _, _) => "\"" + k + "\":" + r3(w) }
-      .mkString("{", ",", "}")
-    val cpu = results.map { case (k, _, c, _) => "\"" + k + "\":" + r3(c) }
-      .mkString("{", ",", "}")
-    val rerun = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failedJson = failed.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val hostLoad = s"""{"start":${r3(loadStart)},"end":${r3(load1)},"cores":${Runtime.getRuntime.availableProcessors}}"""
     Thread.sleep(1500) // drain async listener delivery for the skew map
     val skewJson = {
@@ -268,8 +320,17 @@ object Bench {
       skew.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }
+    // full-detail diagnostics (skew guard metrics, ingest cpu/medium)
+    // on their OWN line so the final line stays inside the driver's
+    // tail capture; skew first — if the capture window reaches into
+    // this line it sees the ingest fields, the half a cold reader
+    // wants
+    println(s"""{"metric":"diag","skew":$skewJson,"ingest_cpu":${r3(ingestCpu)},"ingest_cpu_disk":${r3(ingestCpuDisk)},"ingest_medium":"$ingestMedium","ingest_bytes_per_row":${r3(ingestBpr)}}""")
+    // compact ingest summary for the final line: rows/s is the
+    // BASELINE.md comparison axis and must survive in the artifact
+    val ingestJson = s"""{"rows":$ingestRows,"rps":${r1(ingestRps)},"rps_disk":${r1(ingestRpsDisk)},"bpr":${r1(ingestBpr)}}"""
     // the ONE machine-readable result line, printed LAST
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpu,"rerun":$rerun,"host_load":$hostLoad,"skew":$skewJson,"failed":$failedJson,"ingest_rows":$ingestRows,"ingest_rows_per_sec":${r3(ingestRps)},"ingest_cpu":${r3(ingestCpu)},"ingest_bytes_per_row":${r3(ingestBpr)},"ingest_medium":"$ingestMedium","ingest_rows_per_sec_disk":${r3(ingestRpsDisk)},"ingest_cpu_disk":${r3(ingestCpuDisk)},"sf":"$sfDir"}""")
+    println(finalLine(results, hostLoad, failed.reverse.distinct, sfDir, ingestJson))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

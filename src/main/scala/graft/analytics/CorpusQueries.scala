@@ -553,6 +553,22 @@ object CorpusQueries {
     * by the kernel's checkpointed RDD — stable across re-reads). */
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => DataFrame]()
+  /** Sessions whose cache-cleanup listener is already on the bus: one
+    * listener per SESSION, not per (session, dir) derivation — a test
+    * sweep touching three SF dirs would otherwise stack three
+    * redundant listeners on the shared listener bus. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Bench hook (`cluster_derive` line): force the memoized q102/q128
+    * cluster derivation so its one-time mining+CC cost is priced on
+    * its own line — min-of-rerun over a memoized entry otherwise
+    * re-times a warm cache and reports the consumer rollup (~0.14 s)
+    * as if it were the derivation (~2 s). Mirrors
+    * [[FactorQueries.primeAlphaFull]]. */
+  def primeClusterLabels(s: SparkSession, dir: String): Unit = {
+    dupClusterLabels(s, dir).count(); ()
+  }
   private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val holder = clusterCache.computeIfAbsent((s, dir), { case (ss, d0) =>
       lazy val frame = deriveClusterLabels(ss, d0)
@@ -561,11 +577,14 @@ object CorpusQueries {
     holder()
   }
   private def deriveClusterLabels(ss: SparkSession, dir: String): DataFrame = {
-    ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onApplicationEnd(
-          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-        clusterCache.keySet.removeIf(_._1 eq ss)
-    })
+    if (cleanupRegistered.add(ss))
+      ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          clusterCache.keySet.removeIf(_._1 eq ss)
+          cleanupRegistered.remove(ss)
+        }
+      })
     val d = loadSpread(ss, dir, "documents", "doc_id")
     val sh = d.select(col("doc_id"), col("source"),
       TextFns.charShinglesPacked(col("text")).as("sh"))
@@ -855,10 +874,10 @@ object CorpusQueries {
   /** q132: COUNT-MIN SKETCH token-frequency estimation — the
     * mergeable-sketch pattern every streaming/federated counting
     * pipeline rests on: token counts are folded into a fixed d×w
-    * counter grid (here 4×512), so the "aggregation" is one
-    * map-side-combined groupBy onto 2048 cells REGARDLESS of corpus
-    * size, and sketches from partitions/days/clusters merge by cell
-    * addition. Estimate(t) = min over rows of cell(r, h_r(t)) ≥ the
+    * counter grid (here 4×32, deliberately small — see the cmsWidth
+    * comment), so the "aggregation" is one map-side-combined groupBy
+    * onto 128 cells REGARDLESS of corpus size, and sketches from
+    * partitions/days/clusters merge by cell addition. Estimate(t) = min over rows of cell(r, h_r(t)) ≥ the
     * true count (one-sided error ≤ ε·N with ε = e/w). Hashing is the
     * portable md5-60-bit hash permuted mod the minhash prime — fully
     * deterministic, so unlike library CMS/HLL implementations the
@@ -894,14 +913,22 @@ object CorpusQueries {
   /** q133: bigram COLLOCATION mining — the statistical phrase-vocab
     * induction step (find token pairs that co-occur far above chance,
     * the input to phrase-aware tokenizers). Association is ranked by
-    * LIFT = P(ab) / (P(a)·P(b)) — PMI's argument — computed as ONE
-    * division of exact integer products, so the ranking is
-    * bit-identical across engines (ln differs in the last ulp across
-    * libms, so PMI itself is presentation, not a compare key).
-    * Scale: bigram and unigram counts are map-side-combined
-    * aggregations; the vocabulary joins are keyed on the token (no
-    * broadcast assumption — vocabularies reach 10^7+ at corpus
-    * scale); the two scalar totals broadcast as 1-row frames. */
+    * LIFT = P(ab) / (P(a)·P(b)) — PMI's argument — computed as a
+    * FIXED-ORDER chain of double divisions/multiplications,
+    * `(n_ab/n_bigrams)·(n_tokens/n_a)·(n_tokens/n_b)`: each factor
+    * divides BEFORE multiplying, so every intermediate is bounded
+    * (≈ lift itself) at any corpus size — the exact-integer-product
+    * form `n_ab·n_tokens²` overflows 2^63 under ANSI once the corpus
+    * passes ~1.3e9 tokens (round-11 advice). Determinism across
+    * engines holds because both sides run the identical IEEE-754
+    * operation sequence (left-associated, same literal form in the
+    * DuckDB oracle) — unlike ln, whose last ulp differs across
+    * libms, which is why PMI itself stays presentation, not the
+    * compare key. Scale: bigram and unigram counts are
+    * map-side-combined aggregations; the vocabulary joins are keyed
+    * on the token (no broadcast assumption — vocabularies reach
+    * 10^7+ at corpus scale); the two scalar totals broadcast as
+    * 1-row frames. */
   def collocations: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val d = loadSpread(s, dir, "documents", "doc_id")
@@ -923,8 +950,9 @@ object CorpusQueries {
       .crossJoin(broadcast(nTot)).crossJoin(broadcast(nBi))
       .filter(col("n_ab") >= 5)
       .withColumn("lift", fr6(
-        (col("n_ab") * col("n_tokens") * col("n_tokens")).cast("double")
-          / (col("n_bigrams") * col("n_a") * col("n_b"))))
+        (col("n_ab").cast("double") / col("n_bigrams"))
+          * (col("n_tokens").cast("double") / col("n_a"))
+          * (col("n_tokens").cast("double") / col("n_b"))))
       .select(col("bigram"), col("n_ab"), col("lift"))
       .orderBy(col("lift").desc, col("bigram"))
       .limit(20)
@@ -1460,8 +1488,9 @@ object CorpusQueries {
         | CAST(len(list_intersect(c.s, ev.es)) AS BIGINT) AS n_shared
         |FROM c JOIN ev ON len(list_intersect(c.s, ev.es)) >= 1
         |ORDER BY doc_id, eval_id""".stripMargin,
-    // q133: lift ranked on one division of exact integer products
-    // (bit-identical across engines); DuckDB arrays are 1-based like
+    // q133: lift as the same fixed-order divide-before-multiply
+    // double chain as the entry (overflow-free at any corpus size,
+    // IEEE-identical across engines); DuckDB arrays are 1-based like
     // element_at, so the bigram construction mirrors index for index
     "q133_collocations" ->
       s"""WITH $toksCte,
@@ -1480,8 +1509,9 @@ object CorpusQueries {
          |  JOIN n1 a ON a.tok = split_part(b1.bigram, ' ', 1)
          |  JOIN n1 b ON b.tok = split_part(b1.bigram, ' ', 2))
          |SELECT bigram, n_ab,
-         | floor(CAST(n_ab * n_tokens * n_tokens AS DOUBLE)
-         |   / (n_bigrams * n_a * n_b) * 1e6 + 0.5) / 1e6 AS lift
+         | floor((CAST(n_ab AS DOUBLE) / n_bigrams)
+         |   * (CAST(n_tokens AS DOUBLE) / n_a)
+         |   * (CAST(n_tokens AS DOUBLE) / n_b) * 1e6 + 0.5) / 1e6 AS lift
          |FROM j, tot, nb WHERE n_ab >= 5
          |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
     // q132: the sketch replayed cell for cell — the same (depth,

@@ -236,6 +236,8 @@ object FactorQueries {
       .repartition(col("day")) // one file per day partition
       .write.partitionBy("day").mode("overwrite").parquet(s"$root/panel")
     val stored = s.read.parquet(s"$root/panel")
+    // partition-column-only aggregate (metadata-cheap here); at
+    // 100 TB read the catalog's partition listing instead of scanning
     val maxDay = stored.agg(max(col("day").cast("long"))).head().getLong(0)
     val f = Technical.compute(
       stored.filter(col("day") > maxDay - 25)

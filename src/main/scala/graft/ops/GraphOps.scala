@@ -49,6 +49,17 @@ object GraphOps {
     *    scans; large frontiers use the co-partitioned join. The
     *    static edge-partition scan per round remains, as in every
     *    Pregel-family engine.
+    *  - SKEW-FREE POINTER JUMP: the jump reads comp(label), so keying
+    *    the vertex set by its label would send a converged giant
+    *    component's whole membership to one partition (single-task
+    *    straggler in late rounds). Instead each round derives the
+    *    LIVE-LABEL jump map (map-side-combined distinct → unique-
+    *    keyed lookup, one row per label, non-trivial entries only);
+    *    it shrinks toward #components, so in exactly the regime where
+    *    the skew would bite it broadcasts and the jump becomes a
+    *    shuffle-free mapValues. The label-keyed join survives only as
+    *    the early-round fallback, where labels are still diverse and
+    *    per-label groups small.
     *
     * Per round: neighbor-min `comp(v) ← min(comp(v), min over edges
     * (v,u), u in frontier, of comp(u))`, then pointer jump
@@ -129,23 +140,53 @@ object GraphOps {
           sym.flatMap { case (dst, src) => fm.value.get(dst).map(c => (src, c)) }
         } else sym.join(frontier).map { case (_, (src, c)) => (src, c) }
       val nbrMin = msgs.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      // (id -> (newComp, oldComp)); co-partitioned, narrow
+      // (id -> (newComp, oldComp)); co-partitioned, narrow. Persisted
+      // because it feeds both the jump-map derivation and the final
+      // jump pass of the round.
       val stepped = lab.leftOuterJoin(nbrMin, part).mapValues {
         case (c, nm) => (math.min(c, nm.getOrElse(c)), c)
-      }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
       val newOnly = stepped.mapValues(_._1)
-      val acc = sc.longAccumulator(s"cc_frontier_$iter")
-      val jumped = stepped
-        .map { case (v, (nc, oc)) => (nc, (v, oc)) }
+      // JUMP MAP: comp(x) for every x that is currently in use as a
+      // label, restricted to the non-trivial entries (comp(x) != x).
+      // Derived via map-side-combined distinct (shuffle volume =
+      // per-partition-distinct labels, one row per label after), then
+      // a unique-keyed lookup join. Bounded by the number of LIVE
+      // labels, which shrinks toward #components as the fixpoint
+      // converges — precisely the regime where keying the full vertex
+      // set by its label (the r11 formulation) collapses a giant
+      // component's members onto one straggler partition (round-11
+      // advice). Small maps broadcast, making the jump a shuffle-free
+      // mapValues; the join fallback only runs while labels are still
+      // diverse (early rounds), where per-label groups are small.
+      val jump = newOnly.map(kv => (kv._2, ())).reduceByKey(part, (a, _) => a)
         .join(newOnly, part)
-        .map { case (_, ((v, oc), jc)) =>
+        .flatMap { case (x, (_, c)) => if (c != x) Some((x, c)) else None }
+        .persist(StorageLevel.MEMORY_AND_DISK) // count + (collect | join) both read it
+      val acc = sc.longAccumulator(s"cc_frontier_$iter")
+      val jumped = (if (jump.count() <= broadcastLimit) {
+        val jm = sc.broadcast(jump.collectAsMap())
+        // mapValues keeps the partitioner: zero shuffle, zero skew
+        stepped.mapValues { case (nc, oc) =>
+          val jc = jm.value.getOrElse(nc, nc)
           if (jc != oc) acc.add(1L)
-          (v, (jc, jc != oc))
+          (jc, jc != oc)
         }
-        .partitionBy(part)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      } else {
+        stepped
+          .map { case (v, (nc, oc)) => (nc, (v, oc)) }
+          .leftOuterJoin(jump, part)
+          .map { case (nc, ((v, oc), j)) =>
+            val jc = j.getOrElse(nc)
+            if (jc != oc) acc.add(1L)
+            (v, (jc, jc != oc))
+          }
+          .partitionBy(part)
+      }).persist(StorageLevel.MEMORY_AND_DISK)
       jumped.localCheckpoint() // lineage cut; materialized by the count below
       jumped.count()
+      jump.unpersist(blocking = false)
+      stepped.unpersist(blocking = false)
       prevGen.unpersist(blocking = false)
       prevGen = jumped
       lab = jumped.mapValues(_._1)
