@@ -249,18 +249,28 @@ object CorpusQueries {
     * [[DedupFns.minhashSignatureFromHashes]] at seed=42), 6 band
     * buckets of 2 rows, bucket-share candidate join, exact-Jaccard
     * verification over the distinct base-hash sets. */
-  private def minhashOracleSql: String = {
+  /** DuckDB fragments replaying the k=12 permutation minima / 6
+    * 2-row band buckets at seed 42 (the [[DedupFns]] constants as
+    * literals) — shared by the q36 and q135 oracles. */
+  private def minhashSigDefsSql: String = {
     val p = DedupFns.minhashP
     val seed = 42L
-    val sigDefs = (0 until 12).map { i =>
+    (0 until 12).map { i =>
       val a = ((seed + 1) * 1299721L + i.toLong * 7919L) % 999999937L + 1L
       val b = (seed * 31L + i.toLong * 104729L) % p
       s"list_min(list_transform(h, v -> (v * $a + $b) % $p)) AS s$i"
     }.mkString(",\n  ")
-    val bktDefs = (0 until 6).map { j =>
+  }
+  private def minhashBktDefsSql: String =
+    (0 until 6).map { j =>
       val cat = s"CAST(s${2 * j} AS VARCHAR) || '_' || CAST(s${2 * j + 1} AS VARCHAR)"
       s"${h60Sql(cat)} AS k$j"
     }.mkString(",\n  ")
+
+  private def minhashOracleSql: String = {
+    val p = DedupFns.minhashP
+    val sigDefs = minhashSigDefsSql
+    val bktDefs = minhashBktDefsSql
     // one equi-join PER BAND, UNION-deduped — "shares any bucket" as
     // a single OR-join forces DuckDB into a nested-loop that costs
     // ~30 s at sf0.01 vs 1.2 s for the hashable per-band joins
@@ -300,6 +310,62 @@ object CorpusQueries {
        |SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
        |FROM cand WHERE inter / (tot - inter) >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q135 oracle: the batch-vs-index probe re-derived relationally —
+    * history (< 400, original text) and the batch (≥ 400 unchanged +
+    * mutated re-crawls of < 25) run the same signature pipeline as
+    * q36; candidates are cross-side band matches only; verification
+    * is exact Jaccard over the distinct base-hash sets. Storage is
+    * invisible to the values (the entry's hash proves the bucketed
+    * index write+probe chain lossless, as q127/q134 do for theirs). */
+  private def incrementalNearDupOracleSql: String = {
+    val p = DedupFns.minhashP
+    val sigDefs = minhashSigDefsSql
+    val bktDefs = minhashBktDefsSql
+    val bandJoins = (0 until 6).map { j =>
+      s" SELECT b.id AS arrival_id, a.id AS hist_id\n" +
+        s" FROM bkt a JOIN bkt b ON a.k$j = b.k$j AND a.is_hist AND NOT b.is_hist"
+    }.mkString("", "\n UNION\n", "")
+    s"""WITH raw AS (
+       | SELECT doc_id AS id, text, TRUE AS is_hist
+       | FROM documents WHERE doc_id < 400
+       | UNION ALL
+       | SELECT doc_id AS id, text, FALSE FROM documents WHERE doc_id >= 400
+       | UNION ALL
+       | SELECT doc_id + 100000, text || ' near duplicate revision', FALSE
+       | FROM documents WHERE doc_id < 25),
+       |toks AS (
+       | SELECT id, is_hist, regexp_split_to_array(trim(text), '\\s+') AS t
+       | FROM raw WHERE length(trim(text)) > 0),
+       |sh AS (
+       | SELECT id, is_hist, list_distinct(list_transform(
+       |   generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS s
+       | FROM toks WHERE len(t) >= 2),
+       |hv AS (
+       | SELECT id, is_hist, list_transform(s, x -> ${h60Sql("x")} % $p) AS h
+       | FROM sh),
+       |sig AS (
+       | SELECT id, is_hist,
+       |  $sigDefs
+       | FROM hv),
+       |bkt AS (
+       | SELECT id, is_hist,
+       |  $bktDefs
+       | FROM sig),
+       |pairs AS MATERIALIZED (
+       |$bandJoins),
+       |cand AS (
+       | SELECT p.arrival_id, p.hist_id,
+       |  CAST(len(list_intersect(list_distinct(ha.h), list_distinct(hb.h)))
+       |    AS DOUBLE) AS inter,
+       |  len(list_distinct(ha.h)) + len(list_distinct(hb.h)) AS tot
+       | FROM pairs p
+       | JOIN hv ha ON ha.id = p.arrival_id
+       | JOIN hv hb ON hb.id = p.hist_id)
+       |SELECT arrival_id, hist_id AS dup_of, round(inter / (tot - inter), 6) AS jaccard
+       |FROM cand WHERE inter / (tot - inter) >= 0.2
+       |ORDER BY arrival_id, dup_of""".stripMargin
   }
 
   /** q37 oracle: pigeonhole banding is EXACT, so the output equals
@@ -840,6 +906,142 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** q134: fingerprint-index WRITE-BACK — the half of incremental
+    * dedup q127 leaves open: after a day's batch is deduped against
+    * the bucketed historical index, the index must absorb the batch's
+    * NEW fingerprints without rewriting history. The merge writes
+    * only the day's new (fp, keep_id) rows as a SECOND bucketed
+    * generation with the identical layout (same bucket count, key,
+    * sort) — batch-sized data movement, generation-0 files untouched;
+    * the reference's append-only MergeTree ethos
+    * (`Project report.md:69`) expressed as LSM-style index
+    * generations. The next day's batch then probes the generations
+    * as a chain of bucket-local merge joins: ONE batch-side exchange
+    * to the shared bucket layout serves every generation (the first
+    * join's output keeps the fp partitioning and sort), and no index
+    * generation ever reshuffles — pinned in CorpusPlanSpec along
+    * with the batch-sized bound on the written generation. The
+    * replayed two-day story: day 1 = docs 300–399 plus re-crawls of
+    * history (hits gen 0); day 2 = docs 400–499 plus re-crawls of
+    * day-1 docs (hits gen 1 — the write-back is what makes these
+    * visible), re-crawls of history (hits gen 0), and an in-batch
+    * double submission. Output: day-2 per-source counters splitting
+    * duplicates by which generation caught them. At 100 TB a nightly
+    * compaction folds generations together with q130's machinery once
+    * they accumulate — same layout, pure bucket-wise merge. */
+  def indexWriteBack: Q = (s, dir) => {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val fp = TextFns.fingerprint(col("text"))
+    val root = graft.TempDirs.scratch("graft_fp_gen")
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val g0Name = s"g134_fp_gen0_$tag"
+    val g1Name = s"g134_fp_gen1_$tag"
+    def writeGen(df: DataFrame, name: String): Unit =
+      df.write.format("parquet").bucketBy(8, "fp").sortBy("fp")
+        .option("path", s"$root/$name").mode("overwrite").saveAsTable(name)
+    // generation 0: the historical index (doc_id < 300)
+    writeGen(d.filter(col("doc_id") < 300)
+      .groupBy(fp.as("fp")).agg(min("doc_id").as("keep_id")), g0Name)
+    val gen0 = s.table(g0Name)
+    // day-1 batch: arrivals 300–399 + re-crawled history (<30)
+    val day1 = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id").as("arrival_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("arrival_id"), col("text")))
+    val w1 = day1.select(col("arrival_id"), fp.as("fp"))
+      .groupBy("fp").agg(min("arrival_id").as("keep_id"))
+    // THE WRITE-BACK: day-1's new fps only, probed bucket-locally
+    // against gen 0 (index side never reshuffles), written as gen 1
+    writeGen(w1.hint("merge")
+      .join(gen0.select(col("fp"), lit(1).as("hit0")), Seq("fp"), "left")
+      .filter(col("hit0").isNull).select("fp", "keep_id"), g1Name)
+    val gen1 = s.table(g1Name)
+    // day-2 batch: new arrivals + re-crawls of day 1 + re-crawls of
+    // history + an in-batch double submission — every counter firing
+    val day2 = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id").as("arrival_id"), col("source"), col("text"))
+      .unionAll(d.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+        .select((col("doc_id") + 200000).as("arrival_id"), col("source"), col("text")))
+      .unionAll(d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 300000).as("arrival_id"), col("source"), col("text")))
+      .unionAll(d.filter(col("doc_id") >= 400 && col("doc_id") < 410)
+        .select((col("doc_id") + 400000).as("arrival_id"), col("source"), col("text")))
+    val w2 = day2.select(col("arrival_id"), col("source"), fp.as("fp"))
+      .groupBy("fp").agg(min("arrival_id").as("arrival_id"),
+        count(lit(1)).as("n_in_batch"), min("source").as("source"))
+    w2.hint("merge")
+      .join(gen0.select(col("fp"), col("keep_id").as("keep0")), Seq("fp"), "left")
+      .hint("merge")
+      .join(gen1.select(col("fp"), col("keep_id").as("keep1")), Seq("fp"), "left")
+      .groupBy("source")
+      .agg(sum("n_in_batch").as("n_arrived"),
+        (sum("n_in_batch") - count(lit(1))).as("n_batch_dups"),
+        sum(when(col("keep0").isNotNull, 1L).otherwise(0L)).as("n_dup_hist"),
+        sum(when(col("keep0").isNull && col("keep1").isNotNull, 1L)
+          .otherwise(0L)).as("n_dup_day1"),
+        sum(when(col("keep0").isNull && col("keep1").isNull, 1L)
+          .otherwise(0L)).as("n_new"))
+      .orderBy("source")
+  }
+
+  /** q135: INCREMENTAL near-dup against a persisted LSH band index —
+    * q134's generational story for MinHash (D6): the nightly state is
+    * not fingerprints but the posting-list index (band, bucket →
+    * doc_id) of the historical corpus
+    * ([[DedupFns.lshPostings]], hot buckets capped at BUILD time and
+    * accounted via the `lshidx_hot` observed metrics the bench skew
+    * map already collects), stored BUCKETED by (band, bucket). An
+    * arriving batch computes its own signatures, probes the index
+    * with a bucket-local join — the index side never reshuffles, only
+    * the day's postings move (pinned in CorpusPlanSpec) — and
+    * verifies survivors with EXACT Jaccard over the distinct base-
+    * hash sets (the codegen'd sorted-merge intersect), so LSH's false
+    * positives never escape. The batch replays mutated re-crawls of
+    * history (text + a three-token postscript → Jaccard well above
+    * threshold but fingerprint-invisible — exactly what q127/q134
+    * exact dedup CANNOT catch) alongside the organic day's arrivals.
+    * At 100 TB this is the production semantic: history is indexed
+    * once, a day's batch costs O(batch), and the band index absorbs
+    * the batch's postings by appending a generation (q134's layout
+    * argument applies verbatim). */
+  def incrementalNearDup: Q = (s, dir) => {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val root = graft.TempDirs.scratch("graft_lsh_idx")
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val idxName = s"g135_band_index_$tag"
+    val hist = d.filter(col("doc_id") < 400)
+    DedupFns.lshPostings(hist, "doc_id", "text")
+      .write.format("parquet").bucketBy(8, "band", "bucket")
+      .sortBy("band", "bucket")
+      .option("path", s"$root/$idxName").mode("overwrite").saveAsTable(idxName)
+    val index = s.table(idxName)
+    val batch = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id").as("arrival_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 25) // near-dup re-crawls
+        .select((col("doc_id") + 100000).as("arrival_id"),
+          concat(col("text"), lit(" near duplicate revision")).as("text")))
+    val cand = DedupFns
+      .lshPostings(batch, "arrival_id", "text", metricPrefix = "lshbatch")
+      .withColumnRenamed("id", "arrival_id")
+      .hint("merge")
+      .join(index.select(col("band"), col("bucket"), col("id").as("hist_id")),
+        Seq("band", "bucket"))
+      .select("arrival_id", "hist_id").distinct()
+    val shB = batch.select(col("arrival_id"),
+      DedupFns.packedHashSet(col("text")).as("sh_a"))
+    val shH = hist.select(col("doc_id").as("hist_id"),
+      DedupFns.packedHashSet(col("text")).as("sh_b"))
+    cand.join(shB, "arrival_id").join(shH, "hist_id")
+      .withColumn("inter",
+        DedupFns.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("arrival_id"), col("hist_id").as("dup_of"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("arrival_id", "dup_of")
+  }
+
   /** q128: QUALITY-BASED canonical selection — the policy layer over
     * q102's clusters: production pipelines keep the best-quality
     * member of each near-duplicate cluster, not the lowest id. One
@@ -1119,6 +1321,8 @@ object CorpusQueries {
     "q126_mix_materialize" -> mixMaterialize,
     "q127_incremental_dedup" -> incrementalDedup,
     "q128_quality_canonical" -> qualityCanonical,
+    "q134_index_writeback" -> indexWriteBack,
+    "q135_incremental_neardup" -> incrementalNearDup,
     "q132_cms_frequency" -> cmsFrequency,
     "q133_collocations" -> collocations,
   )
@@ -1601,6 +1805,51 @@ object CorpusQueries {
         |   AS n_index_dups,
         | CAST(sum(CASE WHEN keep_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // q134: the two-day generational story re-derived relationally —
+    // gen 1 is exactly day-1's fps absent from gen 0 (values are
+    // storage-independent; the entry's hash proves the two bucketed
+    // writes + generational merge-join chain are lossless, as q124/
+    // q127 prove for their layouts)
+    "q134_index_writeback" ->
+      """WITH fps AS (
+        | SELECT doc_id, source,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        | FROM documents),
+        |g0 AS (SELECT fp, min(doc_id) AS keep_id
+        |  FROM fps WHERE doc_id < 300 GROUP BY fp),
+        |d1 AS (
+        |  SELECT doc_id AS arrival_id, fp FROM fps
+        |  WHERE doc_id >= 300 AND doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 100000, fp FROM fps WHERE doc_id < 30),
+        |w1 AS (SELECT fp, min(arrival_id) AS keep_id FROM d1 GROUP BY fp),
+        |g1 AS (SELECT w1.fp, w1.keep_id FROM w1
+        |  LEFT JOIN g0 ON w1.fp = g0.fp WHERE g0.fp IS NULL),
+        |d2 AS (
+        |  SELECT doc_id AS arrival_id, source, fp FROM fps WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 200000, source, fp FROM fps
+        |  WHERE doc_id >= 300 AND doc_id < 320
+        |  UNION ALL
+        |  SELECT doc_id + 300000, source, fp FROM fps WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 400000, source, fp FROM fps
+        |  WHERE doc_id >= 400 AND doc_id < 410),
+        |w2 AS (SELECT fp, min(arrival_id) AS arrival_id, count(*) AS n_in_batch,
+        |  min(source) AS source FROM d2 GROUP BY fp),
+        |j AS (SELECT w2.source, w2.n_in_batch,
+        |  g0.keep_id AS keep0, g1.keep_id AS keep1
+        |  FROM w2 LEFT JOIN g0 ON w2.fp = g0.fp
+        |  LEFT JOIN g1 ON w2.fp = g1.fp)
+        |SELECT source, CAST(sum(n_in_batch) AS BIGINT) AS n_arrived,
+        | CAST(sum(n_in_batch) - count(*) AS BIGINT) AS n_batch_dups,
+        | CAST(sum(CASE WHEN keep0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_hist,
+        | CAST(sum(CASE WHEN keep0 IS NULL AND keep1 IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_dup_day1,
+        | CAST(sum(CASE WHEN keep0 IS NULL AND keep1 IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_new
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // q128: q102's recursive-CTE components + q31's quality formula +
     // the same (quality desc, doc_id) canonical window
     "q128_quality_canonical" ->
@@ -1798,6 +2047,7 @@ object CorpusQueries {
         |SELECT cand_id, qdot, cos FROM s
         |ORDER BY qdot DESC, cand_id LIMIT 10""".stripMargin,
     "q36_minhash_dedup" -> minhashOracleSql,
+    "q135_incremental_neardup" -> incrementalNearDupOracleSql,
     "q37_simhash_pairs" -> simhashOracleSql,
     // same plane-literal embedding trick as q96 (the dedup index is
     // 12-bit where search is 6-bit); the OR over tables reproduces

@@ -148,7 +148,15 @@ object FactorQueries {
     * + TakeOrdered. Output: the pruned top-3 with the scan volume
     * (`n_scanned`, the cost axis) and `recall_at_3` (the quality
     * axis). */
-  def similaritySearchIvf: Q = (s, dir) => {
+  /** Shared q125/q136 IVF machinery: the checkpointed narrow factor
+    * frame, the assignment against the fixed 16-centroid broadcast,
+    * and the 1-row query frame (target factors + nprobe=4 probe
+    * list). The two entries differ ONLY in how the probe prunes:
+    * q125 filters a computed `cell` column (logical pruning), q136
+    * reads a `cell`-partitioned store (physical pruning). */
+  private final case class IvfParts(f: DataFrame, searched: DataFrame,
+                                    assigned: DataFrame, q: DataFrame)
+  private def ivfParts(s: SparkSession, dir: String): IvfParts = {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     // the narrow factor frame feeds FOUR branches (centroids, query,
     // pruned scan, exact ground truth); materialize it once instead
@@ -186,24 +194,26 @@ object FactorQueries {
         transform(slice(array_sort(
           distCells(col("rsi_14"), col("bias_20"), col("cci_14"))), 1, 4),
           c => c.getField("cid")).as("probe"))
-    val exactDist = graft.functions.VectorFns.weightedEuclideanCols(Seq(
+    IvfParts(f, searched, assigned, q)
+  }
+  private def ivfExactDist: Column =
+    graft.functions.VectorFns.weightedEuclideanCols(Seq(
       (col("rsi_14"), col("t_rsi"), 1.0),
       (col("bias_20"), col("t_bias"), 5.0),
       (col("cci_14"), col("t_cci"), 0.5)))
-    val scan = assigned.crossJoin(broadcast(q))
-      .filter(array_contains(col("probe"), col("cell")))
-      .withColumn("dist", round(exactDist, 6))
-      .select("stock", "day", "dist")
+  /** Scan-stats + exact-recall audit + presentation, shared by the
+    * two IVF entries (the scan argument is the only difference). */
+  private def ivfFinish(scan: DataFrame, p: IvfParts): DataFrame = {
     val stats = scan.agg(count(lit(1)).as("n_scanned"))
     val top3 = scan.orderBy(col("dist"), col("stock"), col("day")).limit(3)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("dist"), col("stock"), col("day"))).cast("long"))
     // exact ground truth = the q48 ranking, top 3
-    val exact3 = searched.crossJoin(broadcast(
-        f.filter(col("stock") === 7 && col("day") === 40)
+    val exact3 = p.searched.crossJoin(broadcast(
+        p.f.filter(col("stock") === 7 && col("day") === 40)
           .select(col("rsi_14").as("t_rsi"), col("bias_20").as("t_bias"),
             col("cci_14").as("t_cci"))))
-      .withColumn("dist", round(exactDist, 6))
+      .withColumn("dist", round(ivfExactDist, 6))
       .orderBy(col("dist"), col("stock"), col("day")).limit(3)
       .select("stock", "day")
     val recall = top3.select("stock", "day").join(broadcast(exact3), Seq("stock", "day"))
@@ -211,6 +221,43 @@ object FactorQueries {
     top3.crossJoin(broadcast(stats)).crossJoin(broadcast(recall))
       .select("rn", "stock", "day", "dist", "n_scanned", "recall_at_3")
       .orderBy("rn")
+  }
+
+  def similaritySearchIvf: Q = (s, dir) => {
+    val p = ivfParts(s, dir)
+    val scan = p.assigned.crossJoin(broadcast(p.q))
+      .filter(array_contains(col("probe"), col("cell")))
+      .withColumn("dist", round(ivfExactDist, 6))
+      .select("stock", "day", "dist")
+    ivfFinish(scan, p)
+  }
+
+  /** q136: q125's probe against a PHYSICALLY cell-partitioned store —
+    * the "at 100 TB `cell` is a partition/bucket key" claim in q125's
+    * scaladoc, demonstrated instead of asserted. The assigned factor
+    * frame is persisted `partitionBy(cell)` (one file per cell via
+    * `repartition(cell)` — this is the one-time index build), and the
+    * probe filters the store with the four probe-cell LITERALS, so
+    * the pruning happens at the FILE LISTING: PartitionFilters reach
+    * the scan and only nprobe of 16 directories are read (pinned in
+    * FactorPlanSpec, q129's pattern) — the other 12/16ths of the
+    * corpus costs zero I/O, not merely zero CPU. The probe list is
+    * the model side of one query — four ids off the 1-row query
+    * frame (a fixture scalar, q129's maxDay convention). Results are
+    * hash-identical to q125 (same oracle). */
+  def similaritySearchIvfPartitioned: Q = (s, dir) => {
+    val p = ivfParts(s, dir)
+    val root = graft.TempDirs.scratch("graft_ivf_store")
+    p.assigned.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/store")
+    val store = s.read.parquet(s"$root/store")
+    val probeCells = p.q.select(explode(col("probe")).as("cid"))
+      .collect().map(_.get(0)).toSeq
+    val scan = store.filter(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(p.q))
+      .withColumn("dist", round(ivfExactDist, 6))
+      .select("stock", "day", "dist")
+    ivfFinish(scan, p)
   }
 
   /** q129: INCREMENTAL daily factor maintenance — the production
@@ -688,6 +735,7 @@ object FactorQueries {
     "q90_alpha_all" -> alphaAll,
     "q48_similarity_search" -> similaritySearch,
     "q125_similarity_ivf" -> similaritySearchIvf,
+    "q136_similarity_ivf_part" -> similaritySearchIvfPartitioned,
     "q129_incremental_factors" -> incrementalFactors,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
@@ -1723,7 +1771,7 @@ object FactorQueries {
          |FROM d
          |ORDER BY stock, day""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q61_sentiment_factors" -> q61Oracle,
     "q99_survivorship" ->
       s"""WITH ${Quotes.sqlCte},
@@ -2139,4 +2187,9 @@ object FactorQueries {
          |WINDOW $frames
          |ORDER BY stock, day""".stripMargin,
   )
+
+  /** q136 probes a cell-partitioned copy of q125's assignment — the
+    * values are exactly q125's, so one oracle serves both keys. */
+  val oracles: Map[String, String] = oraclesBase +
+    ("q136_similarity_ivf_part" -> oraclesBase("q125_similarity_ivf"))
 }

@@ -117,6 +117,40 @@ object DedupFns {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
+  /** Posting-list form of the MinHash-LSH index, the PERSISTED state
+    * incremental near-dup keeps between batches: one (band, bucket,
+    * id) row per band of each document's signature, with the hot-
+    * bucket guard applied at BUILD time (a boilerplate bucket is
+    * capped once, in the store, instead of re-capped by every probing
+    * batch) and accounted through the usual `<prefix>_hot` observed
+    * metrics. Stored bucketed by (band, bucket), an arriving batch's
+    * postings probe it with a bucket-local join — the index side
+    * never reshuffles (see CorpusQueries q135). */
+  def lshPostings(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 2, k: Int = 12, bands: Int = 6,
+                  seed: Long = 42L, maxBucket: Int = DefaultMaxBucket,
+                  metricPrefix: String = "lshidx"): DataFrame = {
+    val withSig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", TextFns.wordShingles(col("text"), shingleN))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig",
+        minhashSignatureFromHashes(minhashBaseHashes(col("shingles")), k, seed))
+    val buckets = lshBuckets(withSig, "id", "sig", bands, k / bands)
+    val pop = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bpop"))
+    buckets.join(pop, Seq("band", "bucket"))
+      .observe(s"${metricPrefix}_hot",
+        nOver(col("bpop"), maxBucket).as(s"${metricPrefix}_hot_postings"),
+        max(col("bpop")).as(s"${metricPrefix}_max_bucket"))
+      .filter(col("bpop") <= maxBucket)
+      .select(col("band"), col("bucket"), col("id"))
+  }
+
+  /** Sorted-distinct base-hash set per document — the exact-Jaccard
+    * verification operand ([[sortedIntersectCount]] runs over it). */
+  def packedHashSet(text: Column, shingleN: Int = 2): Column =
+    array_sort(array_distinct(minhashBaseHashes(
+      TextFns.wordShingles(text, shingleN))))
+
   /** MinHash-LSH candidate pairs: join docs through shared LSH
     * buckets, dedup pairs, verify with true Jaccard over shingles.
     * The join is bucket-keyed (no cross join); verification only

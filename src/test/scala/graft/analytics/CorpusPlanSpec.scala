@@ -111,6 +111,49 @@ class CorpusPlanSpec extends SparkSpec {
     assert(ex <= 3, s"$ex hash exchanges (index side must not reshuffle):\n$plan")
   }
 
+  test("q134 write-back: generational probe chain, one batch exchange, batch-sized merge") {
+    // the day-2 probe joins BOTH index generations bucket-locally:
+    // one batch-side exchange to the shared 8-bucket fp layout feeds
+    // the gen-0 merge join, whose output keeps the fp partitioning
+    // and sort, so the gen-1 join adds no exchange at all. Budget:
+    // batch-to-bucket-layout + winners agg + final rollup = 3 for a
+    // TWO-generation probe; any index-side or repeated batch-side
+    // shuffle pushes it past.
+    val plan = finalPlan(CorpusQueries.indexWriteBack(spark, sf))
+    assert(plan.linesIterator.count(_.contains("SortMergeJoin")) >= 2, plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(ex <= 3, s"$ex hash exchanges (generations must probe bucket-locally):\n$plan")
+    // the write-back moved batch-sized data: every gen-1 table this
+    // session wrote holds at most day-1's 130 arrivals' fingerprints,
+    // never the ~300-fingerprint history
+    import spark.implicits._
+    val gen1s = spark.catalog.listTables()
+      .filter(_.name.startsWith("g134_fp_gen1_")).map(_.name).collect()
+    assert(gen1s.nonEmpty)
+    gen1s.foreach { t =>
+      val n = spark.table(t).count()
+      assert(n > 0 && n <= 130, s"$t has $n rows — not batch-sized")
+    }
+  }
+
+  test("q135 incremental near-dup: band index probed bucket-locally") {
+    // the persisted posting index is bucketed by (band, bucket): the
+    // candidate join reads it without an exchange — only the batch's
+    // postings shuffle to the bucket layout. Exchange budget: batch
+    // postings bucket-populations agg + batch-to-bucket-layout +
+    // candidate distinct + two verify joins = 5; an index-side
+    // reshuffle pushes past. (The index BUILD ran before this frame;
+    // its exchanges are not in this plan.)
+    val plan = finalPlan(CorpusQueries.incrementalNearDup(spark, sf))
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(ex <= 5, s"$ex hash exchanges (index side must not reshuffle):\n$plan")
+  }
+
   test("q126 mixture materialization: rates broadcast, one rollup exchange") {
     val plan = finalPlan(CorpusQueries.mixMaterialize(spark, sf))
     // the 20-row rate table reaches the corpus as a broadcast; the

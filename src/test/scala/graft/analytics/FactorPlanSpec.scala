@@ -153,6 +153,30 @@ class FactorPlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q136 IVF store: probe reads only nprobe of 16 cell partitions") {
+    // the physical-pruning contract: the probe-cell literals reach
+    // the store scan as PartitionFilters, so file listing touches at
+    // most nprobe=4 of the 16 cell directories (one file per cell by
+    // the repartition(cell) layout) — 12/16ths of the corpus is zero
+    // I/O, not merely filtered rows
+    val df = FactorQueries.similaritySearchIvfPartitioned(spark, "/root/testdata/sf0.001")
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val stores = scans(df.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(stores.nonEmpty, df.queryExecution.executedPlan.toString)
+    val files = stores.map(_.metrics("numFiles").value).max
+    assert(files > 0 && files <= 4,
+      s"probe scan read $files files — must touch at most nprobe=4 cell partitions")
+  }
+
   test("q129 incremental factors: the day store prunes to the 25-day tail") {
     // the incremental job's scale contract: the scan reads only the
     // trailing window-depth day partitions, never the full history —
