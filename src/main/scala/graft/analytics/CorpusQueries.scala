@@ -1160,6 +1160,275 @@ object CorpusQueries {
       .limit(20)
   }
 
+  /** q137: deterministic distributed K-MEANS (Lloyd's) over the
+    * embedding corpus — the training step q107/q125 stub with fixed
+    * centroids, and the canonical clustering aggregation a curation
+    * pipeline needs (IVF cell training, topic balancing, SemDeDup
+    * cells). The engine's last undemonstrated bulk-iteration shape
+    * besides connected components — and unlike CC it stays fully
+    * declarative: each round is ONE broadcast of the K×dim centroid
+    * model into the assignment projection plus ONE map-side-combined
+    * aggregation onto K·dim cells (posexplode → groupBy(cell, pos) —
+    * the combine reduces each task's contribution to ≤ 1024 rows
+    * regardless of row count, the same scale argument as q132's
+    * sketch), so a round costs one narrow pass + one tiny shuffle at
+    * any corpus size. Rounds chain through 16-row localCheckpoints
+    * (lineage cut; on a cluster, reliable checkpoint).
+    *
+    * DETERMINISM ACROSS ENGINES is engineered, not assumed: floats
+    * quantize once to milli-unit longs (floor(x·1000 + 0.5) in
+    * DOUBLE arithmetic — bit-identical IEEE in both engines);
+    * distances are exact integer sums (micro-unit diffs², far under
+    * 2^63 at dim 64); centroid updates divide the exact integer sum
+    * in double and floor back to the micro grid — sum·1000 < 2^53 so
+    * the one IEEE division is identical everywhere; argmin ties
+    * break to the lowest centroid id; init = the 16 lowest-id
+    * points. Every round is therefore bit-replayable: the DuckDB
+    * oracle runs all 4 unrolled rounds and matches hash-exactly —
+    * the audit fixed-centroid ANN entries cannot give. Output: per
+    * round and centroid, the assigned-population and the squared
+    * centroid shift (micro² units; shift 0 + population 0 = empty
+    * cell kept its centroid, Lloyd's convention). Round 4's
+    * populations are the final partition sizes behind the final
+    * model. */
+  def kmeansTrain: Q = (s, dir) => {
+    val (stats, _) = kmeansRounds(s, dir)
+    stats.reduce(_ unionAll _).orderBy("round", "cid")
+  }
+
+  /** Quantized exact-integer embedding frame shared by q137/q138:
+    * (vec_id, xq milli-units, xm micro-units). */
+  private def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    loadSpread(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("xq"))
+      .localCheckpoint()
+      .withColumn("xm", transform(col("xq"), v => v * 1000))
+
+  /** Exact-integer sum of elementwise products (distance/dot kernel
+    * for the quantized frames — results stay far under 2^63 at
+    * dim 64 / micro units). */
+  private def intFold(a: Column, b: Column, f: (Column, Column) => Column): Column =
+    aggregate(zip_with(a, b, f), lit(0L), (acc, v) => acc + v)
+
+  /** The 4 Lloyd's rounds behind q137, also the cell model for q138:
+    * returns (per-round stats frames, final centroid frame). */
+  private def kmeansRounds(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+    val rounds = 4
+    val em = quantizedEmbeddings(s, dir)
+    def sqDist(a: Column, b: Column): Column =
+      intFold(a, b, (x, y) => (x - y) * (x - y))
+    var cents = em.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"),
+        transform(col("xq"), v => v * 1000).as("c"))
+      .localCheckpoint()
+    val stats = (1 to rounds).map { r =>
+      val model = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+      val assigned = em.crossJoin(broadcast(model))
+        .select(col("vec_id"), col("xq"),
+          array_min(transform(col("cs"), cc =>
+            struct(sqDist(col("xm"), cc.getField("c")).as("d"),
+              cc.getField("cid").as("cid")))).getField("cid").as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("xq")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      val upd = sums.groupBy(col("cell").as("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            floor(col("sv") * 1000.0 / col("n")).cast("long").as("cv")))),
+          x => x.getField("cv")).as("cnew"),
+          max("n").as("n_assigned"))
+      val merged = cents.as("o")
+        .join(upd.as("nw"), col("o.cid") === col("nw.cid"), "left")
+        .select(col("o.cid").as("cid"),
+          coalesce(col("nw.cnew"), col("o.c")).as("c"),
+          coalesce(col("nw.n_assigned"), lit(0L)).as("n_assigned"),
+          coalesce(sqDist(col("nw.cnew"), col("o.c")), lit(0L)).as("sq_shift"))
+        .localCheckpoint()
+      cents = merged.select("cid", "c")
+      merged.select(lit(r).as("round"), col("cid"),
+        col("n_assigned"), col("sq_shift"))
+    }
+    (stats, cents)
+  }
+
+  /** q137 oracle: all 4 Lloyd's rounds unrolled as CTE chains — the
+    * same quantization, integer distances, floored centroid updates,
+    * and (distance, cid) tie-break, so every round replays exactly. */
+  private val kmeansDim = 64
+  /** The 4 unrolled Lloyd's-round CTEs (a1/s1/n1/c1 … c4), appended
+    * after [[kmeansCtesSql]]; shared by the q137 and q138 oracles. */
+  private def kmeansRoundCtesSql: String = {
+    val dim = kmeansDim
+    def assignCte(r: Int, cPrev: String): String =
+      s"""a$r AS (
+         | SELECT vec_id, xq, cell FROM (
+         |  SELECT em.vec_id, em.xq, c.cid AS cell,
+         |   row_number() OVER (PARTITION BY em.vec_id ORDER BY
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (em.xm[i] - c.c[i]) * (em.xm[i] - c.c[i]))), c.cid) AS rk
+         |  FROM em CROSS JOIN $cPrev c) WHERE rk = 1)""".stripMargin
+    def updateCtes(r: Int, cPrev: String): String =
+      s"""s$r AS (
+         | SELECT cell, i AS pos, sum(xq[i]) AS sv, count(*) AS n
+         | FROM a$r CROSS JOIN generate_series(1, $dim) t(i)
+         | GROUP BY cell, i),
+         |n$r AS (
+         | SELECT cell AS cid,
+         |  list(CAST(floor(sv * 1000.0 / n) AS BIGINT) ORDER BY pos) AS c,
+         |  max(n) AS n_assigned
+         | FROM s$r GROUP BY cell),
+         |c$r AS (
+         | SELECT o.cid, coalesce(nw.c, o.c) AS c,
+         |  CAST(coalesce(nw.n_assigned, 0) AS BIGINT) AS n_assigned,
+         |  CAST(coalesce(list_sum(list_transform(generate_series(1, $dim),
+         |    i -> (nw.c[i] - o.c[i]) * (nw.c[i] - o.c[i]))), 0) AS BIGINT)
+         |    AS sq_shift
+         | FROM $cPrev o LEFT JOIN n$r nw ON o.cid = nw.cid)""".stripMargin
+    (1 to 4).map { r =>
+      val prev = if (r == 1) "c0" else s"c${r - 1}"
+      assignCte(r, prev) + ",\n" + updateCtes(r, prev)
+    }.mkString(",\n")
+  }
+
+  private def kmeansOracleSql: String = {
+    val selects = (1 to 4).map { r =>
+      s"SELECT CAST($r AS INT) AS round, cid, n_assigned, sq_shift FROM c$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $kmeansCtesSql,
+       |$kmeansRoundCtesSql
+       |$selects
+       |ORDER BY round, cid""".stripMargin
+  }
+
+  /** Quantization + init CTEs shared by the q137 and q138 oracles
+    * (the q138 oracle re-runs the full training chain to reach the
+    * final centroids c4). */
+  private def kmeansCtesSql: String =
+    """e AS (
+      | SELECT vec_id, list_transform(embedding,
+      |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+      | FROM embeddings),
+      |em AS (SELECT vec_id, xq,
+      |  list_transform(xq, v -> v * 1000) AS xm FROM e),
+      |c0 AS (
+      | SELECT vec_id AS cid, list_transform(xq, v -> v * 1000) AS c
+      | FROM e ORDER BY vec_id LIMIT 16)""".stripMargin
+
+  /** q138: SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's shape,
+    * public method) — the modern embedding-space dedup pass, composed
+    * entirely from machinery this engine already proves out: q137's
+    * TRAINED k-means cells bound the search space (pairs form only
+    * WITHIN a cell — the whole point of SemDeDup: per-cell populations
+    * stay bounded at corpus scale, so the within-cell pair join is
+    * O(Σ cell²) with cells sized by K, never O(n²); the join keys on
+    * `cell`, no cross-cell shuffle — pinned), cosine similarity runs
+    * on the exact-integer quantized frame (dot and norms are exact
+    * longs; the one division and two sqrts are identical IEEE in both
+    * engines), and the survivor policy is q128's quality-canonical
+    * rule: a document is kept unless a same-cell neighbor at cosine
+    * ≥ 0.3 has strictly higher 6-dp quality (tie → lower id wins).
+    * Output: per embedding, its cell, quality, within-cell similar
+    * count, and the keep verdict. The oracle replays the ENTIRE
+    * chain — 4 training rounds, final assignment, integer cosine,
+    * quality — hash-exactly. */
+  def semanticDedup: Q = (s, dir) => {
+    val (_, cents) = kmeansRounds(s, dir)
+    val model = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    val em = quantizedEmbeddings(s, dir)
+    val assigned = em.crossJoin(broadcast(model))
+      .select(col("vec_id"), col("xm"),
+        array_min(transform(col("cs"), cc =>
+          struct(intFold(col("xm"), cc.getField("c"), (x, y) => (x - y) * (x - y)).as("d"),
+            cc.getField("cid").as("cid")))).getField("cid").as("cell"),
+        intFold(col("xm"), col("xm"), _ * _).as("nrm"))
+      .localCheckpoint() // feeds the pair join twice + the output spine
+    val a = assigned.select(col("vec_id").as("id_a"), col("cell"),
+      col("xm").as("xa"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("cell"),
+      col("xm").as("xb"), col("nrm").as("nb"))
+    val cos = intFold(col("xa"), col("xb"), _ * _).cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(cos >= 0.3)
+      .select("id_a", "id_b")
+    val quality = loadSpread(s, dir, "documents", "doc_id")
+      .select(col("doc_id").as("vec_id"),
+        round(TextFns.qualityScore(col("text")), 6).as("quality"))
+    val perDoc = pairs
+      .join(quality.select(col("vec_id").as("id_a"), col("quality").as("qa")), Seq("id_a"))
+      .join(quality.select(col("vec_id").as("id_b"), col("quality").as("qb")), Seq("id_b"))
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(count(lit(1)).as("n_similar"),
+        sum(when(col("qb") > col("qa")
+          || (col("qb") === col("qa") && col("id_b") < col("id_a")), 1L)
+          .otherwise(0L)).as("n_better"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(quality, Seq("vec_id"))
+      .join(perDoc, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("quality"),
+        coalesce(col("n_similar"), lit(0L)).as("n_similar"),
+        (coalesce(col("n_better"), lit(0L)) === 0).cast("int").as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  /** q138 oracle: the full chain — training rounds (shared CTEs),
+    * final assignment against c4, exact-integer within-cell cosine,
+    * and the q128-style quality rule (formula mirrored from the q128
+    * oracle). */
+  private def semanticDedupOracleSql: String = {
+    val dim = kmeansDim
+    s"""WITH $kmeansCtesSql,
+       |$kmeansRoundCtesSql,
+       |af AS (
+       | SELECT vec_id, xm, cell FROM (
+       |  SELECT em.vec_id, em.xm, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY em.vec_id ORDER BY
+       |    list_sum(list_transform(generate_series(1, $dim),
+       |      i -> (em.xm[i] - c.c[i]) * (em.xm[i] - c.c[i]))), c.cid) AS rk
+       |  FROM em CROSS JOIN c4 c) WHERE rk = 1),
+       |nr AS (
+       | SELECT vec_id, cell, xm,
+       |  list_sum(list_transform(generate_series(1, $dim),
+       |    i -> xm[i] * xm[i])) AS nrm
+       | FROM af),
+       |prs AS (
+       | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       | FROM nr a JOIN nr b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       | WHERE CAST(list_sum(list_transform(generate_series(1, $dim),
+       |    i -> a.xm[i] * b.xm[i])) AS DOUBLE)
+       |   / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.3),
+       |qual AS (
+       | SELECT doc_id AS vec_id,
+       |  round(0.4 * (1.0 - CAST(len(list_filter(toks, t -> list_contains(
+       |      ['the','a','an','of','and','to','is','in','it','on'], t))) AS DOUBLE)
+       |      / len(toks))
+       |   + 0.4 * (CAST(len(list_filter(toks, t -> length(t) >= 5)) AS DOUBLE)
+       |      / len(toks))
+       |   + 0.2 * (1.0 - CAST(nc - nc_nopunct AS DOUBLE) / nc), 6) AS quality
+       | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |   length(text) AS nc,
+       |   length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS nc_nopunct
+       |   FROM documents)),
+       |agg AS (
+       | SELECT p.id_a AS vec_id, count(*) AS n_similar,
+       |  sum(CASE WHEN qb.quality > qa.quality
+       |    OR (qb.quality = qa.quality AND p.id_b < p.id_a)
+       |    THEN 1 ELSE 0 END) AS n_better
+       | FROM prs p
+       | JOIN qual qa ON qa.vec_id = p.id_a
+       | JOIN qual qb ON qb.vec_id = p.id_b
+       | GROUP BY p.id_a)
+       |SELECT nr.vec_id, nr.cell, q.quality,
+       | CAST(coalesce(agg.n_similar, 0) AS BIGINT) AS n_similar,
+       | CAST(coalesce(agg.n_better, 0) = 0 AS INT) AS is_kept
+       |FROM nr JOIN qual q ON q.vec_id = nr.vec_id
+       |LEFT JOIN agg ON agg.vec_id = nr.vec_id
+       |ORDER BY nr.vec_id""".stripMargin
+  }
+
   private val bm25Terms = Seq("spark", "window", "join")
 
   /** q112: BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term
@@ -1323,6 +1592,8 @@ object CorpusQueries {
     "q128_quality_canonical" -> qualityCanonical,
     "q134_index_writeback" -> indexWriteBack,
     "q135_incremental_neardup" -> incrementalNearDup,
+    "q137_kmeans_train" -> kmeansTrain,
+    "q138_semantic_dedup" -> semanticDedup,
     "q132_cms_frequency" -> cmsFrequency,
     "q133_collocations" -> collocations,
   )
@@ -2048,6 +2319,8 @@ object CorpusQueries {
         |ORDER BY qdot DESC, cand_id LIMIT 10""".stripMargin,
     "q36_minhash_dedup" -> minhashOracleSql,
     "q135_incremental_neardup" -> incrementalNearDupOracleSql,
+    "q137_kmeans_train" -> kmeansOracleSql,
+    "q138_semantic_dedup" -> semanticDedupOracleSql,
     "q37_simhash_pairs" -> simhashOracleSql,
     // same plane-literal embedding trick as q96 (the dedup index is
     // 12-bit where search is 6-bit); the OR over tables reproduces

@@ -162,6 +162,40 @@ class CorpusPlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("q137 k-means: integer-exact rounds are deterministic and converge") {
+    val a = CorpusQueries.kmeansTrain(spark, sf).collect()
+    assert(a.length == 64) // 4 rounds x 16 centroids
+    // every point is assigned every round (population conservation)
+    val byRound = a.groupBy(_.getInt(0))
+    val pops = byRound.view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(pops.values.toSet.size == 1, s"populations drifted: $pops")
+    // Lloyd's with exact integer arithmetic: centroid movement
+    // collapses across rounds on this fixture (round-1 shift is the
+    // init-to-data jump; round 4 is fine-tuning)
+    val shifts = byRound.view.mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(shifts(4) < shifts(1) / 10, s"no convergence signature: $shifts")
+    // bit-determinism: a second derivation in the same session is
+    // row-for-row identical (no rand(), no float accumulation order)
+    val b = CorpusQueries.kmeansTrain(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
+  test("q138 semantic dedup: pairs form within cells only, no cross join") {
+    // SemDeDup's scale contract: the candidate join is KEYED on the
+    // trained cell — per-cell populations bound the pair count, and
+    // no stage degenerates into an all-pairs cartesian (the only
+    // nested-loop join allowed is the 1-row centroid-model broadcast)
+    val df = CorpusQueries.semanticDedup(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the pair self-join keys on cell (shows up as an equi-join with
+    // cell in its key list, not a BroadcastNestedLoopJoin condition)
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin")) && l.contains("cell")), plan)
+  }
+
   test("loadSpread: parallelizes the tiny scan without changing content") {
     val plain = graft.Tables.load(spark, sf, "documents")
     val spread = CorpusQueries.loadSpread(spark, sf, "documents", "doc_id")
