@@ -183,28 +183,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("q119 sessions: RocksDB state-store provider is value-identical") {
-    // production guidance for the streaming tier is the RocksDB
-    // provider (state no longer bounded by executor heap at real key
-    // cardinalities); run the q119 sessionization under it and pin
-    // value parity with the default HDFS-backed provider so the
-    // recommendation is tested, not asserted. Each run uses a fresh
-    // scratch source/checkpoint, so the two queries are independent.
-    val sf = "/root/testdata/sf0.001"
-    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
-      df.collect().map(_.toSeq.toVector).toVector.sortBy(_.mkString("|"))
-    val default = rows(StreamQueries.sessionStreamValues(spark, sf))
+  // production guidance for the streaming tier is the RocksDB state
+  // provider (state no longer bounded by executor heap at real key
+  // cardinalities); the two tests below run the tier's two stateful
+  // families under it and pin value parity with the default
+  // HDFS-backed provider so the recommendation is tested, not
+  // asserted. Each run uses a fresh scratch source/checkpoint, so
+  // the paired queries are independent.
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toVector).toVector.sortBy(_.mkString("|"))
+  private def withRocksDb[T](body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val rocks = rows(StreamQueries.sessionStreamValues(spark, sf))
-      assert(rocks.nonEmpty && rocks == default,
-        s"rocksdb=${rocks.take(3)} default=${default.take(3)}")
-    } finally prev match {
+    try body
+    finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  test("q119 sessions: RocksDB state-store provider is value-identical") {
+    val sf = "/root/testdata/sf0.001"
+    val default = sortedRows(StreamQueries.sessionStreamValues(spark, sf))
+    val rocks = withRocksDb(sortedRows(StreamQueries.sessionStreamValues(spark, sf)))
+    assert(rocks.nonEmpty && rocks == default,
+      s"rocksdb=${rocks.take(3)} default=${default.take(3)}")
+  }
+
+  test("q120 attribution: RocksDB state-store provider is value-identical") {
+    // the stream-stream interval join holds TWO watermark-bounded
+    // buffers (views + purchases) in state — the tier's heavier
+    // state shape; same provider-portability pin as q119 so the
+    // 100 TB state-store answer covers both stateful families
+    // (session window AND stream-stream join)
+    val sf = "/root/testdata/sf0.001"
+    val default = sortedRows(StreamQueries.streamedAttribution(spark, sf))
+    val rocks = withRocksDb(sortedRows(StreamQueries.streamedAttribution(spark, sf)))
+    assert(rocks.nonEmpty && rocks == default,
+      s"rocksdb=${rocks.take(3)} default=${default.take(3)}")
   }
 }
