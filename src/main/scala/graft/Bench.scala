@@ -222,7 +222,16 @@ object Bench {
     // keeps min-of-rerun honest — without the prime, the rerun
     // re-times a warm cache and the kept minimum reports the rollup
     // over the cached frame (~0.14 s) as if it were the mining+CC
-    // work (~2 s) — round-11 verdict, What's-missing #2.
+    // work — round-11 verdict, What's-missing #2.
+    // Untimed warmup at the tiny SF first (the ingest warmup's
+    // argument): the derivation now runs BEFORE the corpus sweep, so
+    // without it the line pays first-call codegen/JIT for the
+    // shingling + prefix-filter expressions — measured 9.2 s cold vs
+    // 2.2 s steady-state for the sf0.1 mining stage alone (CcProf).
+    // The tiny dir uses a different memo key, so the timed prime
+    // below still derives its own dir from scratch.
+    try graft.analytics.CorpusQueries.primeClusterLabels(spark, "/root/testdata/sf0.001")
+    catch { case _: Exception => () } // warmup failure surfaces in the timed run
     val clusterDerive = timeDerive("cluster_derive",
       () => graft.analytics.CorpusQueries.primeClusterLabels(spark, sfDir))
     // noop-format write materializes EVERY output column (count()
@@ -282,7 +291,8 @@ object Bench {
           "q34_jaccard_pairs", "q36_minhash_dedup", "q35_cosine_topk",
           "q102_dup_clusters", "q117_lm_quality",
           "q58_column_discovery", "q90_alpha_all", "q91_rank_ic",
-          "q125_similarity_ivf", "q127_incremental_dedup")
+          "q125_similarity_ivf", "q127_incremental_dedup",
+          "q134_index_writeback", "q137_kmeans_train")
         def once(n: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
           val t = System.nanoTime()
           try { fn(spark, sf2Dir).write.format("noop").mode("overwrite").save()

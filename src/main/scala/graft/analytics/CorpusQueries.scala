@@ -368,6 +368,85 @@ object CorpusQueries {
        |ORDER BY arrival_id, dup_of""".stripMargin
   }
 
+  /** q139 oracle: the two-day generational band-index story
+    * re-derived relationally — day 1 vs history yields the verified
+    * duplicate set; gen 1 is day-1's SURVIVORS; day-2 candidates come
+    * from band matches against history (gen 0) or surviving day-1
+    * docs (gen 1); verification is exact Jaccard as in q135. */
+  private def bandWriteBackOracleSql: String = {
+    val p = DedupFns.minhashP
+    val sigDefs = minhashSigDefsSql
+    val bktDefs = minhashBktDefsSql
+    val jd = "CAST(len(list_intersect(list_distinct(ha.h), list_distinct(hb.h))) AS DOUBLE)"
+    val tot = "(len(list_distinct(ha.h)) + len(list_distinct(hb.h)))"
+    val p1Joins = (0 until 6).map { j =>
+      s" SELECT b.id AS arrival_id, a.id AS dup_of\n" +
+        s" FROM bkt a JOIN bkt b ON a.k$j = b.k$j AND a.role = 'h' AND b.role = 'd1'"
+    }.mkString("", "\n UNION\n", "")
+    val p2Joins = (0 until 6).map { j =>
+      s" SELECT b.id AS arrival_id, a.id AS dup_of, 0 AS gen\n" +
+        s" FROM bkt a JOIN bkt b ON a.k$j = b.k$j AND a.role = 'h' AND b.role = 'd2'\n" +
+        s" UNION\n" +
+        s" SELECT b.id, a.id, 1\n" +
+        s" FROM bkt a JOIN bkt b ON a.k$j = b.k$j AND a.role = 'd1' AND b.role = 'd2'\n" +
+        s"  AND a.id NOT IN (SELECT arrival_id FROM dup1)"
+    }.mkString("", "\n UNION\n", "")
+    s"""WITH raw AS (
+       | SELECT doc_id AS id, text, 'h' AS role FROM documents WHERE doc_id < 300
+       | UNION ALL
+       | SELECT doc_id, text, 'd1' FROM documents
+       | WHERE doc_id >= 300 AND doc_id < 400
+       | UNION ALL
+       | SELECT doc_id + 100000, text || ' near duplicate revision', 'd1'
+       | FROM documents WHERE doc_id < 15
+       | UNION ALL
+       | SELECT doc_id, text, 'd2' FROM documents WHERE doc_id >= 400
+       | UNION ALL
+       | SELECT doc_id + 200000, text || ' near duplicate revision', 'd2'
+       | FROM documents WHERE doc_id < 10
+       | UNION ALL
+       | SELECT doc_id + 300000, text || ' near duplicate revision', 'd2'
+       | FROM documents WHERE doc_id >= 300 AND doc_id < 316),
+       |toks AS (
+       | SELECT id, role, regexp_split_to_array(trim(text), '\\s+') AS t
+       | FROM raw WHERE length(trim(text)) > 0),
+       |sh AS (
+       | SELECT id, role, list_distinct(list_transform(
+       |   generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS s
+       | FROM toks WHERE len(t) >= 2),
+       |hv AS (
+       | SELECT id, role, list_transform(s, x -> ${h60Sql("x")} % $p) AS h
+       | FROM sh),
+       |sig AS (
+       | SELECT id, role,
+       |  $sigDefs
+       | FROM hv),
+       |bkt AS (
+       | SELECT id, role,
+       |  $bktDefs
+       | FROM sig),
+       |p1 AS MATERIALIZED (
+       |$p1Joins),
+       |dup1 AS (
+       | SELECT DISTINCT p.arrival_id
+       | FROM p1 p
+       | JOIN hv ha ON ha.id = p.arrival_id
+       | JOIN hv hb ON hb.id = p.dup_of
+       | WHERE $jd / ($tot - $jd) >= 0.2),
+       |p2 AS MATERIALIZED (
+       |$p2Joins),
+       |cand AS (
+       | SELECT p.arrival_id, p.dup_of, p.gen,
+       |  $jd AS inter, $tot AS tot
+       | FROM p2 p
+       | JOIN hv ha ON ha.id = p.arrival_id
+       | JOIN hv hb ON hb.id = p.dup_of)
+       |SELECT arrival_id, dup_of, CAST(gen AS INT) AS gen,
+       | round(inter / (tot - inter), 6) AS jaccard
+       |FROM cand WHERE inter / (tot - inter) >= 0.2
+       |ORDER BY arrival_id, dup_of""".stripMargin
+  }
+
   /** q37 oracle: pigeonhole banding is EXACT, so the output equals
     * every same-source pair at hamming<=8 — computed here brute-force
     * over the replayed portable-hash simhashes (bits 60-63 of a
@@ -1042,6 +1121,91 @@ object CorpusQueries {
       .orderBy("arrival_id", "dup_of")
   }
 
+  /** q139: LSH band-index WRITE-BACK — q134's generational merge for
+    * the NEAR-dup index, closing the loop q135 opens: after day 1's
+    * batch is near-dup-checked against the historical posting index
+    * (gen 0), the postings of its SURVIVORS (arrivals with no
+    * verified match — the documents future batches must dedup
+    * against) are written as a second bucketed generation with the
+    * identical (bucket count, keys, sort) layout — batch-sized
+    * movement, gen-0 files untouched. Day 2 then probes BOTH
+    * generations; both probes share the one batch-side exchange to
+    * the bucket layout (ReusedExchange — pinned), and a gen-1 hit
+    * proves the write-back is live: day-2 re-crawls of day-1
+    * documents are caught even though day-1 postdates the historical
+    * index. Every verified match reports which generation caught it.
+    * Same generational-compaction story as q134 at 100 TB. */
+  def bandIndexWriteBack: Q = (s, dir) => {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val root = graft.TempDirs.scratch("graft_lsh_gen")
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val g0Name = s"g139_band_gen0_$tag"
+    val g1Name = s"g139_band_gen1_$tag"
+    def writeGen(df: DataFrame, name: String): Unit =
+      df.write.format("parquet").bucketBy(8, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", s"$root/$name").mode("overwrite").saveAsTable(name)
+    val mutate = (t: Column) => concat(t, lit(" near duplicate revision"))
+    val hist = d.filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+    writeGen(DedupFns.lshPostings(hist, "doc_id", "text"), g0Name)
+    val gen0 = s.table(g0Name)
+    // day 1: new docs + mutated re-crawls of history
+    val day1 = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id").as("arrival_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 100000).as("arrival_id"), mutate(col("text")).as("text")))
+    val d1Post = DedupFns
+      .lshPostings(day1, "arrival_id", "text", metricPrefix = "lshd1")
+      .withColumnRenamed("id", "arrival_id")
+    def jaccard(a: Column, b: Column): Column = {
+      val inter = DedupFns.sortedIntersectCount(a, b).cast("double")
+      inter / (size(a) + size(b) - inter)
+    }
+    val shD1 = day1.select(col("arrival_id"),
+      DedupFns.packedHashSet(col("text")).as("sh_a"))
+    val shHist = hist.select(col("doc_id").as("dup_of"),
+      DedupFns.packedHashSet(col("text")).as("sh_b"))
+    val dup1 = d1Post.hint("merge")
+      .join(gen0.select(col("band"), col("bucket"), col("id").as("dup_of")),
+        Seq("band", "bucket"))
+      .select("arrival_id", "dup_of").distinct()
+      .join(shD1, "arrival_id").join(shHist, "dup_of")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.2)
+      .select("arrival_id").distinct()
+    // WRITE-BACK: survivors' postings only, identical layout
+    writeGen(d1Post.join(dup1, Seq("arrival_id"), "left_anti")
+      .select(col("band"), col("bucket"), col("arrival_id").as("id")), g1Name)
+    val gen1 = s.table(g1Name)
+    // day 2: new docs + re-crawls of history (gen-0 hits) + re-crawls
+    // of day-1 docs (gen-1 hits — the write-back under test)
+    val day2 = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id").as("arrival_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("arrival_id"), mutate(col("text")).as("text")))
+      .unionAll(d.filter(col("doc_id") >= 300 && col("doc_id") < 316)
+        .select((col("doc_id") + 300000).as("arrival_id"), mutate(col("text")).as("text")))
+    val d2Post = DedupFns
+      .lshPostings(day2, "arrival_id", "text", metricPrefix = "lshbatch")
+      .withColumnRenamed("id", "arrival_id")
+    def probe(gen: DataFrame, genId: Int): DataFrame = d2Post.hint("merge")
+      .join(gen.select(col("band"), col("bucket"), col("id").as("dup_of")),
+        Seq("band", "bucket"))
+      .select(col("arrival_id"), col("dup_of"), lit(genId).as("gen"))
+    val cand = probe(gen0, 0).unionAll(probe(gen1, 1)).distinct()
+    val shD2 = day2.select(col("arrival_id"),
+      DedupFns.packedHashSet(col("text")).as("sh_a"))
+    // reference hash sets: history + day-1 texts (a gen-1 dup_of is a
+    // day-1 arrival id)
+    val shRef = shHist.unionAll(shD1.select(col("arrival_id").as("dup_of"),
+      col("sh_a").as("sh_b")))
+    cand.join(shD2, "arrival_id").join(shRef, "dup_of")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("arrival_id"), col("dup_of"), col("gen"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("arrival_id", "dup_of")
+  }
+
   /** q128: QUALITY-BASED canonical selection — the policy layer over
     * q102's clusters: production pipelines keep the best-quality
     * member of each near-duplicate cluster, not the lowest id. One
@@ -1594,6 +1758,7 @@ object CorpusQueries {
     "q135_incremental_neardup" -> incrementalNearDup,
     "q137_kmeans_train" -> kmeansTrain,
     "q138_semantic_dedup" -> semanticDedup,
+    "q139_band_writeback" -> bandIndexWriteBack,
     "q132_cms_frequency" -> cmsFrequency,
     "q133_collocations" -> collocations,
   )
@@ -2321,6 +2486,7 @@ object CorpusQueries {
     "q135_incremental_neardup" -> incrementalNearDupOracleSql,
     "q137_kmeans_train" -> kmeansOracleSql,
     "q138_semantic_dedup" -> semanticDedupOracleSql,
+    "q139_band_writeback" -> bandWriteBackOracleSql,
     "q37_simhash_pairs" -> simhashOracleSql,
     // same plane-literal embedding trick as q96 (the dedup index is
     // 12-bit where search is 6-bit); the OR over tables reproduces

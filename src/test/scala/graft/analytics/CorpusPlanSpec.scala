@@ -154,6 +154,22 @@ class CorpusPlanSpec extends SparkSpec {
     assert(ex <= 5, s"$ex hash exchanges (index side must not reshuffle):\n$plan")
   }
 
+  test("q139 band write-back: both generations probe the one batch exchange") {
+    // the day-2 batch's postings shuffle ONCE to the (band, bucket)
+    // layout; both generation probes are bucket-local merge joins
+    // against that shared exchange (the second shows as a
+    // ReusedExchange), and gen-1 hits exist — the write-back is live,
+    // not dead storage
+    val df = CorpusQueries.bandIndexWriteBack(spark, sf)
+    val rows = df.collect()
+    assert(rows.exists(_.getInt(2) == 1), "no gen-1 hits — write-back not exercised")
+    assert(rows.exists(_.getInt(2) == 0))
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.linesIterator.count(_.contains("SortMergeJoin")) >= 2, plan)
+    assert(plan.contains("ReusedExchange"), plan)
+  }
+
   test("q126 mixture materialization: rates broadcast, one rollup exchange") {
     val plan = finalPlan(CorpusQueries.mixMaterialize(spark, sf))
     // the 20-row rate table reaches the corpus as a broadcast; the
