@@ -250,6 +250,34 @@ class DedupSpec extends SparkSpec {
     assert(m.getAs[Long]("simhash_max_bucket") >= 30L)
   }
 
+  test("lshPostings build-time cap: hot buckets excluded from the stored index") {
+    // the q135/q139 persisted-index form of the minhash guard: a
+    // boilerplate pile whose signatures collide into hot band buckets
+    // must be dropped AT BUILD TIME (a stored hot posting list would
+    // be re-joined by every future batch), accounted via the
+    // lshidx_hot metrics; distinct documents keep their (pop-2)
+    // postings so the index still finds real near-dups.
+    val boiler = (1 to 40).map(j => s"w$j").mkString(" ")
+    val rows = (0 until 30).map(i => (i.toLong, s"$boiler extra$i")) ++
+      (0 until 3).flatMap(p => Seq(
+        (100L + p * 2, s"pair $p zig zag alpha beta gamma delta"),
+        (101L + p * 2, s"pair $p zig zag alpha beta gamma delta")))
+    val df = rows.toDF("doc_id", "text")
+    val capped = DedupFns.lshPostings(df, "doc_id", "text", maxBucket = 8)
+    val posts = capped.collect()
+    val m = observed(capped, "lshidx_hot")
+    assert(m.getAs[Long]("lshidx_hot_postings") > 0,
+      s"plant failed to create a hot bucket (max=${m.getAs[Long]("lshidx_max_bucket")})")
+    assert(m.getAs[Long]("lshidx_max_bucket") > 8L)
+    // no stored bucket exceeds the cap
+    val pops = posts.groupBy(r => (r.getAs[Int]("band"), r.getAs[Long]("bucket")))
+      .view.mapValues(_.size)
+    assert(pops.nonEmpty && pops.values.max <= 8, s"hot bucket stored: $pops")
+    // planted near-dup docs keep their postings (searchable)
+    val ids = posts.map(_.getAs[Long]("id")).toSet
+    assert((0 until 3).forall(p => ids(100L + p * 2) && ids(101L + p * 2)))
+  }
+
   test("exactDedup keeps min id per fingerprint") {
     val dups = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")
