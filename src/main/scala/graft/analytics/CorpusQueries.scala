@@ -1370,11 +1370,10 @@ object CorpusQueries {
       .localCheckpoint()
       .withColumn("xm", transform(col("xq"), v => v * 1000))
 
-  /** Exact-integer sum of elementwise products (distance/dot kernel
-    * for the quantized frames — results stay far under 2^63 at
-    * dim 64 / micro units). */
-  private def intFold(a: Column, b: Column, f: (Column, Column) => Column): Column =
-    aggregate(zip_with(a, b, f), lit(0L), (acc, v) => acc + v)
+  // exact-integer distance/dot kernels for the quantized frames —
+  // codegen'd ([[graft.expressions.LongVecFold]]); results stay far
+  // under 2^63 at dim 64 / micro units, and integer arithmetic
+  // commutes exactly so oracle hashes are unchanged
 
   /** The 4 Lloyd's rounds behind q137, also the cell model for q138:
     * returns (per-round stats frames, final centroid frame). */
@@ -1382,7 +1381,7 @@ object CorpusQueries {
     val rounds = 4
     val em = quantizedEmbeddings(s, dir)
     def sqDist(a: Column, b: Column): Column =
-      intFold(a, b, (x, y) => (x - y) * (x - y))
+      VectorFns.longSqDist(a, b)
     var cents = em.orderBy("vec_id").limit(16)
       .select(col("vec_id").as("cid"),
         transform(col("xq"), v => v * 1000).as("c"))
@@ -1504,15 +1503,15 @@ object CorpusQueries {
     val assigned = em.crossJoin(broadcast(model))
       .select(col("vec_id"), col("xm"),
         array_min(transform(col("cs"), cc =>
-          struct(intFold(col("xm"), cc.getField("c"), (x, y) => (x - y) * (x - y)).as("d"),
+          struct(VectorFns.longSqDist(col("xm"), cc.getField("c")).as("d"),
             cc.getField("cid").as("cid")))).getField("cid").as("cell"),
-        intFold(col("xm"), col("xm"), _ * _).as("nrm"))
+        VectorFns.longDot(col("xm"), col("xm")).as("nrm"))
       .localCheckpoint() // feeds the pair join twice + the output spine
     val a = assigned.select(col("vec_id").as("id_a"), col("cell"),
       col("xm").as("xa"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("id_b"), col("cell"),
       col("xm").as("xb"), col("nrm").as("nb"))
-    val cos = intFold(col("xa"), col("xb"), _ * _).cast("double") /
+    val cos = VectorFns.longDot(col("xa"), col("xb")).cast("double") /
       (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))

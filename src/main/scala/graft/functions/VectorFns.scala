@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.DoubleVecDot
+import graft.expressions.{DoubleVecDot, LongVecFold}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -81,9 +81,20 @@ object VectorFns {
   }
 
   /** Exact integer dot product of two quantized vectors (the q121
-    * ranking key — no floating point in the compare path). */
-  def int8Dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    * ranking key, q138's cosine operands — no floating point in the
+    * compare path). Codegen'd ([[graft.expressions.LongVecFold]]);
+    * integer addition commutes exactly, so values are unchanged from
+    * the interpreted HOF form. */
+  def longDot(a: Column, b: Column): Column =
+    ColumnBridge.column(LongVecFold(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), squaredDiff = false))
+
+  /** Exact integer Σ (aᵢ−bᵢ)² — the q137 k-means assignment kernel. */
+  def longSqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(LongVecFold(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), squaredDiff = true))
+
+  def int8Dot(a: Column, b: Column): Column = longDot(a, b)
 
   /** SimHash-style LSH bucket id for a dense vector: `nBits` random
     * hyperplane signs packed into a long. Deterministic across runs.

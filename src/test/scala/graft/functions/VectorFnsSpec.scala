@@ -30,6 +30,27 @@ class VectorFnsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("LongVecFold == interpreted HOF dot and sqdist, exactly") {
+    val hofLongDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val hofSqDist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    // micro-unit magnitudes (the q137/q138 range) at dim 64
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-1000000L, 1000000L))
+    val prop = Prop.forAllNoShrink(Gen.listOfN(20, Gen.zip(vecGen, vecGen))) { pairs =>
+      val df = pairs.toDF("a", "b")
+      df.select(
+          VectorFns.longDot(col("a"), col("b")).as("nd"),
+          hofLongDot(col("a"), col("b")).as("hd"),
+          VectorFns.longSqDist(col("a"), col("b")).as("ns"),
+          hofSqDist(col("a"), col("b")).as("hs"))
+        .collect()
+        .forall(r => r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0; zero norm is null") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
