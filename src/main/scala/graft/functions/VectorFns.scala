@@ -36,7 +36,9 @@ object VectorFns {
 
   /** Weighted Euclidean distance over fixed feature columns — the
     * reference's "History Mirror" similarity kernel
-    * (`app/Quantlib/QuantDB.py:190-202`): sqrt(Σ wᵢ·(xᵢ−tᵢ)²). */
+    * (`app/Quantlib/QuantDB.py:190-202`): sqrt(Σ (wᵢ·(xᵢ−tᵢ))²),
+    * weights INSIDE the square exactly as the reference writes
+    * `pow((bias_diff) * 5, 2)`. */
   def weightedEuclidean(features: Seq[(Column, Double, Double)]): Column =
     weightedEuclideanCols(features.map { case (c, t, w) => (c, lit(t), w) })
 
