@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables
-import graft.functions.{DedupFns, TextFns, VectorFns}
+import graft.functions.{DedupFns, SketchFns, TextFns, VectorFns}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1720,7 +1720,136 @@ object CorpusQueries {
       .orderBy("lang", "rk")
   }
 
+  /** KMV sketch sizes shared between the Spark entries and the
+    * DuckDB oracles (interpolated as literals). 256 keeps the
+    * estimator active at every fixture SF (distinct fingerprints
+    * ≥ 500 everywhere); 8192 exceeds them all, so the same entry
+    * also exercises the exhaustive branch (n_mins < k → the sketch
+    * IS the distinct set and the "estimate" is exact). */
+  private val kmvK = 256
+  private val kmvKBig = 8192
+  // 2^60: the portable-hash range, exactly representable as a double
+  private val kmvTwo60 = 1.152921504606846976e18
+
+  /** q140: KMV / bottom-k DISTINCT-CARDINALITY estimation — "how
+    * many unique documents does the corpus hold" without counting
+    * them: keep the k smallest distinct 60-bit fingerprint hashes
+    * ([[SketchFns.kmvMinK]]); the k-th minimum m estimates
+    * n ≈ (k−1)·2^60/m with relative error ≈ 1/√(k−2). The profiling
+    * companion to q132's count-min sketch (frequencies); unlike
+    * library HLL sketches the registers here are exact hash minima,
+    * so the DuckDB oracle replays the sketch value for value
+    * (kth_min and an xor checksum over every retained slot are
+    * compare keys, not just the estimate). Scale: each task's
+    * partial buffer is ≤ k longs and merges by union-and-trim — the
+    * final exchange moves k·numPartitions longs total, never the
+    * distinct key set (a count(distinct) at 10^10 keys shuffles the
+    * keys themselves); both sketch sizes ride ONE corpus scan. The
+    * exact count is the fixture-scale audit column (q122's recall
+    * pattern) — production drops it, that being the point. The
+    * estimator division is a fixed-order double chain
+    * ((k−1)/m first, then ·2^60) so intermediates stay bounded and
+    * both engines run the identical IEEE sequence (q133 lesson). */
+  def kmvDistinct: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val fp = d.select(
+      DedupFns.portableHash60(TextFns.fingerprint(col("text"))).as("h"))
+    val sketches = fp
+      .agg(SketchFns.kmvMinK(col("h"), kmvK).as("m_small"),
+        SketchFns.kmvMinK(col("h"), kmvKBig).as("m_big"))
+      .select(explode(array(
+        struct(lit(kmvK.toLong).as("k"), col("m_small").as("mins")),
+        struct(lit(kmvKBig.toLong).as("k"), col("m_big").as("mins")))).as("sk"))
+      .select(
+        col("sk.k").as("k"),
+        size(col("sk.mins")).cast("long").as("n_mins"),
+        element_at(col("sk.mins"), size(col("sk.mins"))).as("kth_min"),
+        aggregate(col("sk.mins"), lit(0L), (acc, x) => acc.bitwiseXOR(x))
+          .as("sketch_xor"))
+      .withColumn("est_distinct",
+        when(col("n_mins") < col("k"), col("n_mins"))
+          .otherwise(floor((col("k") - 1).cast("double") / col("kth_min")
+            * lit(kmvTwo60) + lit(0.5)).cast("long")))
+    val exact = fp.distinct().agg(count(lit(1)).as("exact_distinct"))
+    sketches.crossJoin(broadcast(exact))
+      .withColumn("err_pct", fr6(abs(
+        (col("est_distinct").cast("double") - col("exact_distinct"))
+          / col("exact_distinct")) * lit(100)))
+      .orderBy("k")
+  }
+
+  /** q141: CROSS-SOURCE OVERLAP estimation from per-source KMV
+    * sketches — "how much of source B's n-gram content is already in
+    * source A" answered WITHOUT joining the corpora, the
+    * contamination/redundancy matrix a mixture planner consults
+    * before committing to a source blend. KMV sketches support set
+    * algebra: the union sketch is the k smallest of S_A ∪ S_B, the
+    * fraction of its slots present in both inputs estimates Jaccard,
+    * and Jaccard × est(|A∪B|) estimates the shared count. Scale: one
+    * corpus scan builds every per-source sketch (map-side-combined,
+    * ≤ k longs per source per task); the pairwise stage touches only
+    * the 20-row sketch frame (broadcast nested-loop on source_a <
+    * source_b), so source count — not corpus size — bounds it. The
+    * exact columns are the fixture-scale audit (the hash self-join
+    * they need is precisely the shuffle the sketch avoids). Set ops
+    * are exact integer array kernels (array_union/intersect,
+    * [[DedupFns.sortedIntersectCount]]); estimates are fixed-order
+    * double chains mirrored literally in the oracle. */
+  def kmvSourceOverlap: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val sh = d.select(col("source"),
+        explode(TextFns.wordShingles(col("text"), 2)).as("sg"))
+      .select(col("source"), DedupFns.portableHash60(col("sg")).as("h"))
+    val sk = sh.groupBy("source")
+      .agg(SketchFns.kmvMinK(col("h"), kmvK).as("mins"))
+    val feat = sk.select(col("source").as("source_a"), col("mins").as("ma"))
+      .join(broadcast(
+        sk.select(col("source").as("source_b"), col("mins").as("mb"))),
+        col("source_a") < col("source_b"))
+      .withColumn("du", slice(array_sort(array_union(col("ma"), col("mb"))),
+        1, kmvK))
+      .select(col("source_a"), col("source_b"),
+        size(col("du")).cast("long").as("k_eff"),
+        DedupFns.sortedIntersectCount(col("du"),
+          array_intersect(col("ma"), col("mb"))).cast("long").as("n_shared"),
+        element_at(col("du"), size(col("du"))).as("union_kth"))
+      .withColumn("est_union",
+        when(col("k_eff") < lit(kmvK.toLong), col("k_eff"))
+          .otherwise(floor(lit((kmvK - 1).toDouble) / col("union_kth")
+            * lit(kmvTwo60) + lit(0.5)).cast("long")))
+      .withColumn("est_shared",
+        floor(col("n_shared").cast("double") / col("k_eff")
+          * col("est_union").cast("double") + lit(0.5)).cast("long"))
+      .withColumn("jacc_est",
+        fr6(col("n_shared").cast("double") / col("k_eff")))
+    // exact audit: distinct (source, hash) sets, self-joined on hash
+    val dt = sh.distinct()
+    val ns = dt.groupBy("source").agg(count(lit(1)).as("n_ex"))
+    val exShared = dt.select(col("source").as("source_a"), col("h"))
+      .join(dt.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_shared"))
+    feat
+      .join(broadcast(ns.select(col("source").as("source_a"),
+        col("n_ex").as("n_a"))), "source_a")
+      .join(broadcast(ns.select(col("source").as("source_b"),
+        col("n_ex").as("n_b"))), "source_b")
+      .join(exShared, Seq("source_a", "source_b"), "left")
+      .withColumn("exact_shared", coalesce(col("exact_shared"), lit(0L)))
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_shared"))
+      .withColumn("jacc_exact",
+        fr6(col("exact_shared").cast("double") / col("exact_union")))
+      .select("source_a", "source_b", "k_eff", "n_shared", "union_kth",
+        "est_union", "est_shared", "jacc_est", "exact_shared", "exact_union",
+        "jacc_exact")
+      .orderBy("source_a", "source_b")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q140_kmv_distinct" -> kmvDistinct,
+    "q141_source_overlap" -> kmvSourceOverlap,
     "q117_lm_quality" -> lmQualityScore,
     "q118_merge_pairs" -> mergePairStats,
     "q110_repetition" -> repetitionMetrics,
@@ -2481,6 +2610,97 @@ object CorpusQueries {
         | FROM z, q WHERE z.vec_id <> 7)
         |SELECT cand_id, qdot, cos FROM s
         |ORDER BY qdot DESC, cand_id LIMIT 10""".stripMargin,
+    // q140: the sketch replayed slot for slot — the k smallest
+    // distinct fingerprint hashes via a row_number window; kth_min
+    // and the xor checksum pin every retained value, the estimator
+    // is the same fixed-order double chain as the entry
+    "q140_kmv_distinct" ->
+      s"""WITH fp AS (SELECT
+         |  ${h60Sql("md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))")}
+         |    AS h FROM documents),
+         |hm AS (SELECT DISTINCT h FROM fp),
+         |ks(k) AS (VALUES (CAST($kmvK AS BIGINT)), (CAST($kmvKBig AS BIGINT))),
+         |rk AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM hm),
+         |mins AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS n_mins, max(h) AS kth_min,
+         |    bit_xor(h) AS sketch_xor
+         |  FROM ks JOIN rk ON rk.r <= ks.k GROUP BY k),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM hm),
+         |est AS (
+         |  SELECT k, n_mins, kth_min, sketch_xor,
+         |    CASE WHEN n_mins < k THEN n_mins
+         |         ELSE CAST(floor(CAST(k - 1 AS DOUBLE) / kth_min
+         |           * CAST(1152921504606846976 AS DOUBLE) + 0.5) AS BIGINT)
+         |    END AS est_distinct,
+         |    exact_distinct
+         |  FROM mins, ex)
+         |SELECT k, n_mins, kth_min, sketch_xor, est_distinct, exact_distinct,
+         |  floor(abs((CAST(est_distinct AS DOUBLE) - exact_distinct)
+         |    / exact_distinct) * 100 * 1e6 + 0.5) / 1e6 AS err_pct
+         |FROM est ORDER BY k""".stripMargin,
+    // q141: per-source bottom-k sketches via a partitioned
+    // row_number window; union sketch = sorted distinct concat
+    // sliced to k; the estimator/fraction chains mirror the entry's
+    // double sequences operation for operation
+    "q141_source_overlap" ->
+      s"""WITH $toksCte,
+         |sh AS (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])))
+         |    AS sg
+         |  FROM toks WHERE len(t) >= 2),
+         |hm AS (SELECT DISTINCT source, ${h60Sql("sg")} AS h FROM sh),
+         |rk AS (SELECT source, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM hm),
+         |mins AS (SELECT source, list(h ORDER BY h) AS mins
+         |  FROM rk WHERE r <= $kmvK GROUP BY source),
+         |pr AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    a.mins AS ma, b.mins AS mb
+         |  FROM mins a JOIN mins b ON a.source < b.source),
+         |un AS (SELECT *, list_sort(list_distinct(ma || mb))[1:$kmvK] AS du
+         |  FROM pr),
+         |ft AS (
+         |  SELECT source_a, source_b,
+         |    CAST(len(du) AS BIGINT) AS k_eff,
+         |    CAST(len(list_intersect(du, list_intersect(ma, mb))) AS BIGINT)
+         |      AS n_shared,
+         |    du[len(du)] AS union_kth
+         |  FROM un),
+         |e1 AS (
+         |  SELECT ft.*,
+         |    CASE WHEN k_eff < $kmvK THEN k_eff
+         |         ELSE CAST(floor(CAST(${kmvK - 1} AS DOUBLE) / union_kth
+         |           * CAST(1152921504606846976 AS DOUBLE) + 0.5) AS BIGINT)
+         |    END AS est_union
+         |  FROM ft),
+         |e2 AS (
+         |  SELECT e1.*,
+         |    CAST(floor(CAST(n_shared AS DOUBLE) / k_eff
+         |      * CAST(est_union AS DOUBLE) + 0.5) AS BIGINT) AS est_shared,
+         |    floor(CAST(n_shared AS DOUBLE) / k_eff * 1e6 + 0.5) / 1e6
+         |      AS jacc_est
+         |  FROM e1),
+         |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ex
+         |  FROM hm GROUP BY source),
+         |exs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS exact_shared
+         |  FROM hm a JOIN hm b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT e2.source_a, e2.source_b, k_eff, n_shared, union_kth,
+         |  est_union, est_shared, jacc_est,
+         |  COALESCE(exs.exact_shared, CAST(0 AS BIGINT)) AS exact_shared,
+         |  na.n_ex + nb.n_ex - COALESCE(exs.exact_shared, 0) AS exact_union,
+         |  floor(CAST(COALESCE(exs.exact_shared, 0) AS DOUBLE)
+         |    / (na.n_ex + nb.n_ex - COALESCE(exs.exact_shared, 0))
+         |    * 1e6 + 0.5) / 1e6 AS jacc_exact
+         |FROM e2
+         |JOIN ns na ON na.source = e2.source_a
+         |JOIN ns nb ON nb.source = e2.source_b
+         |LEFT JOIN exs ON exs.source_a = e2.source_a
+         |  AND exs.source_b = e2.source_b
+         |ORDER BY e2.source_a, e2.source_b""".stripMargin,
     "q36_minhash_dedup" -> minhashOracleSql,
     "q135_incremental_neardup" -> incrementalNearDupOracleSql,
     "q137_kmeans_train" -> kmeansOracleSql,

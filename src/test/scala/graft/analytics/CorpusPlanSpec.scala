@@ -212,6 +212,35 @@ class CorpusPlanSpec extends SparkSpec {
         || l.contains("BroadcastHashJoin")) && l.contains("cell")), plan)
   }
 
+  test("q140 KMV sketch: partial buffers merge with no key shuffle") {
+    // the sketch's scale contract: distinct-cardinality estimation
+    // never shuffles the distinct key set — the kmv aggregate runs
+    // partial-per-task then merges over a SinglePartition exchange
+    // of k-long buffers; the ONLY hashpartitioning exchange in the
+    // plan belongs to the exact-count audit column (which production
+    // drops)
+    val df = CorpusQueries.kmvDistinct(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_kmv_min_k"), plan)
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 1, plan)
+  }
+
+  test("q141 overlap: one sketch build reused for both pair sides, BNLJ pairwise") {
+    // one corpus scan builds every per-source sketch (a single
+    // partial_kmv exchange, reused verbatim for the pair join's
+    // build side) and the pairwise stage runs on the sketch frame
+    // only — source count, not corpus size, bounds it
+    val df = CorpusQueries.kmvSourceOverlap(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(plan.linesIterator.count(_.contains("partial_kmv_min_k")) == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("loadSpread: parallelizes the tiny scan without changing content") {
     val plain = graft.Tables.load(spark, sf, "documents")
     val spread = CorpusQueries.loadSpread(spark, sf, "documents", "doc_id")
