@@ -1847,7 +1847,75 @@ object CorpusQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** q142 prefix/cap parameters, shared with the oracle literals. */
+  private val winnowR = 10
+  private val winnowMaxPosting = 64L
+
+  /** q142: WINNOWING near-dup mining — rolling-hash document
+    * fingerprints ([[TextFns.winnowFingerprints]], the MOSS
+    * algorithm: window minima over Rabin-Karp gram hashes) mined for
+    * high-overlap pairs. The fingerprint is POSITION-ROBUST: any
+    * shared run of ≥ k+w−1 codepoints contributes a shared
+    * fingerprint at ~1/w the density of the full gram set, so the
+    * overlap ratio n_shared/min(|A|,|B|) detects CONTAINMENT
+    * (quote-heavy and template re-use cases) that the set-Jaccard
+    * miners (q34/q36) under-score when sizes differ. Candidate
+    * discipline is q34's: each doc posts only its winnowR RAREST
+    * fingerprints under the global (document-frequency, value)
+    * order — a true high-overlap pair shares rare fingerprints
+    * unless its entire overlap is boilerplate — with the
+    * DedupFns-style population cap on top, exclusions accounted via
+    * observed metrics (`winnow_hot_postings`/`winnow_max_bucket`),
+    * and exact verification over the full sorted fingerprint arrays
+    * ([[DedupFns.sortedIntersectCount]]) so capping only ever DROPS
+    * candidates. Scale: fingerprints are one codegen'd pass per row;
+    * the rank window shuffles the posting frame by doc_id once; the
+    * candidate join is keyed on the fingerprint with per-key
+    * population ≤ the cap; verify moves only candidate pairs. */
+  def winnowNearDup: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val fps = d.select(col("doc_id"),
+        TextFns.winnowFingerprints(col("text")).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val post = fps.select(col("doc_id"), explode(col("fps")).as("f"))
+    val pop = post.groupBy("f").agg(count(lit(1)).as("fpop"))
+    val ranked = post.join(pop, "f")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("fpop"), col("f"))))
+    val aSide = ranked.observe("winnow_hot",
+        sum(when(col("rk") <= winnowR && col("fpop") > winnowMaxPosting, 1L)
+          .otherwise(0L)).as("winnow_hot_postings"),
+        max(col("fpop")).as("winnow_max_bucket"))
+      .filter(col("rk") <= winnowR && col("fpop") <= winnowMaxPosting)
+      .select("doc_id", "f").as("a")
+    val bSide = ranked
+      .filter(col("rk") <= winnowR && col("fpop") <= winnowMaxPosting)
+      .select("doc_id", "f").as("b")
+    val cand = aSide.join(bSide,
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      // pin verify parallelism (q34's AQE-coalesce note): the pair
+      // set is narrow but each row does an array intersect
+      .repartition(s.sparkContext.defaultParallelism, col("id_a"))
+    val fa = fps.select(col("doc_id").as("id_a"), col("fps").as("fa"),
+      size(col("fps")).as("na"))
+    val fb = fps.select(col("doc_id").as("id_b"), col("fps").as("fb"),
+      size(col("fps")).as("nb"))
+    cand.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("n_shared",
+        DedupFns.sortedIntersectCount(col("fa"), col("fb")).cast("long"))
+      .filter(col("n_shared").cast("double") / least(col("na"), col("nb"))
+        >= 0.5)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        fr6(col("n_shared").cast("double") / least(col("na"), col("nb")))
+          .as("overlap"))
+      .orderBy("id_a", "id_b")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q142_winnow_neardup" -> winnowNearDup,
     "q140_kmv_distinct" -> kmvDistinct,
     "q141_source_overlap" -> kmvSourceOverlap,
     "q117_lm_quality" -> lmQualityScore,
@@ -2610,6 +2678,48 @@ object CorpusQueries {
         | FROM z, q WHERE z.vec_id <> 7)
         |SELECT cand_id, qdot, cos FROM s
         |ORDER BY qdot DESC, cand_id LIMIT 10""".stripMargin,
+    // q142: winnowing replayed gram for gram — the per-gram hash is
+    // the LEFT-FOLDED (acc·257 + ord) % (2^31−1) chain, congruent to
+    // (and equal to, both staying reduced) the entry's O(1) rolling
+    // updates; window minima, rarest-R prefix, population cap, and
+    // the exact verify mirror the entry stage for stage
+    "q142_winnow_neardup" -> {
+      val gram = (0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+        s"(($acc * 257 + ord(substr(text, i + $j, 1))) % 2147483647)")
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, length(text) - 7),
+         |      i -> $gram) AS hs
+         |  FROM documents WHERE length(text) >= 8),
+         |wf AS (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+         |         ELSE list_transform(generate_series(1, len(hs) - 3),
+         |           j -> list_aggregate(hs[j:j+3], 'min')) END)) AS fps
+         |  FROM g),
+         |p AS (SELECT doc_id, unnest(fps) AS f FROM wf),
+         |pop AS (SELECT f, count(*) AS fpop FROM p GROUP BY f),
+         |pr AS (
+         |  SELECT p.doc_id, p.f,
+         |    row_number() OVER (PARTITION BY p.doc_id
+         |      ORDER BY pop.fpop, p.f) AS rk, pop.fpop
+         |  FROM p JOIN pop USING (f)),
+         |pre AS (SELECT doc_id, f FROM pr
+         |  WHERE rk <= $winnowR AND fpop <= $winnowMaxPosting),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pre a JOIN pre b ON a.f = b.f AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |    CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS n_shared,
+         |    least(len(a.fps), len(b.fps)) AS mn
+         |  FROM cand JOIN wf a ON a.doc_id = cand.id_a
+         |            JOIN wf b ON b.doc_id = cand.id_b)
+         |SELECT id_a, id_b, n_shared,
+         |  floor(CAST(n_shared AS DOUBLE) / mn * 1e6 + 0.5) / 1e6 AS overlap
+         |FROM v WHERE CAST(n_shared AS DOUBLE) / mn >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     // q140: the sketch replayed slot for slot — the k smallest
     // distinct fingerprint hashes via a row_number window; kth_min
     // and the xor checksum pin every retained value, the estimator

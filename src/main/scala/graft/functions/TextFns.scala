@@ -107,6 +107,16 @@ object TextFns {
       ColumnBridge.expression(text)))
   }
 
+  /** Winnowing fingerprints ([[graft.expressions.WinnowFps]]): sorted
+    * distinct window-minima of Rabin-Karp rolling gram hashes — the
+    * MOSS-style position-robust document fingerprint (any shared
+    * substring of length ≥ k+w−1 yields a shared fingerprint). */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.WinnowFps(
+      ColumnBridge.expression(text), k, w))
+  }
+
   /** The HOF reference formulation of [[charShinglesPacked]] — kept
     * as the parity oracle for the native kernel.
     *
