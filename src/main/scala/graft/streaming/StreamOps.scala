@@ -26,6 +26,28 @@ object StreamOps {
       .select(col("win.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Windowed distinct-cardinality SKETCH: per tumbling hour, the
+    * KMV bottom-k sketch ([[graft.functions.SketchFns.kmvMinK]]) of
+    * the portable user-id hash, plus the event count. Streaming
+    * refuses `count(distinct)` outright — the exact per-window
+    * distinct set is unbounded state — but the sketch is a legal
+    * streaming aggregate: its buffer is ≤ k longs per OPEN window
+    * (TypedImperativeAggregate partials serialize into the state
+    * store like any other buffer) and merges across micro-batches by
+    * union-and-trim, so watermark eviction bounds total state at
+    * k·open_windows longs. The estimate itself is presentation —
+    * derived from the emitted sketch after window close, exactly as
+    * in the batch entry (q140). */
+  def windowedDistinctSketch(events: DataFrame, k: Int): DataFrame =
+    events
+      .withColumn("h",
+        graft.functions.DedupFns.portableHash60(col("user_id").cast("string")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(graft.functions.SketchFns.kmvMinK(col("h"), k).as("mins"),
+        count(lit(1)).as("n_events"))
+      .select(col("win.start").as("hour"), col("mins"), col("n_events"))
+
   /** Stateful streaming EMA — the pandas ewm(adjust=False) recursion
     * of [[graft.ops.TsOps.ema]] carried across micro-batches with one
     * Double of state per key (flatMapGroupsWithState, append mode).

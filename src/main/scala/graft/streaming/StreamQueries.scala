@@ -181,6 +181,68 @@ object StreamQueries {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** q143: streaming windowed DISTINCT-CARDINALITY via the KMV
+    * sketch ([[StreamOps.windowedDistinctSketch]]) — unique users
+    * per hour over a live stream. Structured Streaming refuses
+    * `count(distinct)` (unbounded per-window state); the bottom-k
+    * sketch is the production answer: ≤ k longs of state per open
+    * window, merged across micro-batches, evicted by the watermark.
+    * The replay fixture is q114's three-batch file stream; the entry
+    * emits each CLOSED window's sketch verbatim (n_mins, kth_min)
+    * plus the estimate derived from it post-close, and the DuckDB
+    * oracle rebuilds sketch and estimate per window from the batch
+    * table — the determinism of exact hash minima is what makes a
+    * streaming approximation oracle-checkable at all. k = 8 against
+    * the fixture's 10–20 users/hour exercises BOTH branches per run:
+    * sparse hours close exhaustive (n_mins < k → exact), busy hours
+    * estimate. */
+  def streamedDistinct(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_kmv", preferShm = true)
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(tsUtc(col("ts")).as("ts"), col("user_id"))
+    val mm = ev.agg(min(tsMicros(col("ts"))).as("lo"),
+      max(tsMicros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val b1 = lo + (hi - lo) / 3
+    val b2 = lo + 2 * ((hi - lo) / 3)
+    val m = tsMicros(col("ts"))
+    Seq(m < lit(b1),
+        m >= lit(b1) && m < lit(b2),
+        m >= lit(b2))
+      .zipWithIndex.foreach { case (cond, i) =>
+        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
+      }
+    // schema from the batch frame, not hardcoded — see streamedHourly
+    val streamIn = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in/*")
+    val sink = s"q143_kmv_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
+    withStreamShuffle(s, 8) {
+      val q = StreamOps.windowedDistinctSketch(streamIn, kmvStreamK)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(sink)
+  }
+
+  private val kmvStreamK = 8
+
+  def distinctStreamValues: Q = (s, dir) =>
+    streamedDistinct(s, dir)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("n_events"),
+        size(col("mins")).cast("long").as("n_mins"),
+        element_at(col("mins"), size(col("mins"))).as("kth_min"))
+      .withColumn("est_users",
+        when(col("n_mins") < kmvStreamK, col("n_mins"))
+          .otherwise(floor(lit((kmvStreamK - 1).toDouble) / col("kth_min")
+            * lit(1.152921504606846976e18) + lit(0.5)).cast("long")))
+      .orderBy("hour")
+
   /** q116: streaming exactly-once dedup —
     * `dropDuplicatesWithinWatermark(event_id)` under a 48h watermark,
     * replayed over a file stream whose batches OVERLAP by ~a day
@@ -373,6 +435,7 @@ object StreamQueries {
   val entries: Map[String, Q] = Map(
     "q95_ema_stream_parity" -> emaStreamValues,
     "q114_stream_hourly" -> hourlyStreamValues,
+    "q143_stream_distinct" -> distinctStreamValues,
     "q116_stream_dedup" -> dedupStreamValues,
     "q119_stream_sessions" -> sessionStreamValues,
     "q120_stream_attribution" -> attributionStreamValues)
@@ -395,6 +458,35 @@ object StreamQueries {
     // event time floored to MILLISECONDS (EventTimeStatsAccum), so
     // the oracle floors the same way before subtracting the delay;
     // append mode emits a window once its end <= watermark
+    // q143: the per-window sketch rebuilt from the batch table — k
+    // smallest distinct user-id hashes per hour via a partitioned
+    // row_number — with q114's watermark-closure predicate and the
+    // same fixed-order estimator chain as the entry
+    "q143_stream_distinct" ->
+      s"""WITH wm AS (
+         | SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 2 HOUR AS w
+         | FROM events),
+         |hm AS (
+         | SELECT DISTINCT date_trunc('hour', ts) AS h,
+         |  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |    AS hh
+         | FROM events),
+         |rk AS (SELECT h, hh,
+         |  row_number() OVER (PARTITION BY h ORDER BY hh) AS r FROM hm),
+         |mins AS (
+         | SELECT h, CAST(count(*) AS BIGINT) AS n_mins, max(hh) AS kth_min
+         | FROM rk WHERE r <= 8 GROUP BY h),
+         |ne AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n_events
+         | FROM events GROUP BY 1)
+         |SELECT strftime(mins.h, '%Y-%m-%d %H:%M') AS hour, ne.n_events,
+         | n_mins, kth_min,
+         | CASE WHEN n_mins < 8 THEN n_mins
+         |      ELSE CAST(floor(CAST(7 AS DOUBLE) / kth_min
+         |        * CAST(1152921504606846976 AS DOUBLE) + 0.5) AS BIGINT)
+         | END AS est_users
+         |FROM mins JOIN ne ON ne.h = mins.h, wm
+         |WHERE mins.h + INTERVAL 1 HOUR <= w
+         |ORDER BY hour""".stripMargin,
     "q114_stream_hourly" ->
       """WITH wm AS (
         | SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 2 HOUR AS w

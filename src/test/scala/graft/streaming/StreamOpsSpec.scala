@@ -58,6 +58,67 @@ class StreamOpsSpec extends SparkSpec {
   // in-Spark parity pins for the streaming ENTRIES (independent of
   // the DuckDB oracle): streamed == batch on the same session
 
+  test("windowedDistinctSketch: KMV buffers merge across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = StreamOps.windowedDistinctSketch(df, k = 4)
+      .writeStream.format("memory").queryName("kmv_stream_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 9L),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 3L),
+        (Timestamp.valueOf("2024-01-01 10:15:00"), 9L)) // dup within batch
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 10:20:00"), 7L)) // later batch
+      q.processAllAvailable()
+      // advance the watermark past 10:00+1h+2h to close the window
+      in.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 1L))
+      q.processAllAvailable()
+      val out = spark.table("kmv_stream_out")
+        .select(date_format(col("hour"), "HH").as("h"), col("mins"),
+          col("n_events"))
+        .collect().map(r => r.getString(0) ->
+          (r.getSeq[Long](1), r.getLong(2))).toMap
+      // state carried the partial sketch across batches and deduped:
+      // the closed window's sketch is the distinct user hashes of
+      // BOTH batches, sorted (k=4 > 3 distinct → exhaustive)
+      val expected = Seq(9L, 3L, 7L)
+        .map(u => graft.functions.DedupFns.portableHash60(lit(u.toString)))
+      val expectedVals = spark.range(1)
+        .select(array(expected: _*).as("a"))
+        .head().getSeq[Long](0).sorted
+      assert(out("10") == (expectedVals, 4L))
+    } finally q.stop()
+  }
+
+  test("q143 parity: streamed sketch == batch KMV on closed windows") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamQueries.streamedDistinct(spark, sf)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("h"),
+        col("mins"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSet
+    val ev = graft.Tables.load(spark, sf, "events")
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val wmUs = (ev.agg(max(tsUs)).head().getLong(0) / 1000) * 1000 -
+      2L * 3600 * 1000 * 1000
+    val batch = ev
+      .withColumn("hh",
+        graft.functions.DedupFns.portableHash60(col("user_id").cast("string")))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(graft.functions.SketchFns.kmvMinK(col("hh"), 8).as("mins"),
+        count(lit(1)).as("n_events"))
+      .filter(unix_micros(col("hour").cast("timestamp")) +
+        3600L * 1000 * 1000 <= wmUs)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("h"),
+        col("mins"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("q114 parity: streamed hourly == batch agg on closed windows") {
     val sf = "/root/testdata/sf0.001"
     // compare on formatted strings: the events.ts parquet column has
