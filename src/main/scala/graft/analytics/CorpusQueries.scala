@@ -1749,7 +1749,10 @@ object CorpusQueries {
     * pattern) — production drops it, that being the point. The
     * estimator division is a fixed-order double chain
     * ((k−1)/m first, then ·2^60) so intermediates stay bounded and
-    * both engines run the identical IEEE sequence (q133 lesson). */
+    * both engines run the identical IEEE sequence (q133 lesson);
+    * the long cast stays under ANSI's 2^63 for any input below
+    * ~2^55 distinct keys (the estimate approximates the cardinality
+    * itself), 10^6× beyond any real corpus. */
   def kmvDistinct: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val d = loadSpread(s, dir, "documents", "doc_id")

@@ -241,6 +241,21 @@ class CorpusPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q142 winnowing: fingerprint-keyed candidate join, no nested loop") {
+    // the miner's scale contract: candidates form on the fingerprint
+    // key (population-capped), never via a cartesian/BNLJ, and the
+    // pair set is explicitly repartitioned for the verify stage
+    val df = CorpusQueries.winnowNearDup(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("winnow_fps"), plan)
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin")) && l.contains("f#")), plan)
+  }
+
   test("loadSpread: parallelizes the tiny scan without changing content") {
     val plain = graft.Tables.load(spark, sf, "documents")
     val spread = CorpusQueries.loadSpread(spark, sf, "documents", "doc_id")
