@@ -39,6 +39,18 @@ class SketchFnsSpec extends SparkSpec {
     assert(sketch(vals, 4, parts = 1) === Seq(5L, 10L, 20L, 30L))
   }
 
+  test("kmvMinK matches sort-distinct-take-k on random multisets") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      val n = rnd.nextInt(400) + 1
+      val vals = Seq.fill(n)(rnd.nextInt(120).toLong) // heavy duplication
+      val k = rnd.nextInt(40) + 1
+      val expect = vals.distinct.sorted.take(k)
+      assert(sketch(vals.map(java.lang.Long.valueOf), k,
+        parts = rnd.nextInt(8) + 1) === expect, s"trial=$trial n=$n k=$k")
+    }
+  }
+
   test("kmvMinK groups independently under groupBy") {
     val df = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L), ("b", 8L))
       .toDF("g", "h").repartition(5)
