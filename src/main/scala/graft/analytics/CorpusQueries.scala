@@ -1728,8 +1728,6 @@ object CorpusQueries {
     * IS the distinct set and the "estimate" is exact). */
   private val kmvK = 256
   private val kmvKBig = 8192
-  // 2^60: the portable-hash range, exactly representable as a double
-  private val kmvTwo60 = 1.152921504606846976e18
 
   /** q140: KMV / bottom-k DISTINCT-CARDINALITY estimation — "how
     * many unique documents does the corpus hold" without counting
@@ -1756,8 +1754,12 @@ object CorpusQueries {
   def kmvDistinct: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val d = loadSpread(s, dir, "documents", "doc_id")
+    // explicit null guard: a null text hashes to null, which KmvMinK
+    // skips — the filter makes the exact-audit side agree and the
+    // oracle's hm CTE mirrors it with IS NOT NULL
     val fp = d.select(
-      DedupFns.portableHash60(TextFns.fingerprint(col("text"))).as("h"))
+        DedupFns.portableHash60(TextFns.fingerprint(col("text"))).as("h"))
+      .filter(col("h").isNotNull)
     val sketches = fp
       .agg(SketchFns.kmvMinK(col("h"), kmvK).as("m_small"),
         SketchFns.kmvMinK(col("h"), kmvKBig).as("m_big"))
@@ -1771,9 +1773,7 @@ object CorpusQueries {
         aggregate(col("sk.mins"), lit(0L), (acc, x) => acc.bitwiseXOR(x))
           .as("sketch_xor"))
       .withColumn("est_distinct",
-        when(col("n_mins") < col("k"), col("n_mins"))
-          .otherwise(floor((col("k") - 1).cast("double") / col("kth_min")
-            * lit(kmvTwo60) + lit(0.5)).cast("long")))
+        SketchFns.kmvEstimate(col("n_mins"), col("kth_min"), col("k")))
     val exact = fp.distinct().agg(count(lit(1)).as("exact_distinct"))
     sketches.crossJoin(broadcast(exact))
       .withColumn("err_pct", fr6(abs(
@@ -1819,9 +1819,8 @@ object CorpusQueries {
           array_intersect(col("ma"), col("mb"))).cast("long").as("n_shared"),
         element_at(col("du"), size(col("du"))).as("union_kth"))
       .withColumn("est_union",
-        when(col("k_eff") < lit(kmvK.toLong), col("k_eff"))
-          .otherwise(floor(lit((kmvK - 1).toDouble) / col("union_kth")
-            * lit(kmvTwo60) + lit(0.5)).cast("long")))
+        SketchFns.kmvEstimate(col("k_eff"), col("union_kth"),
+          lit(kmvK.toLong)))
       .withColumn("est_shared",
         floor(col("n_shared").cast("double") / col("k_eff")
           * col("est_union").cast("double") + lit(0.5)).cast("long"))
@@ -1878,9 +1877,13 @@ object CorpusQueries {
   def winnowNearDup: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val d = loadSpread(s, dir, "documents", "doc_id")
+    // materialized ONCE for its three consumers (postings + both
+    // verify sides) — q125's localCheckpoint convention; without it
+    // each subtree re-runs the O(n) kernel over every document
     val fps = d.select(col("doc_id"),
         TextFns.winnowFingerprints(col("text")).as("fps"))
       .filter(size(col("fps")) > 0)
+      .localCheckpoint()
     val post = fps.select(col("doc_id"), explode(col("fps")).as("f"))
     val pop = post.groupBy("f").agg(count(lit(1)).as("fpop"))
     val ranked = post.join(pop, "f")
@@ -2731,7 +2734,7 @@ object CorpusQueries {
       s"""WITH fp AS (SELECT
          |  ${h60Sql("md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))")}
          |    AS h FROM documents),
-         |hm AS (SELECT DISTINCT h FROM fp),
+         |hm AS (SELECT DISTINCT h FROM fp WHERE h IS NOT NULL),
          |ks(k) AS (VALUES (CAST($kmvK AS BIGINT)), (CAST($kmvKBig AS BIGINT))),
          |rk AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM hm),
          |mins AS (

@@ -37,7 +37,9 @@ object StreamOps {
     * union-and-trim, so watermark eviction bounds total state at
     * k·open_windows longs. The estimate itself is presentation —
     * derived from the emitted sketch after window close, exactly as
-    * in the batch entry (q140). */
+    * in the batch entry (q140). A null user id hashes to null, which
+    * the aggregate SKIPS while n_events still counts the row — the
+    * oracle mirrors with an IS NOT NULL guard on its sketch CTE. */
   def windowedDistinctSketch(events: DataFrame, k: Int): DataFrame =
     events
       .withColumn("h",

@@ -61,20 +61,9 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/in/*")
       .as[(Long, Long, Double)]
-    // unique sink name: the entry may run more than once per session
-    // (spec + verify share a JVM in local runs)
-    val sink = s"q95_ema_out_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
-    withStreamShuffle(s, 8) {
-      val q = StreamOps.emaStream(streamIn, emaAlpha)
-        .toDF("stock", "day", "ema_stream")
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.table(sink)
+    runToMemorySink(s, root, "q95_ema_out",
+      StreamOps.emaStream(streamIn, emaAlpha)
+        .toDF("stock", "day", "ema_stream"))
   }
 
   def emaStreamValues: Q = (s, dir) => {
@@ -138,34 +127,48 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
-  def streamedHourly(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.TempDirs.scratch("graft_stream_hourly", preferShm = true)
-    val ev = graft.Tables.load(s, dir, "events")
-      .select(tsUtc(col("ts")).as("ts"), col("event_type"), col("value"))
+  /** The shared replay SOURCE: writes `ev` under `root` as one batch
+    * file per split condition (three sequential writes → increasing
+    * mod times → replayed in order, one micro-batch each) and
+    * returns a file-stream FACTORY — entries that need two readers
+    * over the same files (q120's stream-stream join) call it twice.
+    * The stream schema derives from the frame that wrote the files,
+    * never hardcoded: the events.ts parquet column has shipped as
+    * both TIMESTAMP and TIMESTAMP_NTZ across testdata regenerations
+    * (see [[tsUtc]]). */
+  private def replaySource(s: SparkSession, root: String, ev: DataFrame,
+      splits: (Long, Long) => Seq[Column]): () => DataFrame = {
     // fixture transport (2 scalars for the split bounds), not result
     // materialization
     val mm = ev.agg(min(tsMicros(col("ts"))).as("lo"),
       max(tsMicros(col("ts"))).as("hi")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    splits(mm.getLong(0), mm.getLong(1)).zipWithIndex.foreach {
+      case (cond, i) =>
+        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
+    }
+    () => s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in/*")
+  }
+
+  /** Three disjoint thirds of the event-time range. */
+  private def thirds(lo: Long, hi: Long): Seq[Column] = {
     val b1 = lo + (hi - lo) / 3
     val b2 = lo + 2 * ((hi - lo) / 3)
     val m = tsMicros(col("ts"))
-    Seq(m < lit(b1),
-        m >= lit(b1) && m < lit(b2),
-        m >= lit(b2))
-      .zipWithIndex.foreach { case (cond, i) =>
-        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
-      }
-    // replay files are written FROM `ev`, so the stream schema is
-    // `ev`'s schema by construction — hardcoding TimestampType here
-    // silently diverges when the source column is NTZ
-    val streamIn = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$root/in/*")
-    val sink = s"q114_hourly_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
+    Seq(m < lit(b1), m >= lit(b1) && m < lit(b2), m >= lit(b2))
+  }
+
+  /** The shared replay TAIL: run `out` to completion into a memory
+    * sink and return its table. The sink name is unique per scratch
+    * root — the entry may run more than once per session (spec +
+    * verify share a JVM in local runs). */
+  private def runToMemorySink(s: SparkSession, root: String, prefix: String,
+      out: DataFrame): DataFrame = {
+    val sink =
+      s"${prefix}_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
     withStreamShuffle(s, 8) {
-      val q = StreamOps.hourlyCounts(streamIn)
-        .writeStream.format("memory").queryName(sink)
+      val q = out.writeStream.format("memory").queryName(sink)
         .option("checkpointLocation", s"$root/ckpt")
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -173,6 +176,14 @@ object StreamQueries {
       q.awaitTermination()
     }
     s.table(sink)
+  }
+
+  def streamedHourly(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_hourly", preferShm = true)
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(tsUtc(col("ts")).as("ts"), col("event_type"), col("value"))
+    val src = replaySource(s, root, ev, thirds)
+    runToMemorySink(s, root, "q114_hourly", StreamOps.hourlyCounts(src()))
   }
 
   def hourlyStreamValues: Q = (s, dir) =>
@@ -200,33 +211,9 @@ object StreamQueries {
     val root = graft.TempDirs.scratch("graft_stream_kmv", preferShm = true)
     val ev = graft.Tables.load(s, dir, "events")
       .select(tsUtc(col("ts")).as("ts"), col("user_id"))
-    val mm = ev.agg(min(tsMicros(col("ts"))).as("lo"),
-      max(tsMicros(col("ts"))).as("hi")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val b1 = lo + (hi - lo) / 3
-    val b2 = lo + 2 * ((hi - lo) / 3)
-    val m = tsMicros(col("ts"))
-    Seq(m < lit(b1),
-        m >= lit(b1) && m < lit(b2),
-        m >= lit(b2))
-      .zipWithIndex.foreach { case (cond, i) =>
-        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
-      }
-    // schema from the batch frame, not hardcoded — see streamedHourly
-    val streamIn = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$root/in/*")
-    val sink = s"q143_kmv_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
-    withStreamShuffle(s, 8) {
-      val q = StreamOps.windowedDistinctSketch(streamIn, kmvStreamK)
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.table(sink)
+    val src = replaySource(s, root, ev, thirds)
+    runToMemorySink(s, root, "q143_kmv",
+      StreamOps.windowedDistinctSketch(src(), kmvStreamK))
   }
 
   private val kmvStreamK = 8
@@ -238,9 +225,8 @@ object StreamQueries {
         size(col("mins")).cast("long").as("n_mins"),
         element_at(col("mins"), size(col("mins"))).as("kth_min"))
       .withColumn("est_users",
-        when(col("n_mins") < kmvStreamK, col("n_mins"))
-          .otherwise(floor(lit((kmvStreamK - 1).toDouble) / col("kth_min")
-            * lit(1.152921504606846976e18) + lit(0.5)).cast("long")))
+        graft.functions.SketchFns.kmvEstimate(col("n_mins"), col("kth_min"),
+          lit(kmvStreamK.toLong)))
       .orderBy("hour")
 
   /** q116: streaming exactly-once dedup —
@@ -262,43 +248,28 @@ object StreamQueries {
     * of the keys, an unbounded state store at 100 TB. A redelivery
     * AFTER the horizon is re-emitted by design (pinned in
     * StreamOpsSpec); the rollup is a normal shuffle agg. */
+  /** [lo, b1+ov) ∪ [b1, b2+ov) ∪ [b2, hi]: max event time still
+    * nondecreasing across batches, every batch after the first
+    * redelivers the previous day's rows. */
+  private def overlappingThirds(lo: Long, hi: Long): Seq[Column] = {
+    val third = (hi - lo) / 3
+    val ovUs = 24L * 3600 * 1000 * 1000
+    val m = tsMicros(col("ts"))
+    Seq(m < lit(lo + third + ovUs),
+        m >= lit(lo + third) && m < lit(lo + 2 * third + ovUs),
+        m >= lit(lo + 2 * third))
+  }
+
   def streamedDedup(s: SparkSession, dir: String): DataFrame = {
     val root = graft.TempDirs.scratch("graft_stream_dedup", preferShm = true)
     val ev = graft.Tables.load(s, dir, "events")
       .select(tsUtc(col("ts")).as("ts"), col("event_id"), col("event_type"),
         col("user_id"), col("value"))
-    val mm = ev.agg(min(tsMicros(col("ts"))).as("lo"),
-      max(tsMicros(col("ts"))).as("hi")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val third = (hi - lo) / 3
-    val ovUs = 24L * 3600 * 1000 * 1000
-    val m = tsMicros(col("ts"))
-    // [lo, b1+ov) ∪ [b1, b2+ov) ∪ [b2, hi]: max event time still
-    // nondecreasing across batches, every batch after the first
-    // redelivers the previous day's rows
-    Seq(m < lit(lo + third + ovUs),
-        m >= lit(lo + third) && m < lit(lo + 2 * third + ovUs),
-        m >= lit(lo + 2 * third))
-      .zipWithIndex.foreach { case (cond, i) =>
-        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
-      }
-    // schema from the batch frame, not hardcoded — see streamedHourly
-    val streamIn = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$root/in/*")
-    val sink = s"q116_dedup_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
-    withStreamShuffle(s, 8) {
-      val q = streamIn
+    val src = replaySource(s, root, ev, overlappingThirds)
+    runToMemorySink(s, root, "q116_dedup",
+      src()
         .withWatermark("ts", "48 hours")
-        .dropDuplicatesWithinWatermark("event_id")
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.table(sink)
+        .dropDuplicatesWithinWatermark("event_id"))
   }
 
   def dedupStreamValues: Q = (s, dir) =>
@@ -329,39 +300,16 @@ object StreamQueries {
     val root = graft.TempDirs.scratch("graft_stream_sessions", preferShm = true)
     val ev = graft.Tables.load(s, dir, "events")
       .select(tsUtc(col("ts")).as("ts"), col("user_id"), col("value"))
-    val mm = ev.agg(min(tsMicros(col("ts"))).as("lo"),
-      max(tsMicros(col("ts"))).as("hi")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val b1 = lo + (hi - lo) / 3
-    val b2 = lo + 2 * ((hi - lo) / 3)
-    val m = tsMicros(col("ts"))
-    Seq(m < lit(b1),
-        m >= lit(b1) && m < lit(b2),
-        m >= lit(b2))
-      .zipWithIndex.foreach { case (cond, i) =>
-        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
-      }
-    val streamIn = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$root/in/*")
-    val sink = s"q119_sessions_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
-    withStreamShuffle(s, 8) {
-      val q = streamIn
+    val src = replaySource(s, root, ev, thirds)
+    runToMemorySink(s, root, "q119_sessions",
+      src()
         .withWatermark("ts", "2 hours")
         .groupBy(session_window(col("ts"), "8 hours").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
         .select(col("user_id"),
           unix_micros(col("sw.start")).as("session_start_us"),
           unix_micros(col("sw.end")).as("session_end_us"),
-          col("n_events"), col("sum_value"))
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.table(sink)
+          col("n_events"), col("sum_value")))
   }
 
   def sessionStreamValues: Q = (s, dir) =>
@@ -386,21 +334,8 @@ object StreamQueries {
     val ev = graft.Tables.load(s, dir, "events")
       .select(tsUtc(col("ts")).as("ts"), col("event_id"), col("user_id"),
         col("event_type"))
-    val mm = ev.agg(min(tsMicros(col("ts"))).as("lo"),
-      max(tsMicros(col("ts"))).as("hi")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val b1 = lo + (hi - lo) / 3
-    val b2 = lo + 2 * ((hi - lo) / 3)
-    val m = tsMicros(col("ts"))
-    Seq(m < lit(b1),
-        m >= lit(b1) && m < lit(b2),
-        m >= lit(b2))
-      .zipWithIndex.foreach { case (cond, i) =>
-        ev.filter(cond).coalesce(1).write.parquet(s"$root/in/b$i")
-      }
-    def src() = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$root/in/*")
+    // two readers over the same replay files — one per join side
+    val src = replaySource(s, root, ev, thirds)
     val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_event_id"),
         col("ts").as("v_ts"))
@@ -409,23 +344,14 @@ object StreamQueries {
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_event_id"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
-    val sink = s"q120_attrib_${java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)}"
-    withStreamShuffle(s, 8) {
-      val q = views.join(purchases,
+    runToMemorySink(s, root, "q120_attrib",
+      views.join(purchases,
           col("v_user") === col("p_user") &&
             col("p_ts") >= col("v_ts") &&
             col("p_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
         .select(col("v_user").as("user_id"), col("view_event_id"),
           col("purchase_event_id"),
-          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.table(sink)
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us")))
   }
 
   def attributionStreamValues: Q = (s, dir) =>
@@ -470,7 +396,7 @@ object StreamQueries {
          | SELECT DISTINCT date_trunc('hour', ts) AS h,
          |  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
          |    AS hh
-         | FROM events),
+         | FROM events WHERE user_id IS NOT NULL),
          |rk AS (SELECT h, hh,
          |  row_number() OVER (PARTITION BY h ORDER BY hh) AS r FROM hm),
          |mins AS (

@@ -244,13 +244,15 @@ class CorpusPlanSpec extends SparkSpec {
   test("q142 winnowing: fingerprint-keyed candidate join, no nested loop") {
     // the miner's scale contract: candidates form on the fingerprint
     // key (population-capped), never via a cartesian/BNLJ, and the
-    // pair set is explicitly repartitioned for the verify stage
+    // WinnowFps kernel runs exactly ONCE — the fingerprint frame is
+    // localCheckpointed for its three consumers, so the kernel must
+    // be ABSENT from the query plan (it ran at materialization)
     val df = CorpusQueries.winnowNearDup(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("winnow_fps"), plan)
+    assert(!plan.contains("winnow_fps"), plan)
     assert(plan.linesIterator.exists(l =>
       (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
         || l.contains("BroadcastHashJoin")) && l.contains("f#")), plan)
