@@ -1184,8 +1184,11 @@ object CorpusQueries {
         .select((col("doc_id") + 200000).as("arrival_id"), mutate(col("text")).as("text")))
       .unionAll(d.filter(col("doc_id") >= 300 && col("doc_id") < 316)
         .select((col("doc_id") + 300000).as("arrival_id"), mutate(col("text")).as("text")))
+    // distinct prefix from q135's "lshbatch": the bench skew map
+    // merges observed metrics BY FIELD NAME (max), so sharing a
+    // prefix would make a hot bucket unattributable to its entry
     val d2Post = DedupFns
-      .lshPostings(day2, "arrival_id", "text", metricPrefix = "lshbatch")
+      .lshPostings(day2, "arrival_id", "text", metricPrefix = "lshd2")
       .withColumnRenamed("id", "arrival_id")
     def probe(gen: DataFrame, genId: Int): DataFrame = d2Post.hint("merge")
       .join(gen.select(col("band"), col("bucket"), col("id").as("dup_of")),
@@ -1356,7 +1359,7 @@ object CorpusQueries {
     * populations are the final partition sizes behind the final
     * model. */
   def kmeansTrain: Q = (s, dir) => {
-    val (stats, _) = kmeansRounds(s, dir)
+    val (stats, _, _) = kmeansRounds(s, dir)
     stats.reduce(_ unionAll _).orderBy("round", "cid")
   }
 
@@ -1376,8 +1379,12 @@ object CorpusQueries {
   // commutes exactly so oracle hashes are unchanged
 
   /** The 4 Lloyd's rounds behind q137, also the cell model for q138:
-    * returns (per-round stats frames, final centroid frame). */
-  private def kmeansRounds(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+    * returns (per-round stats frames, final centroid frame, the
+    * quantized embedding frame) — the caller reuses the SAME
+    * materialized embedding frame instead of checkpointing a second
+    * identical copy (round-12 self-review). */
+  private def kmeansRounds(
+      s: SparkSession, dir: String): (Seq[DataFrame], DataFrame, DataFrame) = {
     val rounds = 4
     val em = quantizedEmbeddings(s, dir)
     def sqDist(a: Column, b: Column): Column =
@@ -1413,7 +1420,7 @@ object CorpusQueries {
       merged.select(lit(r).as("round"), col("cid"),
         col("n_assigned"), col("sq_shift"))
     }
-    (stats, cents)
+    (stats, cents, em)
   }
 
   /** q137 oracle: all 4 Lloyd's rounds unrolled as CTE chains — the
@@ -1497,9 +1504,8 @@ object CorpusQueries {
     * chain — 4 training rounds, final assignment, integer cosine,
     * quality — hash-exactly. */
   def semanticDedup: Q = (s, dir) => {
-    val (_, cents) = kmeansRounds(s, dir)
+    val (_, cents, em) = kmeansRounds(s, dir)
     val model = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
-    val em = quantizedEmbeddings(s, dir)
     val assigned = em.crossJoin(broadcast(model))
       .select(col("vec_id"), col("xm"),
         array_min(transform(col("cs"), cc =>

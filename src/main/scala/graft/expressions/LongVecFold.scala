@@ -24,26 +24,37 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * callers keep inputs in range by construction (quantizers bound
   * magnitudes), matching the documented bounds in CorpusQueries.
   *
-  * Preconditions (guaranteed by the vector callers, not checked):
-  * equal lengths, no null elements.
+  * Null semantics mirror the HOF form exactly (so swapping the
+  * kernel in can never silently change a value): a null ELEMENT in
+  * either array, or unequal lengths (`zip_with` null-pads the
+  * shorter side), nulls the whole result — the row then sorts last
+  * in the ranking consumers, as it did under the interpreted chain.
+  * The shipped quantizers never emit either case; the guard exists
+  * so a future caller that does cannot rank on a silently-wrong sum.
   */
 case class LongVecFold(left: Expression, right: Expression,
                        squaredDiff: Boolean)
   extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (n != y.numElements()) return null
     var i = 0; var acc = 0L
     if (squaredDiff) {
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val d = x.getLong(i) - y.getLong(i); acc += d * d; i += 1
       }
     } else {
-      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getLong(i) * y.getLong(i); i += 1
+      }
     }
     acc
   }
@@ -52,6 +63,7 @@ case class LongVecFold(left: Expression, right: Expression,
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val bad = ctx.freshName("bad")
       val body =
         if (squaredDiff)
           s"final long $d = $a.getLong($i) - $b.getLong($i); $acc += $d * $d;"
@@ -60,10 +72,12 @@ case class LongVecFold(left: Expression, right: Expression,
       s"""
          |long $acc = 0L;
          |final int $n = $a.numElements();
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $body
+         |boolean $bad = ($n != $b.numElements());
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |  else { $body }
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 

@@ -85,8 +85,9 @@ object VectorFns {
   /** Exact integer dot product of two quantized vectors (the q121
     * ranking key, q138's cosine operands — no floating point in the
     * compare path). Codegen'd ([[graft.expressions.LongVecFold]]);
-    * integer addition commutes exactly, so values are unchanged from
-    * the interpreted HOF form. */
+    * integer addition commutes exactly and null elements / unequal
+    * lengths null the result like `aggregate(zip_with(...))` does,
+    * so values are unchanged from the interpreted HOF form. */
   def longDot(a: Column, b: Column): Column =
     ColumnBridge.column(LongVecFold(
       ColumnBridge.expression(a), ColumnBridge.expression(b), squaredDiff = false))

@@ -132,11 +132,22 @@ object GraphOps {
     var prevGen: RDD[_] = lab
     var iter = 0
     while (frontierSize > 0 && iter < maxIter) {
+      // round-scoped broadcasts, executor copies released once jumped
+      // materializes: tens of rounds near the limit would otherwise
+      // pin maps in the block manager until GC, during exactly the
+      // late rounds the persisted stepped/jumped generations also
+      // occupy. unpersist, NOT destroy: the mapValues closures live
+      // on inside the checkpointed RDDs and still SERIALIZE the
+      // broadcast handle with later tasks (never re-evaluated, but a
+      // destroyed handle throws at serialization — measured as
+      // Task-not-serializable on the next round's collectAsMap)
+      var roundBcs = List.empty[org.apache.spark.broadcast.Broadcast[_]]
       val msgs: RDD[(Long, Long)] =
         if (frontierSize <= broadcastLimit) {
           // broadcast-build of the small side, exactly as a SQL
           // broadcast join would: shuffle-free edge scan this round
           val fm = sc.broadcast(frontier.collectAsMap())
+          roundBcs ::= fm
           sym.flatMap { case (dst, src) => fm.value.get(dst).map(c => (src, c)) }
         } else sym.join(frontier).map { case (_, (src, c)) => (src, c) }
       val nbrMin = msgs.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
@@ -166,6 +177,7 @@ object GraphOps {
       val acc = sc.longAccumulator(s"cc_frontier_$iter")
       val jumped = (if (jump.count() <= broadcastLimit) {
         val jm = sc.broadcast(jump.collectAsMap())
+        roundBcs ::= jm
         // mapValues keeps the partitioner: zero shuffle, zero skew
         stepped.mapValues { case (nc, oc) =>
           val jc = jm.value.getOrElse(nc, nc)
@@ -185,6 +197,7 @@ object GraphOps {
       }).persist(StorageLevel.MEMORY_AND_DISK)
       jumped.localCheckpoint() // lineage cut; materialized by the count below
       jumped.count()
+      roundBcs.foreach(_.unpersist(false))
       jump.unpersist(blocking = false)
       stepped.unpersist(blocking = false)
       prevGen.unpersist(blocking = false)

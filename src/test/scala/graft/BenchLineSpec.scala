@@ -34,6 +34,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length < 2800, s"final bench line is ${line.length} bytes: $line")
   }
 
+  test("mass failure keeps the line under budget (failed is entryKey-compacted)") {
+    val entries = (1 to 120).map { i =>
+      (f"q$i%d_some_entry_name_here", 12.345 + i, 123.4 + i, false)
+    }
+    val line = Bench.finalLine(entries,
+      hostLoad = """{"start":11.312,"end":13.897,"cores":32}""",
+      failed = (1 to 60).map(i => f"q$i%d_some_entry_name_here"),
+      sf = "/root/testdata/sf0.1",
+      ingest = """{"rows":320000,"rps":3961234.5,"rps_disk":4112345.6,"bpr":6.2}""")
+    assert(line.length < 2800, s"mass-failure line is ${line.length} bytes: $line")
+    assert(mapper.readTree(line).get("failed").get(0).asText() == "1")
+  }
+
   test("final line is one parseable JSON object with aligned wall/cpu axes") {
     val line = fakeLine(120)
     assert(!line.contains("\n"))

@@ -51,6 +51,23 @@ class VectorFnsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("LongVecFold nulls on null elements and unequal lengths, like the HOF") {
+    // aggregate(zip_with(...)) yields NULL when any product is null
+    // (null element) or zip_with null-pads (length mismatch); the
+    // codegen kernel must agree so a ranking consumer sorts such
+    // rows last instead of ranking a silently-wrong sum
+    val rows = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](4L, 5L, 6L)))
+    val out = rows.toDF("a", "b").select(
+      VectorFns.longDot(col("a"), col("b")).as("nd"),
+      VectorFns.longSqDist(col("a"), col("b")).as("ns")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    assert(out(2).getLong(0) == 32L && out(2).getLong(1) == 27L)
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0; zero norm is null") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
