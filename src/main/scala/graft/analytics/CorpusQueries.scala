@@ -1926,7 +1926,133 @@ object CorpusQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q144 gram width, shared with the oracle literals. */
+  private val dupGramK = 8
+
+  /** q144: duplicated-N-GRAM coverage — the ExactSubstr dedup audit
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): hash the k-token gram at every token position;
+    * a gram occurring ≥ 2 times anywhere in the corpus (another doc
+    * OR a repeat within the same doc) is "duplicated", and each
+    * document reports the fraction of its token positions covered
+    * by the UNION of its duplicated windows — the signal substring-
+    * level dedup acts on, catching long shared runs (templates,
+    * quotes, crawl re-serves) that document-level fingerprints
+    * dilute and set-Jaccard under-scores. The window union needs no
+    * interval engine: with fixed width k, each duplicated start in
+    * per-doc sorted order contributes `min(k, gap-to-previous-
+    * start)` covered tokens — one lag window per doc.
+    *
+    * Scale: gram hashing runs INSIDE a per-row `transform` (O(k)
+    * work per position; the token array is never duplicated across
+    * posting rows — an explode-then-slice layout would copy the
+    * whole array once per position, O(n²) bytes per doc). The
+    * posting frame is one row per token position — the honest
+    * linear cost of exact-substring dedup — consumed by one
+    * map-side-combined count per hash and one hash-keyed join back
+    * whose per-key fan-in equals that gram's occurrence count
+    * (linear, never pairwise — boilerplate grams cost their
+    * occurrence count, not its square). The per-doc union window
+    * shuffles the SURVIVING postings once by doc_id. Hashes are
+    * [[DedupFns.portableHash60]] over the space-joined gram, so the
+    * oracle replays every gram. */
+  def dupGramCoverage: Q = (s, dir) => {
+    val k = dupGramK
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val toks = d.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+    val grams = toks.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => struct(i.as("i"), DedupFns.portableHash60(
+            concat_ws(" ", slice(col("t"), i, lit(k)))).as("gh")))).as("g"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("g.i").as("i"), col("g.gh").as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val hits = grams.join(dup.select("gh"), "gh")
+    hits
+      .withColumn("cov", least(lit(k), col("i") - coalesce(
+        lag(col("i"), 1).over(Window.partitionBy("doc_id").orderBy("i")),
+        col("i") - lit(k))))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum("cov").cast("long").as("covered_tokens"))
+      .withColumn("coverage",
+        fr6(col("covered_tokens").cast("double") / col("n_tokens")))
+      .orderBy(col("coverage").desc, col("doc_id"))
+  }
+
+  /** q145 shard count, shared with the oracle literal. */
+  private val nShards = 16L
+
+  /** q145: deterministic SHUFFLE-SHARD audit — the training-order
+    * writer's partitioning step: every document gets a pseudorandom
+    * but fully reproducible shard from a seeded portable hash, and
+    * the entry audits what a sharding must guarantee before a
+    * training run reads it — near-equal shard sizes (multinomial,
+    * ±O(√(N/S))) and a per-shard source mixture matching the corpus
+    * (each shard an unbiased interleave: no source runs, no shard
+    * starving a domain). Hash sharding is chosen over exact-equal
+    * rank sharding DELIBERATELY: `row_number` over a global order
+    * is a single-partition window — the canonical scale killer —
+    * while the hash shard is a per-row expression; the write side
+    * composes as `partitionBy("shard")` + sort on the same hash
+    * ([[graft.sources.Ingest.writeSortedParquet]]) for a
+    * reproducible within-shard read order. One map-side-combined
+    * (shard, source) count, rolled up to S rows. */
+  def shardInterleave: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val sharded = d.select(
+      pmod(DedupFns.portableHash60(
+        concat_ws("-", lit("shuffle42"), col("doc_id").cast("string"))),
+        lit(nShards)).as("shard"),
+      col("source"), col("n_chars"))
+    val bySrc = sharded.groupBy("shard", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    bySrc.groupBy("shard").agg(
+        sum("n").as("n_docs"),
+        sum("chars").as("n_chars"),
+        count(lit(1)).as("n_sources"),
+        max("n").as("top_source_docs"))
+      .withColumn("top_share",
+        fr6(col("top_source_docs").cast("double") / col("n_docs")))
+      .orderBy("shard")
+  }
+
+  /** q146: per-DIMENSION quantization calibration over the embedding
+    * corpus — the statistics an int8 quantizer is fitted from. q121
+    * quantizes per-vector at query time; a serving-side/storage
+    * quantizer is calibrated per-dimension over the whole corpus,
+    * and this entry emits that table: min / max / |max| and the
+    * symmetric int8 scale per dimension. Only ORDER-INDEPENDENT
+    * aggregates (min/max/count) are used, so the result is exactly
+    * deterministic under any partitioning — no distributed
+    * floating-sum reassociation anywhere; the derived scale is one
+    * double division per dim. posexplode fans each vector into
+    * (dim, component) rows — 64·N — map-side-combined down to ≤ 64
+    * rows per task before the one 64-group shuffle. */
+  def embedCalibration: Q = (s, dir) => {
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val e = loadSpread(s, dir, "embeddings", "vec_id")
+    e.select(posexplode(col("embedding")).as(Seq("d0", "x")))
+      .select((col("d0") + 1).cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        min("x").as("vmin"),
+        max("x").as("vmax"))
+      .withColumn("absmax", greatest(abs(col("vmin")), abs(col("vmax"))))
+      .withColumn("int8_scale", fr6(lit(127.0) / col("absmax")))
+      .orderBy("dim")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q144_dupgram_coverage" -> dupGramCoverage,
+    "q145_shard_interleave" -> shardInterleave,
+    "q146_embed_calibration" -> embedCalibration,
     "q142_winnow_neardup" -> winnowNearDup,
     "q140_kmv_distinct" -> kmvDistinct,
     "q141_source_overlap" -> kmvSourceOverlap,
@@ -2053,6 +2179,62 @@ object CorpusQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q144: every gram replayed — same md5-60-bit hash of the
+    // space-joined k-token slice, same ≥2-occurrence dup rule, same
+    // lag-window union (first window contributes k via the
+    // coalesce-to-(i−k) seed)
+    "q144_dupgram_coverage" -> {
+      val k = dupGramK
+      s"""WITH $toksCte,
+         |g AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, u.i AS i,
+         |    ${h60Sql(s"array_to_string(t[u.i:u.i+${k - 1}], ' ')")} AS gh
+         |  FROM toks, LATERAL unnest(generate_series(1, len(t) - ${k - 1})) AS u(i)
+         |  WHERE len(t) >= $k),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |h AS (SELECT g.* FROM g JOIN dup USING (gh)),
+         |c AS (SELECT doc_id, n_tokens,
+         |  least($k, i - coalesce(
+         |    lag(i) OVER (PARTITION BY doc_id ORDER BY i), i - $k)) AS cov
+         |  FROM h)
+         |SELECT doc_id, n_tokens, CAST(count(*) AS BIGINT) AS n_dup_grams,
+         |  CAST(sum(cov) AS BIGINT) AS covered_tokens,
+         |  floor(CAST(sum(cov) AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6
+         |    AS coverage
+         |FROM c GROUP BY doc_id, n_tokens
+         |ORDER BY coverage DESC, doc_id""".stripMargin
+    },
+    // q145: same seeded hash-mod-S shard, same two-level rollup
+    "q145_shard_interleave" ->
+      s"""WITH sh AS (
+         |  SELECT ${h60Sql("'shuffle42-' || CAST(doc_id AS VARCHAR)")}
+         |      % $nShards AS shard,
+         |    source, n_chars FROM documents),
+         |bs AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(n_chars) AS BIGINT) AS chars
+         |       FROM sh GROUP BY shard, source)
+         |SELECT shard, CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  CAST(count(*) AS BIGINT) AS n_sources,
+         |  CAST(max(n) AS BIGINT) AS top_source_docs,
+         |  floor(CAST(max(n) AS DOUBLE) / sum(n) * 1e6 + 0.5) / 1e6
+         |    AS top_share
+         |FROM bs GROUP BY shard ORDER BY shard""".stripMargin,
+    // q146: min/max/count are order-independent exact aggregates, so
+    // the oracle is a direct restatement; float→double widening is
+    // exact on both engines
+    "q146_embed_calibration" ->
+      """WITH e AS (
+        |  SELECT generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |        min(x) AS vmin, max(x) AS vmax
+        |      FROM e GROUP BY dim)
+        |SELECT dim, n, vmin, vmax,
+        |  greatest(abs(vmin), abs(vmax)) AS absmax,
+        |  floor(CAST(127 AS DOUBLE) / greatest(abs(vmin), abs(vmax))
+        |    * 1e6 + 0.5) / 1e6 AS int8_scale
+        |FROM a ORDER BY dim""".stripMargin,
     "q54_multimodal_features" -> q54Sql,
     // stepwise recursive-CTE fold in the same association order as
     // the Spark HOF (acc starts at 0.0; 0.0 + x == x in IEEE), so

@@ -258,6 +258,52 @@ class CorpusPlanSpec extends SparkSpec {
         || l.contains("BroadcastHashJoin")) && l.contains("f#")), plan)
   }
 
+  test("q144 dup-gram coverage: window UNION (not sum), linear joins only") {
+    val rows = CorpusQueries.dupGramCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k = 8
+    // coverage is a union of width-k windows: never exceeds the doc,
+    // and overlapping windows must compress below the naive n·k sum
+    // somewhere in a corpus with contiguous duplicated runs
+    assert(rows.forall { r =>
+      val (nt, ng, cov) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      cov <= nt && cov >= math.min(k.toLong, nt) && cov <= ng * k
+    })
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2) * k),
+      "no doc exercised overlapping-window compression")
+    // the dup-flag join back is keyed on the gram hash — a pair-style
+    // nested loop or cartesian here would be quadratic in occurrences
+    val plan = finalPlan(CorpusQueries.dupGramCoverage(spark, sf))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q145 shard audit: partitions the corpus exactly, no global order") {
+    val rows = CorpusQueries.shardInterleave(spark, sf).collect()
+    assert(rows.length == 16)
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total, "shards must partition the corpus")
+    // every shard sees more than one source — the interleave property
+    assert(rows.forall(_.getLong(3) > 1))
+    // the scale argument for hash sharding: NO single-partition
+    // window (a row_number over a global ORDER BY would plan one)
+    val plan = finalPlan(CorpusQueries.shardInterleave(spark, sf))
+    assert(!plan.contains("Window "), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("q146 calibration: one keyed aggregate exchange, scale inverts absmax") {
+    val rows = CorpusQueries.embedCalibration(spark, sf).collect()
+    assert(rows.length == 64)
+    assert(rows.forall { r =>
+      math.abs(r.getDouble(5) * r.getDouble(4) - 127.0) < 1e-3
+    })
+    val plan = finalPlan(CorpusQueries.embedCalibration(spark, sf))
+    // map-side combine onto 64 dims, then exactly one data exchange
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 1, plan)
+  }
+
   test("loadSpread: parallelizes the tiny scan without changing content") {
     val plain = graft.Tables.load(spark, sf, "documents")
     val spread = CorpusQueries.loadSpread(spark, sf, "documents", "doc_id")
