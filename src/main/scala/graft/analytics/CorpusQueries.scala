@@ -1252,15 +1252,21 @@ object CorpusQueries {
     * deterministic, so unlike library CMS/HLL implementations the
     * DuckDB oracle replays the sketch bit for bit and the entry
     * reports true vs estimated side by side. */
+  // CMS row hash: the 60-bit portable hash reduced mod p FIRST so
+  // h*a stays under 2^63 (ANSI mode; same discipline as the minhash
+  // permutations). Shared by q132 (point estimates) and q147 (the
+  // sketch-pruned heavy-hitter filter).
+  private def cmsRowHash(c: Column): Column =
+    pmod(DedupFns.portableHash60(c), lit(DedupFns.minhashP))
+  private def cmsBucket(h: Column, i: Int): Column =
+    pmod(pmod(h * cmsA(i) + cmsB(i), lit(DedupFns.minhashP)), lit(cmsWidth))
+
   def cmsFrequency: Q = (s, dir) => {
     import s.implicits._
     val d = loadSpread(s, dir, "documents", "doc_id")
     val flat = d.select(explode(TextFns.tokens(col("text"))).as("tok"))
-    // reduce the 60-bit hash mod p FIRST so h*a stays under 2^63
-    // (ANSI mode; same discipline as the minhash permutations)
-    def hm(c: Column): Column = pmod(DedupFns.portableHash60(c), lit(DedupFns.minhashP))
-    def bkt(h: Column, i: Int): Column =
-      pmod(pmod(h * cmsA(i) + cmsB(i), lit(DedupFns.minhashP)), lit(cmsWidth))
+    def hm(c: Column): Column = cmsRowHash(c)
+    def bkt(h: Column, i: Int): Column = cmsBucket(h, i)
     val hashed = flat.withColumn("h", hm(col("tok")))
     val cells = hashed
       .select(explode(array((0 until cmsDepth).map(i =>
