@@ -1254,8 +1254,7 @@ object CorpusQueries {
     * reports true vs estimated side by side. */
   // CMS row hash: the 60-bit portable hash reduced mod p FIRST so
   // h*a stays under 2^63 (ANSI mode; same discipline as the minhash
-  // permutations). Shared by q132 (point estimates) and q147 (the
-  // sketch-pruned heavy-hitter filter).
+  // permutations).
   private def cmsRowHash(c: Column): Column =
     pmod(DedupFns.portableHash60(c), lit(DedupFns.minhashP))
   private def cmsBucket(h: Column, i: Int): Column =
@@ -1940,11 +1939,16 @@ object CorpusQueries {
     * Models Better"): hash the k-token gram at every token position;
     * a gram occurring ≥ 2 times anywhere in the corpus (another doc
     * OR a repeat within the same doc) is "duplicated", and each
-    * document reports the fraction of its token positions covered
-    * by the UNION of its duplicated windows — the signal substring-
-    * level dedup acts on, catching long shared runs (templates,
-    * quotes, crawl re-serves) that document-level fingerprints
-    * dilute and set-Jaccard under-scores. The window union needs no
+    * document WITH at least one duplicated window reports the
+    * fraction of its token positions covered by the UNION of those
+    * windows — the signal substring-level dedup acts on, catching
+    * long shared runs (templates, quotes, crawl re-serves) that
+    * document-level fingerprints dilute and set-Jaccard
+    * under-scores. Documents with zero duplicated grams, and
+    * documents shorter than k tokens, do not appear (the audit's
+    * contract is "who needs substring dedup and how badly", not a
+    * full-corpus report — coverage-0 docs are the complement of the
+    * doc_id set). The window union needs no
     * interval engine: with fixed width k, each duplicated start in
     * per-doc sorted order contributes `min(k, gap-to-previous-
     * start)` covered tokens — one lag window per doc.
@@ -1954,11 +1958,15 @@ object CorpusQueries {
     * posting rows — an explode-then-slice layout would copy the
     * whole array once per position, O(n²) bytes per doc). The
     * posting frame is one row per token position — the honest
-    * linear cost of exact-substring dedup — consumed by one
-    * map-side-combined count per hash and one hash-keyed join back
-    * whose per-key fan-in equals that gram's occurrence count
-    * (linear, never pairwise — boilerplate grams cost their
-    * occurrence count, not its square). The per-doc union window
+    * linear cost of exact-substring dedup — materialized ONCE
+    * (q142's own-file localCheckpoint convention) for its two
+    * consumers, the map-side-combined count per hash and the
+    * hash-keyed join back whose per-key fan-in equals that gram's
+    * occurrence count (linear, never pairwise — boilerplate grams
+    * cost their occurrence count, not its square); without the
+    * checkpoint the per-position hash kernel and the corpus-linear
+    * explode ran twice, and at 100 TB the posting frame IS the
+    * dominant cost (r12 verdict #2). The per-doc union window
     * shuffles the SURVIVING postings once by doc_id. Hashes are
     * [[DedupFns.portableHash60]] over the space-joined gram, so the
     * oracle replays every gram. */
@@ -1975,6 +1983,7 @@ object CorpusQueries {
             concat_ws(" ", slice(col("t"), i, lit(k)))).as("gh")))).as("g"))
       .select(col("doc_id"), col("n_tokens"),
         col("g.i").as("i"), col("g.gh").as("gh"))
+      .localCheckpoint()
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
     val hits = grams.join(dup.select("gh"), "gh")
@@ -2039,7 +2048,12 @@ object CorpusQueries {
     * floating-sum reassociation anywhere; the derived scale is one
     * double division per dim. posexplode fans each vector into
     * (dim, component) rows — 64·N — map-side-combined down to ≤ 64
-    * rows per task before the one 64-group shuffle. */
+    * rows per task before the one 64-group shuffle. An all-zero
+    * dimension (absmax = 0) yields a NULL scale in BOTH engines —
+    * dividing through would give Infinity on Spark while DuckDB's
+    * double-division-by-zero behavior is version-dependent, a latent
+    * parity divergence on degenerate fixtures (r12 advice #4); the
+    * consumer treats a NULL-scale dimension as storing code 0. */
   def embedCalibration: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val e = loadSpread(s, dir, "embeddings", "vec_id")
@@ -2051,7 +2065,9 @@ object CorpusQueries {
         min("x").as("vmin"),
         max("x").as("vmax"))
       .withColumn("absmax", greatest(abs(col("vmin")), abs(col("vmax"))))
-      .withColumn("int8_scale", fr6(lit(127.0) / col("absmax")))
+      .withColumn("int8_scale",
+        when(col("absmax") === 0, lit(null).cast("double"))
+          .otherwise(fr6(lit(127.0) / col("absmax"))))
       .orderBy("dim")
   }
 
@@ -2228,7 +2244,8 @@ object CorpusQueries {
          |FROM bs GROUP BY shard ORDER BY shard""".stripMargin,
     // q146: min/max/count are order-independent exact aggregates, so
     // the oracle is a direct restatement; float→double widening is
-    // exact on both engines
+    // exact on both engines. The absmax=0 CASE mirrors the entry's
+    // NULL-scale guard for all-zero dimensions.
     "q146_embed_calibration" ->
       """WITH e AS (
         |  SELECT generate_subscripts(embedding, 1) AS dim,
@@ -2238,8 +2255,9 @@ object CorpusQueries {
         |      FROM e GROUP BY dim)
         |SELECT dim, n, vmin, vmax,
         |  greatest(abs(vmin), abs(vmax)) AS absmax,
-        |  floor(CAST(127 AS DOUBLE) / greatest(abs(vmin), abs(vmax))
-        |    * 1e6 + 0.5) / 1e6 AS int8_scale
+        |  CASE WHEN greatest(abs(vmin), abs(vmax)) = 0 THEN NULL
+        |       ELSE floor(CAST(127 AS DOUBLE) / greatest(abs(vmin), abs(vmax))
+        |         * 1e6 + 0.5) / 1e6 END AS int8_scale
         |FROM a ORDER BY dim""".stripMargin,
     "q54_multimodal_features" -> q54Sql,
     // stepwise recursive-CTE fold in the same association order as

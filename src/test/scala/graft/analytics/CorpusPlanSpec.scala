@@ -276,6 +276,13 @@ class CorpusPlanSpec extends SparkSpec {
     val plan = finalPlan(CorpusQueries.dupGramCoverage(spark, sf))
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the posting frame is localCheckpointed for its two consumers
+    // (dup-count agg + join-back): the per-position md5 hash kernel
+    // and the corpus-linear explode must be ABSENT from the final
+    // plan — they ran exactly once, at materialization (r12 verdict
+    // #2; q142's winnow_fps convention)
+    assert(!plan.contains("md5"), plan)
+    assert(!plan.contains("Generate explode"), plan)
   }
 
   test("q145 shard audit: partitions the corpus exactly, no global order") {
