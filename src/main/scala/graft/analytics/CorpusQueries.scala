@@ -2071,7 +2071,260 @@ object CorpusQueries {
       .orderBy("dim")
   }
 
+  /** q147 shortlist size, shared with the oracle literal: the int8
+    * coarse scan hands this many candidates to the exact re-rank. */
+  private val int8ShortK = 32
+
+  /** Builds the per-session int8 code STORE: the q146 per-dimension
+    * calibration persisted as a 64-row scale table, and the corpus
+    * encoded ONCE — code_d = floor(x_d · 127/absmax_d + 0.5), an
+    * exact-integer byte — as an `array<tinyint>` table. Returns the
+    * codes table name. An absmax=0 dimension stores code 0 (scale 0
+    * here; NULL in q146's report — same contract). At 100 TB the
+    * codes table is the SERVING artifact: ¼ the scan bytes of the
+    * float corpus, re-encoded only when the calibration shifts. */
+  private[analytics] def buildInt8Store(s: SparkSession, dir: String): String = {
+    val e = loadSpread(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val root = graft.TempDirs.scratch("graft_int8_store")
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val scalesName = s"g147_scales_$tag"
+    val codesName = s"g147_codes_$tag"
+    e.select(posexplode(col("v")).as(Seq("d0", "x")))
+      .groupBy("d0")
+      .agg(greatest(abs(min("x")), abs(max("x"))).as("absmax"))
+      .select(col("d0"),
+        when(col("absmax") === 0, lit(0.0))
+          .otherwise(lit(127.0) / col("absmax")).as("scale"))
+      .write.format("parquet").option("path", s"$root/$scalesName")
+      .mode("overwrite").saveAsTable(scalesName)
+    // the 64 scales as ONE broadcast row in dimension order
+    // (array_sort on (d0, scale) structs = sort by d0)
+    val scaleArr = s.table(scalesName)
+      .agg(array_sort(collect_list(struct(col("d0"), col("scale")))).as("ss"))
+      .select(transform(col("ss"), p => p.getField("scale")).as("sa"))
+    e.crossJoin(broadcast(scaleArr))
+      .select(col("vec_id"),
+        transform(col("v"), (x, i) =>
+          floor(x * element_at(col("sa"), i + 1) + lit(0.5)).cast("byte"))
+          .as("codes"))
+      .write.format("parquet").option("path", s"$root/$codesName")
+      .mode("overwrite").saveAsTable(codesName)
+    codesName
+  }
+
+  /** The integer-only coarse probe over the stored codes: broadcast
+    * the query row's codes, rank by the EXACT int dot product
+    * ([[VectorFns.longDot]] — byte→long widening only, no float
+    * anywhere), TakeOrdered the shortlist. This subtree reads ONLY
+    * the int8 table (pinned in CorpusPlanSpec) — the float corpus is
+    * never scanned, let alone materialized, on the scoring path. */
+  private[analytics] def int8Probe(s: SparkSession, codesName: String): DataFrame = {
+    val codes = s.table(codesName)
+    val q = codes.filter(col("vec_id") === 7)
+      .select(transform(col("codes"), x => x.cast("long")).as("qc"))
+    codes.join(broadcast(q), col("vec_id") =!= 7)
+      .select(col("vec_id").as("cand_id"),
+        VectorFns.longDot(transform(col("codes"), x => x.cast("long")),
+          col("qc")).as("qdot"))
+      .orderBy(col("qdot").desc, col("cand_id"))
+      .limit(int8ShortK)
+  }
+
+  /** q147: int8-STORED ANN probe — closing the quantization loop
+    * q146 opens (r12 verdict, next-round #4): q121 quantizes
+    * per-vector at QUERY time (the whole float corpus still streams
+    * through the scan); here the corpus is stored once as int8 codes
+    * under the per-DIMENSION serving calibration, the coarse scan
+    * runs entirely in integer arithmetic against the stored codes
+    * (¼ the bytes — the memory-bandwidth play real serving stacks
+    * ship), the shortlist is exactly re-ranked in float (32 point
+    * lookups), and recall@10 vs the float ground truth rides along
+    * (q122's audit pattern — production drops the audit column, that
+    * being the point). Per-dimension symmetric quantization biases
+    * the integer dot by scale_d² per dimension; the audit measures
+    * precisely what that bias costs in rank. All arithmetic on the
+    * compare path is exact-integer or fixed-order IEEE doubles, so
+    * the DuckDB oracle replays store, probe, re-rank and audit value
+    * for value. */
+  def int8StoredAnn: Q = (s, dir) => {
+    val codesName = buildInt8Store(s, dir)
+    val e = loadSpread(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val qv = e.filter(col("vec_id") === 7).select(col("v").as("qv"))
+    val short = int8Probe(s, codesName)
+    val rer = e.join(broadcast(short), col("vec_id") === col("cand_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("cand_id"), col("qdot"),
+        round(VectorFns.cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("cand_id")).limit(10)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cos").desc, col("cand_id"))).cast("long"))
+    val exact = e.join(broadcast(qv), col("vec_id") =!= 7)
+      .select(col("vec_id").as("ex_id"),
+        round(VectorFns.cosine(col("v"), col("qv")), 6).as("ex_cos"))
+      .orderBy(col("ex_cos").desc, col("ex_id")).limit(10)
+    val flagged = rer.join(broadcast(exact.select("ex_id")),
+        col("cand_id") === col("ex_id"), "left")
+      .select(col("rn"), col("cand_id"), col("qdot"), col("cos"),
+        col("ex_id").isNotNull.cast("int").as("in_exact"))
+    val recall = flagged.agg((sum("in_exact") / 10.0).as("recall_at_10"))
+    flagged.crossJoin(broadcast(recall)).orderBy("rn")
+  }
+
+  /** q148 quality gate, shared with the oracle literal: documents
+    * below this composite quality score leave the funnel at stage 1
+    * (drops ~15% of the fixture; production tunes it per corpus). */
+  private val curationQualityMin = 0.73
+
+  /** The q148 stage-flag frame BEFORE mixture rates: every document
+    * with its funnel verdicts f1 (quality gate), f2 (exact-dedup
+    * winner among f1 survivors), f3 (best-quality near-dup canonical
+    * among f2 survivors) — all computed in ONE pass as conjunctive
+    * flags (a stage filters survivors of the previous ones, but no
+    * document leaves the frame, so the whole funnel is countable
+    * from one aggregation). Stage predicates are window aggregates
+    * with the survivor condition INSIDE (min/max over `when(f, …)`),
+    * so "winner among prior survivors" never needs a filtered
+    * sub-frame or a second scan. Exposed for the plan pin. */
+  private[analytics] def curationStage3(s: SparkSession, dir: String): DataFrame = {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val base = d.select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).cast("long").as("ntok"),
+        round(TextFns.qualityScore(col("text")), 6).as("quality"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        // q126's deterministic acceptance uniform: content-keyed, so
+        // the mixture verdict is reproducible across runs and engines
+        (DedupFns.portableHash60(col("text")).cast("double") /
+          lit(1152921504606846976.0)).as("u"),
+        // q145's seeded hash shard — the training-order writer's key
+        pmod(DedupFns.portableHash60(
+          concat_ws("-", lit("shuffle42"), col("doc_id").cast("string"))),
+          lit(nShards)).as("shard"))
+      .withColumn("f1",
+        when(col("quality") >= curationQualityMin, 1L).otherwise(0L))
+    // exact dedup among quality survivors: lowest surviving id per
+    // fingerprint wins (q33's rule scoped to the funnel)
+    val f2 = base.withColumn("f2",
+      when(col("f1") === 1 && col("doc_id") ===
+        min(when(col("f1") === 1, col("doc_id")))
+          .over(Window.partitionBy("fp")), 1L).otherwise(0L))
+    // near-dup canonical among exact survivors: q128's keep-best-
+    // quality policy on q102's cluster labels, encoded as ONE integer
+    // ranking scalar (quality is already 6-dp quantized, doc_id well
+    // under the 1e7 stride) so both engines pick identically with no
+    // struct/row comparisons
+    val score = floor(col("quality") * 1e6 + lit(0.5)).cast("long") *
+      lit(10000000L) - col("doc_id")
+    f2.join(dupClusterLabels(s, dir), "doc_id")
+      .withColumn("f3",
+        when(col("f2") === 1 && score ===
+          max(when(col("f2") === 1, score))
+            .over(Window.partitionBy("cluster_id")), 1L).otherwise(0L))
+  }
+
+  /** Stage flags INCLUDING the mixture verdict f4: q126's planned
+    * per-source rates are re-derived over the stage-3 survivors (the
+    * mix a curation run actually samples from — not the raw corpus),
+    * broadcast back, and acceptance is the content-keyed uniform.
+    * The stage-3 frame feeds BOTH the rate aggregate and the
+    * join-back, so it is localCheckpointed once (q142/q144's
+    * own-file convention — without it the quality/fingerprint/
+    * cluster kernels would run twice, r12 verdict #2's flaw). */
+  private[analytics] def curationFlags(s: SparkSession, dir: String): DataFrame = {
+    val f3 = curationStage3(s, dir).localCheckpoint()
+    // the per-source survivor stats are consumed twice (rate rows +
+    // global totals): materialize the ≤|sources|-row frame once so
+    // the corpus-sized checkpoint is scanned ONCE for the mixture
+    // stage, not once per consumer
+    val perSrc = f3.filter(col("f3") === 1).groupBy("source")
+      .agg(sum("ntok").as("n_tokens"))
+      .withColumn("weight",
+        when(col("source").isin("src0", "src1", "src2", "src3"), 2.0)
+          .otherwise(1.0))
+      .localCheckpoint()
+    val tot = perSrc.agg(sum("n_tokens").as("tot_tokens"),
+      sum("weight").as("tot_weight"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(col("weight") / col("tot_weight") *
+          col("tot_tokens").cast("double") / col("n_tokens"), lit(1.0))
+          .as("rate"))
+    // left join: a source with zero stage-3 survivors has no rate row
+    // (its documents are all f3=0, so coalesce-to-0 never fires a
+    // false accept)
+    f3.join(broadcast(rates), Seq("source"), "left")
+      .withColumn("f4",
+        when(col("f3") === 1 && col("u") < coalesce(col("rate"), lit(0.0)),
+          1L).otherwise(0L))
+  }
+
+  /** q148: END-TO-END curation pipeline — every tier stage chained
+    * once as production would run them (r12 verdict, next-round #5):
+    * quality gate (q31) → exact dedup (q33) → near-dup canonical
+    * (q102+q128) → mixture acceptance (q126) → shard assignment
+    * (q145) → sorted sharded write (q93's sink), emitting the
+    * per-stage survivor funnel (q113's shape) as the oracle-checked
+    * result. The demonstration is COMPOSITION COST: one flag pass
+    * over the corpus (each stage a window/broadcast on the same
+    * frame), the funnel counters riding `observe()` on the write
+    * job itself — zero exchanges beyond the stages' own (pinned in
+    * CorpusPlanSpec) — and the final row proving the sink lossless:
+    * stage `5_written` re-reads the partitioned store and must equal
+    * stage `4_mixture` doc for doc and token for token. At 100 TB
+    * each stage keeps its standalone entry's scale shape (per-row
+    * flags, fp/cluster-keyed windows, 20-row broadcast, hash shard);
+    * the chain adds only the write's own repartition. */
+  def curationPipeline: Q = (s, dir) =>
+    curationRun(s, dir, graft.TempDirs.scratch("graft_curated") + "/store")
+
+  /** q148 body with an explicit store path, so the plan spec can
+    * inspect the written layout (shard dirs, one sorted file set). */
+  private[analytics] def curationRun(s: SparkSession, dir: String,
+      out: String): DataFrame = {
+    val flags = curationFlags(s, dir)
+    val obs = new org.apache.spark.sql.Observation()
+    def nt(f: String): Seq[Column] = Seq(
+      sum(when(col(f) === 1, 1L).otherwise(0L)).as(s"n_$f"),
+      sum(when(col(f) === 1, col("ntok")).otherwise(0L)).as(s"t_$f"))
+    val metrics = Seq(count(lit(1)).cast("long").as("n_all"),
+      sum("ntok").as("t_all")) ++ nt("f1") ++ nt("f2") ++ nt("f3") ++ nt("f4")
+    val observed = flags.observe(obs, metrics.head, metrics.tail: _*)
+    // the sink: survivors only, hive-partitioned by shard, sorted by
+    // doc_id within — the layout a training reader consumes. The
+    // observe node sits ABOVE the filter's input, so the funnel
+    // counters are collected by this same write job: no second pass,
+    // no extra exchange.
+    graft.sources.Ingest.writeSortedParquet(
+      observed.filter(col("f4") === 1)
+        .select("doc_id", "source", "ntok", "quality", "shard"),
+      out, partCols = Seq("shard"), sortCols = Seq("doc_id"))
+    val m = obs.get
+    def g(k: String): Long = m(k) match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+      case _ => -1L
+    }
+    // read-back: the written store must replay stage 4 exactly —
+    // count and tokens (the spec pins the shard-dir layout); the J6
+    // driver-scalar convention off a 1-row aggregate
+    val back = s.read.parquet(out)
+      .agg(count(lit(1)).cast("long"), sum("ntok")).collect()(0)
+    import s.implicits._
+    Seq(
+      ("0_ingest", g("n_all"), g("t_all")),
+      ("1_quality", g("n_f1"), g("t_f1")),
+      ("2_exact", g("n_f2"), g("t_f2")),
+      ("3_canonical", g("n_f3"), g("t_f3")),
+      ("4_mixture", g("n_f4"), g("t_f4")),
+      ("5_written", back.getLong(0), back.getLong(1)))
+      .toDF("stage", "n_docs", "n_tokens")
+      .orderBy("stage")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q148_curation_pipeline" -> curationPipeline,
+    "q147_int8_store_probe" -> int8StoredAnn,
     "q144_dupgram_coverage" -> dupGramCoverage,
     "q145_shard_interleave" -> shardInterleave,
     "q146_embed_calibration" -> embedCalibration,
@@ -2201,6 +2454,129 @@ object CorpusQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q148: the whole funnel replayed stage by stage — q31's quality
+    // expression, q33's fingerprint, q102's recursive-CTE clusters,
+    // q126's rate arithmetic scoped to stage-3 survivors, the same
+    // conjunctive flag encodings (CASE-inside-window winners). Stage
+    // 5_written restates stage 4: the entry's read-back of the
+    // partitioned store must reproduce it exactly, which is the
+    // lossless-sink assertion riding the oracle compare.
+    "q148_curation_pipeline" ->
+      raw"""WITH RECURSIVE base AS (
+         | SELECT doc_id, source,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+         |  round(0.4 * (1.0 - CAST(len(list_filter(
+         |      regexp_split_to_array(trim(text), '\s+'), t -> list_contains(
+         |      ['the','a','an','of','and','to','is','in','it','on'], t))) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\s+')))
+         |   + 0.4 * (CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+         |      t -> length(t) >= 5)) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\s+')))
+         |   + 0.2 * (1.0 - CAST(length(text)
+         |      - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / length(text)), 6) AS quality,
+         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+         |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+         |    / 1152921504606846976.0 AS u
+         | FROM documents),
+         |s1 AS (SELECT *, CASE WHEN quality >= $curationQualityMin
+         |         THEN 1 ELSE 0 END AS f1 FROM base),
+         |s2 AS (SELECT *, CASE WHEN f1 = 1 AND doc_id =
+         |   min(CASE WHEN f1 = 1 THEN doc_id END) OVER (PARTITION BY fp)
+         |   THEN 1 ELSE 0 END AS f2 FROM s1),
+         |shg AS (SELECT doc_id, source,
+         |  list_distinct(list_transform(generate_series(1, length(text) - 2),
+         |    i -> substr(text, i, 3))) AS s3g
+         | FROM documents WHERE length(text) >= 3),
+         |prs AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         | FROM shg a JOIN shg b ON a.source = b.source AND a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.s3g, b.s3g)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.s3g, b.s3g))) >= 0.5),
+         |edges AS (SELECT src, dst FROM prs UNION ALL SELECT dst, src FROM prs),
+         |reach AS (
+         | SELECT doc_id AS id, doc_id AS r FROM documents
+         | UNION
+         | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |s3 AS (SELECT s2.*,
+         |  CASE WHEN f2 = 1
+         |   AND CAST(floor(quality * 1e6 + 0.5) AS BIGINT) * 10000000 - doc_id =
+         |    max(CASE WHEN f2 = 1 THEN
+         |      CAST(floor(quality * 1e6 + 0.5) AS BIGINT) * 10000000 - doc_id END)
+         |      OVER (PARTITION BY lab.cluster_id)
+         |   THEN 1 ELSE 0 END AS f3
+         | FROM s2 JOIN lab USING (doc_id)),
+         |t AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+         |       THEN 2.0 ELSE 1.0 END AS DOUBLE) AS weight
+         | FROM s3 WHERE f3 = 1 GROUP BY source),
+         |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |             sum(weight) AS tot_weight FROM t),
+         |r AS (SELECT source,
+         |  least(weight / tot_weight * tot_tokens / n_tokens, 1.0) AS rate
+         | FROM t, g),
+         |s4 AS (SELECT s3.*,
+         |  CASE WHEN f3 = 1 AND u < coalesce(rate, 0.0) THEN 1 ELSE 0 END AS f4
+         | FROM s3 LEFT JOIN r USING (source)),
+         |fun AS (
+         | SELECT '0_ingest' AS stage, count(*) AS n_docs,
+         |        CAST(sum(ntok) AS BIGINT) AS n_tokens FROM s4
+         | UNION ALL SELECT '1_quality', CAST(sum(f1) AS BIGINT),
+         |   CAST(sum(f1 * ntok) AS BIGINT) FROM s4
+         | UNION ALL SELECT '2_exact', CAST(sum(f2) AS BIGINT),
+         |   CAST(sum(f2 * ntok) AS BIGINT) FROM s4
+         | UNION ALL SELECT '3_canonical', CAST(sum(f3) AS BIGINT),
+         |   CAST(sum(f3 * ntok) AS BIGINT) FROM s4
+         | UNION ALL SELECT '4_mixture', CAST(sum(f4) AS BIGINT),
+         |   CAST(sum(f4 * ntok) AS BIGINT) FROM s4
+         | UNION ALL SELECT '5_written', CAST(sum(f4) AS BIGINT),
+         |   CAST(sum(f4 * ntok) AS BIGINT) FROM s4)
+         |SELECT stage, n_docs, n_tokens FROM fun ORDER BY stage""".stripMargin,
+    // q147: store, probe, re-rank and audit replayed end to end —
+    // same per-dimension absmax calibration (CAST(127 AS DOUBLE)
+    // keeps the scale division in doubles, q111's lesson), same
+    // floor(+0.5) integer codes, same exact integer dot shortlist,
+    // same q122-pattern float re-rank and recall scalar
+    "q147_int8_store_probe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |am AS (SELECT generate_subscripts(embedding, 1) AS dim,
+         |         CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |a2 AS (SELECT dim, greatest(abs(min(x)), abs(max(x))) AS absmax
+         |       FROM am GROUP BY dim),
+         |sc AS (SELECT list(CASE WHEN absmax = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(127 AS DOUBLE) / absmax END ORDER BY dim) AS sa
+         |       FROM a2),
+         |z AS (SELECT vec_id, v, list_transform(range(1, len(v) + 1),
+         |        i -> CAST(floor(v[i] * sa[i] + 0.5) AS BIGINT)) AS c
+         |      FROM e, sc),
+         |q AS (SELECT c AS qc, v AS qv FROM z WHERE vec_id = 7),
+         |sdot AS (SELECT z.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(range(1, len(z.c) + 1),
+         |      i -> z.c[i] * q.qc[i])) AS BIGINT) AS qdot
+         |  FROM z, q WHERE z.vec_id <> 7),
+         |short AS (SELECT cand_id, qdot FROM sdot
+         |          ORDER BY qdot DESC, cand_id LIMIT $int8ShortK),
+         |rer AS (
+         | SELECT cand_id, qdot,
+         |  round(list_dot_product(e.v, qv)
+         |   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6)
+         |   AS cos
+         | FROM short JOIN e ON e.vec_id = short.cand_id, q
+         | ORDER BY cos DESC, cand_id LIMIT 10),
+         |rr AS (SELECT cand_id, qdot, cos, CAST(row_number() OVER (
+         |         ORDER BY cos DESC, cand_id) AS BIGINT) AS rn FROM rer),
+         |exact AS (
+         | SELECT e.vec_id AS ex_id FROM e, q WHERE e.vec_id <> 7
+         | ORDER BY round(list_dot_product(e.v, qv)
+         |   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6)
+         |   DESC, e.vec_id LIMIT 10),
+         |fl AS (SELECT rn, cand_id, qdot, cos,
+         |         CASE WHEN ex_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+         |       FROM rr LEFT JOIN exact ON cand_id = ex_id)
+         |SELECT rn, cand_id, qdot, cos, in_exact,
+         |  (SELECT sum(in_exact) / 10.0 FROM fl) AS recall_at_10
+         |FROM fl ORDER BY rn""".stripMargin,
     // q144: every gram replayed — same md5-60-bit hash of the
     // space-joined k-token slice, same ≥2-occurrence dup rule, same
     // lag-window union (first window contributes k via the

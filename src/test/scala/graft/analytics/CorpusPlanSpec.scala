@@ -311,6 +311,73 @@ class CorpusPlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 1, plan)
   }
 
+  test("q147 int8 store: coarse probe reads ONLY the int8 codes, ¼ the bytes") {
+    // the serving contract: after the one-time encode, the scoring
+    // path scans the int8 table alone — the float corpus is neither
+    // scanned nor materialized on the probe subtree
+    val codes = CorpusQueries.buildInt8Store(spark, sf)
+    val probe = CorpusQueries.int8Probe(spark, codes)
+    val plan = finalPlan(probe)
+    assert(plan.contains("g147_codes"), plan)
+    assert(!plan.contains("embeddings"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the probe arithmetic is pure integer: the long fold kernel, no
+    // float cosine anywhere on the coarse path
+    assert(plan.contains("longvecfold"), plan)
+    // the byte play the store exists for: tinyint codes ≈ ¼ of the
+    // float corpus on disk
+    val codeBytes = spark.table(codes).inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length).sum
+    val embBytes = graft.Tables.load(spark, sf, "embeddings").inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length).sum
+    assert(codeBytes.toDouble / embBytes < 0.35,
+      s"codes=$codeBytes emb=$embBytes")
+    // end to end: shortlist re-rank recovers the float top-10 at this
+    // fixture (the audit column the entry carries)
+    val rows = CorpusQueries.int8StoredAnn(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getDouble(5) >= 0.9, s"recall=${rows.head.getDouble(5)}")
+  }
+
+  test("q148 curation: one flag pass, funnel rides observe, lossless sink") {
+    // stage subtree: conjunctive flags over one corpus pass — winner
+    // selection is CASE-inside-window, never a filtered self-join, so
+    // no pair-shaped operator may appear
+    val s3plan = finalPlan(CorpusQueries.curationStage3(spark, sf))
+    assert(!s3plan.contains("CartesianProduct"), s3plan)
+    // both stage windows are keyed (fp, cluster_id) — no
+    // single-partition window anywhere in the funnel
+    assert(!s3plan.contains("Exchange SinglePartition"), s3plan)
+    // flags frame (post-checkpoint): the mixture stage costs one tiny
+    // keyed aggregate + broadcasts; the quality/fingerprint kernels
+    // ran exactly once, at materialization, so the hash kernel is
+    // ABSENT here (q142/q144's convention — the r12-#2 double-compute
+    // flaw cannot reappear)
+    // the one per-source aggregate rode the perSrc materialization,
+    // so the final plan moves NO corpus-keyed data at all: broadcasts
+    // only (plus the 20-row totals' single-partition agg)
+    val fplan = finalPlan(CorpusQueries.curationFlags(spark, sf))
+    assert(!fplan.contains("md5"), fplan)
+    assert(!fplan.contains("Exchange hashpartitioning"), fplan)
+    assert(fplan.contains("BroadcastExchange"), fplan)
+    // end to end: funnel monotone, the written store replays stage 4
+    // exactly, and the layout is one dir per shard with sorted files
+    val out = graft.TempDirs.scratch("graft_q148_spec") + "/store"
+    val rows = CorpusQueries.curationRun(spark, sf, out).collect()
+    assert(rows.length == 6)
+    val n = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("0_ingest") >= n("1_quality") && n("1_quality") >= n("2_exact")
+      && n("2_exact") >= n("3_canonical") && n("3_canonical") >= n("4_mixture"))
+    assert(n("4_mixture") > 0, "mixture stage must keep someone")
+    assert(n("5_written") == n("4_mixture"))
+    assert(rows.find(_.getString(0) == "5_written").get.getLong(2) ==
+      rows.find(_.getString(0) == "4_mixture").get.getLong(2))
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    val written = spark.read.parquet(out)
+    assert(shardDirs.length == written.select("shard").distinct().count())
+  }
+
   test("loadSpread: parallelizes the tiny scan without changing content") {
     val plain = graft.Tables.load(spark, sf, "documents")
     val spread = CorpusQueries.loadSpread(spark, sf, "documents", "doc_id")
