@@ -358,7 +358,80 @@ object StreamQueries {
     streamedAttribution(s, dir)
       .orderBy("user_id", "view_event_id", "purchase_event_id")
 
+  /** q149 late-slice geometry, shared with the oracle: ticks in the
+    * FIRST 6 hours of the range with `event_id % 5 == 0` are withheld
+    * until the LAST micro-batch — by then the watermark (24h delay)
+    * has passed their bars by ~19 days, so the stream DROPS them, and
+    * the oracle computes those bars without them. A second slice (the
+    * last 6 hours of batch 1's range, same id rule) is delivered one
+    * batch late, INSIDE the horizon — absorbed into still-open bars.
+    * Margins are measured in days, so no ms-floor edge sensitivity. */
+  private val lateSliceUs = 6L * 3600 * 1000 * 1000
+
+  /** Thirds with two late slices: batch 2 redelivers batch 1's tail
+    * slice (absorbable), batch 3 delivers batch 1's head slice (too
+    * late). Batch maxima stay nondecreasing — the id%5 filter leaves
+    * the true range endpoints in their home batches. */
+  private def lateThirds(lo: Long, hi: Long): Seq[Column] = {
+    val b1 = lo + (hi - lo) / 3
+    val b2 = lo + 2 * ((hi - lo) / 3)
+    val m = tsMicros(col("ts"))
+    val lateId = col("event_id") % 5 === 0
+    val lateHead = m < lit(lo + lateSliceUs) && lateId
+    val lateTail = m >= lit(b1 - lateSliceUs) && m < lit(b1) && lateId
+    Seq(m < lit(b1) && !lateHead && !lateTail,
+        (m >= lit(b1) && m < lit(b2)) || lateTail,
+        m >= lit(b2) || lateHead)
+  }
+
+  /** q149: streaming tick→bar OHLC INGEST — the SURVEY §2.10 optional
+    * extension: the reference's `future_db` stores 1-minute bars
+    * produced downstream of its batch-only tick pipe
+    * (`future_db_ddl.md`); this is the live version — `readStream` →
+    * 24h watermark → tumbling 1-minute windows aggregating
+    * open/high/low/close (min_by/max_by on the (ts, event_id) order
+    * key — ONE hash aggregation with map-side partials, no per-group
+    * sort, q98's discipline) + tick count + turnover, in append mode
+    * so each bar is emitted exactly once when the watermark closes
+    * it. The replay includes genuinely LATE deliveries both inside
+    * and beyond the horizon ([[lateSliceUs]]): the in-horizon slice
+    * lands in its still-open bars, the beyond-horizon slice is
+    * dropped by the watermark — both behaviors deterministic, so the
+    * DuckDB oracle replays the final bar set exactly (drop rule +
+    * q114's ms-floored closed-window rule).
+    *
+    * Scale: the production bar-ingest plan verbatim — state is one
+    * row per open (bar) window bounded by the 24h horizon, late data
+    * is absorbed or dropped by watermark rule rather than
+    * recomputation, and the aggregation is declarative (codegen'd
+    * partials, no flatMapGroups state). The events fixture stands in
+    * for the tick feed: value = price, ticks-per-bar = volume. */
+  def streamedOhlc(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_ohlc", preferShm = true)
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(tsUtc(col("ts")).as("ts"), col("event_id"), col("value"))
+    val src = replaySource(s, root, ev, lateThirds)
+    val ord = struct(col("ts"), col("event_id"))
+    runToMemorySink(s, root, "q149_ohlc",
+      src()
+        .withWatermark("ts", "24 hours")
+        .groupBy(window(col("ts"), "1 minute").as("w"))
+        .agg(count(lit(1)).as("n_ticks"),
+          min_by(col("value"), ord).as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max_by(col("value"), ord).as("close"),
+          round(sum("value"), 2).as("turnover"))
+        .select(unix_micros(col("w.start")).as("bar_start_us"),
+          col("n_ticks"), col("open"), col("high"), col("low"),
+          col("close"), col("turnover")))
+  }
+
+  def ohlcStreamValues: Q = (s, dir) =>
+    streamedOhlc(s, dir).orderBy("bar_start_us")
+
   val entries: Map[String, Q] = Map(
+    "q149_stream_ohlc" -> ohlcStreamValues,
     "q95_ema_stream_parity" -> emaStreamValues,
     "q114_stream_hourly" -> hourlyStreamValues,
     "q143_stream_distinct" -> distinctStreamValues,
@@ -373,6 +446,38 @@ object StreamQueries {
     * identical double ops on exactly-representable inputs, so values
     * match bitwise before the 6-dp quantization. */
   val oracles: Map[String, String] = Map(
+    // q149: the kept set is deterministic (the beyond-horizon late
+    // slice is dropped, the in-horizon one absorbed), so the oracle
+    // rebuilds each bar from events MINUS the dropped slice, with
+    // open/close via (ts, event_id)-ordered row_numbers and q114's
+    // ms-floored closed-window rule at the 24h delay
+    "q149_stream_ohlc" ->
+      s"""WITH lohi AS (SELECT epoch_us(min(ts)) AS lo FROM events),
+         |kept AS (
+         | SELECT e.ts, e.event_id, e.value FROM events e, lohi
+         | WHERE NOT (epoch_us(e.ts) < lohi.lo + $lateSliceUs
+         |            AND e.event_id % 5 = 0)),
+         |wm AS (
+         | SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 24 HOUR AS w
+         | FROM events),
+         |b AS (SELECT date_trunc('minute', ts) AS bar, ts, event_id, value
+         |      FROM kept),
+         |rk AS (SELECT *,
+         |  row_number() OVER (PARTITION BY bar ORDER BY ts, event_id) AS ra,
+         |  row_number() OVER (PARTITION BY bar ORDER BY ts DESC, event_id DESC)
+         |    AS rd
+         | FROM b),
+         |agg AS (
+         | SELECT bar, count(*) AS n_ticks,
+         |  max(CASE WHEN ra = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rd = 1 THEN value END) AS close,
+         |  round(sum(value), 2) AS turnover
+         | FROM rk GROUP BY bar)
+         |SELECT epoch_us(bar) AS bar_start_us, n_ticks, open, high, low,
+         |  close, turnover
+         |FROM agg, wm WHERE bar + INTERVAL 1 MINUTE <= w
+         |ORDER BY bar_start_us""".stripMargin,
     // exactly-once restored: the deduped stream is the distinct
     // source set, so the rollup is a plain batch aggregation
     "q116_stream_dedup" ->

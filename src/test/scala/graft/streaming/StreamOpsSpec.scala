@@ -209,6 +209,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == src)
   }
 
+  test("q149 parity: streamed OHLC == batch bars on the kept set; late slices behave") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamQueries.streamedOhlc(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_id"), col("value"))
+    val tsUs = unix_micros(col("ts"))
+    val mm = ev.agg(min(tsUs), max(tsUs)).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val sliceUs = 6L * 3600 * 1000 * 1000
+    val lateHead = tsUs < lit(lo + sliceUs) && col("event_id") % 5 === 0
+    val wmUs = (hi / 1000) * 1000 - 24L * 3600 * 1000 * 1000
+    def bars(src: org.apache.spark.sql.DataFrame) = {
+      val ord = struct(col("ts"), col("event_id"))
+      src.groupBy(date_trunc("minute", col("ts")).as("bar"))
+        .agg(count(lit(1)).as("n_ticks"),
+          min_by(col("value"), ord).as("open"), max("value").as("high"),
+          min("value").as("low"), max_by(col("value"), ord).as("close"),
+          round(sum("value"), 2).as("turnover"))
+        .filter(unix_micros(col("bar")) + 60L * 1000 * 1000 <= wmUs)
+        .select(unix_micros(col("bar")).as("bar_start_us"), col("n_ticks"),
+          col("open"), col("high"), col("low"), col("close"), col("turnover"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    }
+    // the stream must equal the batch resample of events MINUS the
+    // beyond-horizon late slice (those ticks were dropped) ...
+    assert(streamed == bars(ev.filter(!lateHead)) && streamed.nonEmpty)
+    // ... and differ from the all-rows resample: the drop is REAL
+    // (the fixture has late-head ticks, and at least one bar lost one)
+    assert(ev.filter(lateHead).count() > 0)
+    assert(streamed != bars(ev))
+    // the in-horizon late slice (batch 1's tail, delivered in batch 2)
+    // is nonempty and ABSORBED: its bars are closed and their streamed
+    // tick counts include the late-delivered rows (they match the
+    // kept-set batch counts, which count those rows)
+    val b1 = lo + (hi - lo) / 3
+    val lateTail = ev.filter(tsUs >= lit(b1 - sliceUs) && tsUs < lit(b1) &&
+      col("event_id") % 5 === 0)
+    assert(lateTail.count() > 0)
+    val tailBars = lateTail
+      .select(unix_micros(date_trunc("minute", col("ts"))).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(tailBars.subsetOf(streamed.map(_._1)))
+  }
+
   test("dropDuplicatesWithinWatermark: state evicted past the horizon") {
     // Pins the q116 eviction semantics: a duplicate arriving WITHIN
     // the watermark delay of its first delivery is absorbed, but once
