@@ -1006,9 +1006,15 @@ object CorpusQueries {
     * visible), re-crawls of history (hits gen 0), and an in-batch
     * double submission. Output: day-2 per-source counters splitting
     * duplicates by which generation caught them. At 100 TB a nightly
-    * compaction folds generations together with q130's machinery once
-    * they accumulate — same layout, pure bucket-wise merge. */
-  def indexWriteBack: Q = (s, dir) => {
+    * compaction folds accumulated generations together — demonstrated
+    * by q150's exchange-free bucket-wise fold and day-3 probe. */
+  /** Builds q134's two index generations (gen 0 = history's
+    * fingerprints, gen 1 = day-1's genuinely new ones) under a fresh
+    * per-run scratch root, both with the IDENTICAL bucketed layout.
+    * Returns the two table names. Shared by q134 (the write-back
+    * story) and q150 (the compaction that folds them). */
+  private[analytics] def buildFpGenerations(s: SparkSession,
+      dir: String): (String, String) = {
     val d = loadSpread(s, dir, "documents", "doc_id")
     val fp = TextFns.fingerprint(col("text"))
     val root = graft.TempDirs.scratch("graft_fp_gen")
@@ -1034,6 +1040,14 @@ object CorpusQueries {
     writeGen(w1.hint("merge")
       .join(gen0.select(col("fp"), lit(1).as("hit0")), Seq("fp"), "left")
       .filter(col("hit0").isNull).select("fp", "keep_id"), g1Name)
+    (g0Name, g1Name)
+  }
+
+  def indexWriteBack: Q = (s, dir) => {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val fp = TextFns.fingerprint(col("text"))
+    val (g0Name, g1Name) = buildFpGenerations(s, dir)
+    val gen0 = s.table(g0Name)
     val gen1 = s.table(g1Name)
     // day-2 batch: new arrivals + re-crawls of day 1 + re-crawls of
     // history + an in-batch double submission — every counter firing
@@ -2322,7 +2336,82 @@ object CorpusQueries {
       .orderBy("stage")
   }
 
+  /** q150's FOLD: gen 0 + gen 1 merged into one bucketed generation.
+    * Both inputs share the exact layout (8 buckets, keyed and sorted
+    * by fp) and gen 1 holds only fingerprints absent from gen 0, so
+    * the fold is a pure bucket-wise union: each input bucket file
+    * becomes one task whose rows all belong to ONE output bucket —
+    * the bucketed write moves NOTHING between tasks (no exchange;
+    * output file count = sum of input file counts, pinned). A
+    * file-level squash to one file per bucket would add one keyed
+    * exchange (q130's machinery); generations are folded nightly
+    * precisely so the PROBE cost stops growing — that is what this
+    * demonstrates. */
+  private[analytics] def foldGenerations(s: SparkSession, g0Name: String,
+      g1Name: String): String = {
+    val root = graft.TempDirs.scratch("graft_fp_fold")
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val cName = s"g150_fp_genc_$tag"
+    s.table(g0Name).unionAll(s.table(g1Name))
+      .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
+      .option("path", s"$root/$cName").mode("overwrite").saveAsTable(cName)
+    cName
+  }
+
+  /** The day-3 probe, parameterized by the generation CHAIN it reads:
+    * identical counters whether the index is two generations or the
+    * folded one — the spec pins the two frames value-identical, the
+    * entry ships the folded (one merge join) flavor. Batch shape is
+    * q134's day-2 pattern one day later: new arrivals, re-crawls of
+    * day 1 (visible only through gen 1 / its folded successor),
+    * re-crawls of history, an in-batch double submission. */
+  private[analytics] def compactionProbe(s: SparkSession, dir: String,
+      gens: Seq[String]): DataFrame = {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val fp = TextFns.fingerprint(col("text"))
+    val day3 = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id").as("arrival_id"), col("source"), col("text"))
+      .unionAll(d.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+        .select((col("doc_id") + 500000).as("arrival_id"), col("source"), col("text")))
+      .unionAll(d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 600000).as("arrival_id"), col("source"), col("text")))
+      .unionAll(d.filter(col("doc_id") >= 400 && col("doc_id") < 415)
+        .select((col("doc_id") + 700000).as("arrival_id"), col("source"), col("text")))
+    val w3 = day3.select(col("arrival_id"), col("source"), fp.as("fp"))
+      .groupBy("fp").agg(min("arrival_id").as("arrival_id"),
+        count(lit(1)).as("n_in_batch"), min("source").as("source"))
+    val joined = gens.zipWithIndex.foldLeft(w3) { case (acc, (g, i)) =>
+      acc.hint("merge").join(
+        s.table(g).select(col("fp"), col("keep_id").as(s"keep$i")),
+        Seq("fp"), "left")
+    }
+    val hit = gens.indices.map(i => col(s"keep$i").isNotNull).reduce(_ || _)
+    joined.groupBy("source")
+      .agg(sum("n_in_batch").as("n_arrived"),
+        (sum("n_in_batch") - count(lit(1))).as("n_batch_dups"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_dup_index"),
+        sum(when(!hit, 1L).otherwise(0L)).as("n_new"))
+      .orderBy("source")
+  }
+
+  /** q150: GENERATION COMPACTION — the maintenance pass q134/q139
+    * defer to "a nightly job": fold the two index generations into a
+    * single bucketed generation and probe it on day 3. The fold is
+    * exchange-free because the generations share one layout
+    * ([[foldGenerations]]); the probe against the folded index costs
+    * ONE bucket-local merge join where the chain cost one per
+    * generation — the reason compaction exists. Day-3 counters are
+    * value-identical against chain and folded index (pinned), and
+    * the DuckDB oracle replays them storage-independently (q127's
+    * argument: the values prove the bucketed write→fold→read→merge
+    * chain lossless). */
+  def indexCompaction: Q = (s, dir) => {
+    val (g0, g1) = buildFpGenerations(s, dir)
+    compactionProbe(s, dir, Seq(foldGenerations(s, g0, g1)))
+  }
+
   val entries: Map[String, Q] = Map(
+    "q150_index_compaction" -> indexCompaction,
     "q148_curation_pipeline" -> curationPipeline,
     "q147_int8_store_probe" -> int8StoredAnn,
     "q144_dupgram_coverage" -> dupGramCoverage,
@@ -2454,6 +2543,38 @@ object CorpusQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q150: storage-independent relational replay (q127/q134's
+    // argument) — the folded index's fingerprint SET is exactly the
+    // fps of docs < 400 (gen 0 = history < 300; gen 1 = day-1 new fps
+    // from 300–399; re-crawl fps collapse into gen 0), and the day-3
+    // counters depend only on membership
+    "q150_index_compaction" ->
+      raw"""WITH fps AS (
+         | SELECT doc_id, source,
+         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         | FROM documents),
+         |idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 400),
+         |arr AS (
+         |  SELECT doc_id AS arrival_id, source, fp FROM fps WHERE doc_id >= 400
+         |  UNION ALL
+         |  SELECT doc_id + 500000, source, fp FROM fps
+         |   WHERE doc_id >= 300 AND doc_id < 320
+         |  UNION ALL
+         |  SELECT doc_id + 600000, source, fp FROM fps WHERE doc_id < 25
+         |  UNION ALL
+         |  SELECT doc_id + 700000, source, fp FROM fps
+         |   WHERE doc_id >= 400 AND doc_id < 415),
+         |w AS (SELECT fp, min(arrival_id) AS arrival_id,
+         |        count(*) AS n_in_batch, min(source) AS source
+         |      FROM arr GROUP BY fp),
+         |j AS (SELECT w.source, w.n_in_batch,
+         |        CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM w LEFT JOIN idx USING (fp))
+         |SELECT source, CAST(sum(n_in_batch) AS BIGINT) AS n_arrived,
+         | CAST(sum(n_in_batch) - count(*) AS BIGINT) AS n_batch_dups,
+         | CAST(sum(hit) AS BIGINT) AS n_dup_index,
+         | CAST(sum(1 - hit) AS BIGINT) AS n_new
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // q148: the whole funnel replayed stage by stage — q31's quality
     // expression, q33's fingerprint, q102's recursive-CTE clusters,
     // q126's rate arithmetic scoped to stage-3 survivors, the same

@@ -138,6 +138,40 @@ class CorpusPlanSpec extends SparkSpec {
     }
   }
 
+  test("q150 compaction: exchange-free fold, one merge join, chain-identical") {
+    val (g0, g1) = CorpusQueries.buildFpGenerations(spark, sf)
+    // the fold reads two identically-bucketed generations and writes
+    // one: every input bucket file becomes one task whose rows belong
+    // to a single output bucket, so NOTHING moves between tasks — the
+    // read side plans no exchange and the output holds exactly the
+    // input files' worth of bucket files
+    val union = spark.table(g0).unionAll(spark.table(g1))
+    assert(!union.queryExecution.executedPlan.toString.contains("Exchange"),
+      union.queryExecution.executedPlan.toString)
+    val gc = CorpusQueries.foldGenerations(spark, g0, g1)
+    assert(spark.table(gc).inputFiles.length ==
+      spark.table(g0).inputFiles.length + spark.table(g1).inputFiles.length)
+    // folded content = union content (disjoint by construction)
+    assert(spark.table(gc).count() ==
+      spark.table(g0).count() + spark.table(g1).count())
+    // the probe against the folded index: ONE bucket-local merge join
+    // where the generation chain needs one per generation — the point
+    // of compacting. Exchange budget is q134's (batch-to-bucket +
+    // winners agg + rollup = 3); the index side must not reshuffle.
+    val folded = CorpusQueries.compactionProbe(spark, sf, Seq(gc))
+    val plan = finalPlan(folded)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.linesIterator.count(_.contains("SortMergeJoin")) == 1, plan)
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(ex <= 3, s"$ex hash exchanges:\n$plan")
+    // day-3 counters identical whether probing the chain or the fold
+    val chain = CorpusQueries.compactionProbe(spark, sf, Seq(g0, g1))
+      .collect().map(_.toSeq.toVector).toVector
+    assert(folded.collect().map(_.toSeq.toVector).toVector == chain)
+    assert(chain.nonEmpty)
+  }
+
   test("q135 incremental near-dup: band index probed bucket-locally") {
     // the persisted posting index is bucketed by (band, bucket): the
     // candidate join reads it without an exchange — only the batch's
