@@ -1,30 +1,68 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Plan audit over every driver entry (builder tooling): executes
   * each query at a tiny SF and prints its shuffle/sort/broadcast
   * operator counts, so plan regressions (a new exchange, a lost
-  * broadcast) surface as a diff in one table. */
+  * broadcast) surface as a diff in one table. The same signature
+  * feeds the golden regression corpus (PlanGoldenSpec +
+  * src/test/resources/plan_golden.tsv): a Spark version bump or AQE
+  * change that silently reshapes a plan fails a test instead of a
+  * future bench. */
 object PlanAudit {
+
+  /** The FINAL adaptive plan, after execution has fixed AQE's
+    * runtime choices. */
+  def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** Normalized operator-count signature: exchanges by kind (reused
+    * counted separately — a ReusedExchange BECOMING a fresh one is
+    * exactly the regression this exists to catch), join strategies,
+    * windows, generators, the custom MultiRank node. Counts only —
+    * no ids, no per-run table names — so the string is stable across
+    * runs at a fixed fixture and session config. */
+  def signature(plan: String): String = {
+    def n(p: String) = plan.linesIterator.count(l =>
+      l.contains(p) && !l.contains("ReusedExchange"))
+    Seq(
+      "ex" -> n("Exchange hashpartitioning"),
+      "range" -> n("Exchange rangepartitioning"),
+      "single" -> n("Exchange SinglePartition"),
+      "bcast" -> n("BroadcastExchange"),
+      "reused" -> plan.linesIterator.count(_.contains("ReusedExchange")),
+      "smj" -> n("SortMergeJoin"),
+      "bhj" -> n("BroadcastHashJoin"),
+      "shj" -> n("ShuffledHashJoin"),
+      "bnlj" -> n("BroadcastNestedLoopJoin"),
+      "cart" -> n("CartesianProduct"),
+      "win" -> n("Window ["),
+      "mrank" -> n("MultiRank ["),
+      "gen" -> n("Generate "),
+    ).map { case (k, v) => s"$k=$v" }.mkString(" ")
+  }
+
+  /** The batch entries the golden corpus covers: every driver entry
+    * except the streaming six, whose returned frame is a memory-sink
+    * scan (the stateful shape lives in the running query, pinned by
+    * StreamOpsSpec parity tests instead). */
+  def goldenEntries: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val skip = graft.streaming.StreamQueries.entries.keySet
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skip(name) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = LocalSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        df.collect() // finalize AQE
-        val plan = df.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==")(0)
-        def n(p: String) = plan.linesIterator.count(l =>
-          l.contains(p) && !l.contains("ReusedExchange"))
-        println(f"AUDIT $name%-28s ex=${n("Exchange hashpartitioning")}%2d " +
-          f"range=${n("Exchange rangepartitioning")}%2d single=${n("Exchange SinglePartition")}%2d " +
-          f"bcast=${n("BroadcastExchange")}%2d smj=${n("SortMergeJoin")}%2d win=${n("Window")}%3d " +
-          f"mrank=${n("MultiRank [")}%2d cart=${n("CartesianProduct")}%2d")
-      } catch {
+      try println(f"AUDIT $name%-28s ${signature(finalPlan(fn(spark, sfDir)))}")
+      catch {
         case e: Exception => println(s"AUDIT $name FAILED: ${e.getMessage}")
       }
     }

@@ -260,6 +260,51 @@ object FactorQueries {
     ivfFinish(scan, p)
   }
 
+  /** q151 body with an explicit store root (so the plan spec can pin
+    * the store layout) and a seam between the two writes (so it can
+    * snapshot generation 0 and prove the append left it untouched). */
+  private[analytics] def ivfAppendRun(s: SparkSession, dir: String,
+      root: String, afterBuild: () => Unit = () => ()): DataFrame = {
+    val p = ivfParts(s, dir)
+    // index build night 1: history (day < 30) assigned and persisted
+    // cell-partitioned — q136's one-time build on a prefix
+    p.assigned.filter(col("day") < 30)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/store")
+    afterBuild()
+    // night 2: ONLY the new days are assigned (same broadcast
+    // centroid model — an IVF index's centroids are retrained rarely,
+    // re-assignment never touches history) and APPENDED partition-
+    // wise: each touched cell directory gains one batch-sized file,
+    // history files are never rewritten (pinned in FactorPlanSpec)
+    p.assigned.filter(col("day") >= 30)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$root/store")
+    val store = s.read.parquet(s"$root/store")
+    val probeCells = p.q.select(explode(col("probe")).as("cid"))
+      .collect().map(_.get(0)).toSeq
+    val scan = store.filter(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(p.q))
+      .withColumn("dist", round(ivfExactDist, 6))
+      .select("stock", "day", "dist")
+    ivfFinish(scan, p)
+  }
+
+  /** q151: INCREMENTAL IVF index maintenance — the vector-side
+    * counterpart of q134/q150's generational story: the ANN store is
+    * built once from history, and a day's new embeddings are assigned
+    * under the same centroid broadcast and appended into the SAME
+    * cell-partitioned layout — batch-sized movement, history files
+    * byte-identical (pinned), no retrain, no reshuffle. The probe
+    * then reads history + appendix through one partition-pruned scan
+    * (PartitionFilters still prune to nprobe of 16 directories, now
+    * ≤ 2 files each) and is hash-identical to q125/q136 — proof the
+    * append is lossless. At 100 TB this is how a vector index tracks
+    * a live corpus: nightly appends, centroids retrained on drift
+    * (q137's job), partitions compacted on accumulation (q150's). */
+  def ivfAppend: Q = (s, dir) =>
+    ivfAppendRun(s, dir, graft.TempDirs.scratch("graft_ivf_append"))
+
   /** q129: INCREMENTAL daily factor maintenance — the production
     * shape of the reference's nightly factor job at 100 TB: the
     * quotes panel lives in a day-partitioned store, and computing
@@ -736,6 +781,7 @@ object FactorQueries {
     "q48_similarity_search" -> similaritySearch,
     "q125_similarity_ivf" -> similaritySearchIvf,
     "q136_similarity_ivf_part" -> similaritySearchIvfPartitioned,
+    "q151_ivf_append" -> ivfAppend,
     "q129_incremental_factors" -> incrementalFactors,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
@@ -2188,8 +2234,11 @@ object FactorQueries {
          |ORDER BY stock, day""".stripMargin,
   )
 
-  /** q136 probes a cell-partitioned copy of q125's assignment — the
-    * values are exactly q125's, so one oracle serves both keys. */
+  /** q136 probes a cell-partitioned copy of q125's assignment, and
+    * q151 probes that store rebuilt as history + appended batch — the
+    * values are exactly q125's, so one oracle serves all three keys
+    * (for q151 the hash-match IS the lossless-append proof). */
   val oracles: Map[String, String] = oraclesBase +
-    ("q136_similarity_ivf_part" -> oraclesBase("q125_similarity_ivf"))
+    ("q136_similarity_ivf_part" -> oraclesBase("q125_similarity_ivf")) +
+    ("q151_ivf_append" -> oraclesBase("q125_similarity_ivf"))
 }

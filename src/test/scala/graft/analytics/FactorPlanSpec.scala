@@ -153,6 +153,53 @@ class FactorPlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q151 IVF append: history files byte-identical, probe still pruned") {
+    val root = graft.TempDirs.scratch("graft_q151_spec")
+    def snapshot(): Map[String, Long] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/store"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      } finally st.close()
+    }
+    var gen0 = Map.empty[String, Long]
+    val df = FactorQueries.ivfAppendRun(spark, "/root/testdata/sf0.001", root,
+      afterBuild = () => gen0 = snapshot())
+    val after = snapshot()
+    // the append wrote new files ONLY: every generation-0 file is
+    // still present at its original size, untouched
+    assert(gen0.nonEmpty && after.size > gen0.size)
+    gen0.foreach { case (path, size) =>
+      assert(after.get(path).contains(size), s"gen-0 file rewritten: $path")
+    }
+    // and some cell dirs genuinely hold files from both eras
+    val newFiles = after.keySet.diff(gen0.keySet)
+    def dirOf(p: String) = p.split("/cell=")(1).split("/")(0)
+    assert(newFiles.map(dirOf).intersect(gen0.keySet.map(dirOf)).nonEmpty)
+    // the probe remains partition-pruned after the append: ≤ nprobe=4
+    // cell dirs touched, ≤ 2 files each
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val stores = scans(df.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(stores.nonEmpty, df.queryExecution.executedPlan.toString)
+    val files = stores.map(_.metrics("numFiles").value).max
+    assert(files > 0 && files <= 8,
+      s"probe read $files files — must touch at most nprobe=4 dirs x 2 eras")
+    // lossless append: hash-identical to the single-build q136 probe
+    val one = FactorQueries.similaritySearchIvfPartitioned(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq.toVector).toVector
+    assert(df.collect().map(_.toSeq.toVector).toVector == one)
+  }
+
   test("q136 IVF store: probe reads only nprobe of 16 cell partitions") {
     // the physical-pruning contract: the probe-cell literals reach
     // the store scan as PartitionFilters, so file listing touches at
