@@ -447,6 +447,83 @@ object CorpusQueries {
        |ORDER BY arrival_id, dup_of""".stripMargin
   }
 
+  /** q152 oracle: q139's pipeline with a day-3 role probing the
+    * FOLDED index — whose posting set is exactly history's postings
+    * plus day-1 survivors' postings, so the index side of the bucket
+    * join is `h ∪ (d1 minus dup1)` and the generation column is gone
+    * (folding erases it, by design). */
+  private def bandCompactionOracleSql: String = {
+    val p = DedupFns.minhashP
+    val sigDefs = minhashSigDefsSql
+    val bktDefs = minhashBktDefsSql
+    val jd = "CAST(len(list_intersect(list_distinct(ha.h), list_distinct(hb.h))) AS DOUBLE)"
+    val tot = "(len(list_distinct(ha.h)) + len(list_distinct(hb.h)))"
+    val p1Joins = (0 until 6).map { j =>
+      s" SELECT b.id AS arrival_id, a.id AS dup_of\n" +
+        s" FROM bkt a JOIN bkt b ON a.k$j = b.k$j AND a.role = 'h' AND b.role = 'd1'"
+    }.mkString("", "\n UNION\n", "")
+    val p3Joins = (0 until 6).map { j =>
+      s" SELECT b.id AS arrival_id, a.id AS dup_of\n" +
+        s" FROM bkt a JOIN bkt b ON a.k$j = b.k$j AND b.role = 'd3'\n" +
+        s"  AND (a.role = 'h' OR (a.role = 'd1'\n" +
+        s"   AND a.id NOT IN (SELECT arrival_id FROM dup1)))"
+    }.mkString("", "\n UNION\n", "")
+    s"""WITH raw AS (
+       | SELECT doc_id AS id, text, 'h' AS role FROM documents WHERE doc_id < 300
+       | UNION ALL
+       | SELECT doc_id, text, 'd1' FROM documents
+       | WHERE doc_id >= 300 AND doc_id < 400
+       | UNION ALL
+       | SELECT doc_id + 100000, text || ' near duplicate revision', 'd1'
+       | FROM documents WHERE doc_id < 15
+       | UNION ALL
+       | SELECT doc_id, text, 'd3' FROM documents WHERE doc_id >= 400
+       | UNION ALL
+       | SELECT doc_id + 800000, text || ' near duplicate revision', 'd3'
+       | FROM documents WHERE doc_id < 10
+       | UNION ALL
+       | SELECT doc_id + 900000, text || ' near duplicate revision', 'd3'
+       | FROM documents WHERE doc_id >= 300 AND doc_id < 316),
+       |toks AS (
+       | SELECT id, role, regexp_split_to_array(trim(text), '\\s+') AS t
+       | FROM raw WHERE length(trim(text)) > 0),
+       |sh AS (
+       | SELECT id, role, list_distinct(list_transform(
+       |   generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS s
+       | FROM toks WHERE len(t) >= 2),
+       |hv AS (
+       | SELECT id, role, list_transform(s, x -> ${h60Sql("x")} % $p) AS h
+       | FROM sh),
+       |sig AS (
+       | SELECT id, role,
+       |  $sigDefs
+       | FROM hv),
+       |bkt AS (
+       | SELECT id, role,
+       |  $bktDefs
+       | FROM sig),
+       |p1 AS MATERIALIZED (
+       |$p1Joins),
+       |dup1 AS (
+       | SELECT DISTINCT p.arrival_id
+       | FROM p1 p
+       | JOIN hv ha ON ha.id = p.arrival_id
+       | JOIN hv hb ON hb.id = p.dup_of
+       | WHERE $jd / ($tot - $jd) >= 0.2),
+       |p3 AS MATERIALIZED (
+       |$p3Joins),
+       |cand AS (
+       | SELECT p.arrival_id, p.dup_of,
+       |  $jd AS inter, $tot AS tot
+       | FROM p3 p
+       | JOIN hv ha ON ha.id = p.arrival_id
+       | JOIN hv hb ON hb.id = p.dup_of)
+       |SELECT arrival_id, dup_of,
+       | round(inter / (tot - inter), 6) AS jaccard
+       |FROM cand WHERE inter / (tot - inter) >= 0.2
+       |ORDER BY arrival_id, dup_of""".stripMargin
+  }
+
   /** q37 oracle: pigeonhole banding is EXACT, so the output equals
     * every same-source pair at hamming<=8 — computed here brute-force
     * over the replayed portable-hash simhashes (bits 60-63 of a
@@ -1148,8 +1225,32 @@ object CorpusQueries {
     * proves the write-back is live: day-2 re-crawls of day-1
     * documents are caught even though day-1 postdates the historical
     * index. Every verified match reports which generation caught it.
-    * Same generational-compaction story as q134 at 100 TB. */
-  def bandIndexWriteBack: Q = (s, dir) => {
+    * The nightly fold of these generations is demonstrated by q152. */
+  /** The q139/q152 day-1 shared geometry: the mutation suffix, the
+    * history slice, and the day-1 batch (new docs 300–399 + mutated
+    * re-crawls of history < 15). */
+  private def lshMutate(t: Column): Column =
+    concat(t, lit(" near duplicate revision"))
+  private def lshHist(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+  private def lshDay1(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .select(col("doc_id").as("arrival_id"), col("text"))
+    .unionAll(d.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 100000).as("arrival_id"),
+        lshMutate(col("text")).as("text")))
+  private def lshJaccard(a: Column, b: Column): Column = {
+    val inter = DedupFns.sortedIntersectCount(a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Builds q139's two band-index generations (gen 0 = history's
+    * postings, gen 1 = day-1 SURVIVORS' postings after the gen-0
+    * near-dup check), identically bucketed by (band, bucket).
+    * Returns the table names. Shared by q139 and q152 (the band
+    * fold). */
+  private[analytics] def buildBandGenerations(s: SparkSession,
+      dir: String): (String, String) = {
     val d = loadSpread(s, dir, "documents", "doc_id")
     val root = graft.TempDirs.scratch("graft_lsh_gen")
     val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
@@ -1159,22 +1260,13 @@ object CorpusQueries {
       df.write.format("parquet").bucketBy(8, "band", "bucket")
         .sortBy("band", "bucket")
         .option("path", s"$root/$name").mode("overwrite").saveAsTable(name)
-    val mutate = (t: Column) => concat(t, lit(" near duplicate revision"))
-    val hist = d.filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+    val hist = lshHist(d)
     writeGen(DedupFns.lshPostings(hist, "doc_id", "text"), g0Name)
     val gen0 = s.table(g0Name)
-    // day 1: new docs + mutated re-crawls of history
-    val day1 = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
-        .select(col("doc_id").as("arrival_id"), col("text"))
-      .unionAll(d.filter(col("doc_id") < 15)
-        .select((col("doc_id") + 100000).as("arrival_id"), mutate(col("text")).as("text")))
+    val day1 = lshDay1(d)
     val d1Post = DedupFns
       .lshPostings(day1, "arrival_id", "text", metricPrefix = "lshd1")
       .withColumnRenamed("id", "arrival_id")
-    def jaccard(a: Column, b: Column): Column = {
-      val inter = DedupFns.sortedIntersectCount(a, b).cast("double")
-      inter / (size(a) + size(b) - inter)
-    }
     val shD1 = day1.select(col("arrival_id"),
       DedupFns.packedHashSet(col("text")).as("sh_a"))
     val shHist = hist.select(col("doc_id").as("dup_of"),
@@ -1184,12 +1276,25 @@ object CorpusQueries {
         Seq("band", "bucket"))
       .select("arrival_id", "dup_of").distinct()
       .join(shD1, "arrival_id").join(shHist, "dup_of")
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.2)
+      .filter(lshJaccard(col("sh_a"), col("sh_b")) >= 0.2)
       .select("arrival_id").distinct()
     // WRITE-BACK: survivors' postings only, identical layout
     writeGen(d1Post.join(dup1, Seq("arrival_id"), "left_anti")
       .select(col("band"), col("bucket"), col("arrival_id").as("id")), g1Name)
+    (g0Name, g1Name)
+  }
+
+  def bandIndexWriteBack: Q = (s, dir) => {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val (g0Name, g1Name) = buildBandGenerations(s, dir)
+    val gen0 = s.table(g0Name)
     val gen1 = s.table(g1Name)
+    val mutate = lshMutate _
+    def jaccard(a: Column, b: Column): Column = lshJaccard(a, b)
+    val shD1 = lshDay1(d).select(col("arrival_id"),
+      DedupFns.packedHashSet(col("text")).as("sh_a"))
+    val shHist = lshHist(d).select(col("doc_id").as("dup_of"),
+      DedupFns.packedHashSet(col("text")).as("sh_b"))
     // day 2: new docs + re-crawls of history (gen-0 hits) + re-crawls
     // of day-1 docs (gen-1 hits — the write-back under test)
     val day2 = d.filter(col("doc_id") >= 400)
@@ -2410,7 +2515,82 @@ object CorpusQueries {
     compactionProbe(s, dir, Seq(foldGenerations(s, g0, g1)))
   }
 
+  /** q152's fold: the band-index generations merged into one bucketed
+    * posting table. Same exchange-free argument as [[foldGenerations]]
+    * — identical (band, bucket) layouts, bucket-pure input tasks; here
+    * the generations' KEY sets overlap (the same bucket can hold
+    * history and day-1 postings), which is exactly what a posting
+    * list is — the fold concatenates payloads, it never merges keys. */
+  private[analytics] def foldBandGenerations(s: SparkSession, g0Name: String,
+      g1Name: String): String = {
+    val root = graft.TempDirs.scratch("graft_band_fold")
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val cName = s"g152_band_genc_$tag"
+    s.table(g0Name).unionAll(s.table(g1Name))
+      .write.format("parquet").bucketBy(8, "band", "bucket")
+      .sortBy("band", "bucket")
+      .option("path", s"$root/$cName").mode("overwrite").saveAsTable(cName)
+    cName
+  }
+
+  /** The day-3 NEAR-dup probe, parameterized by the generation chain:
+    * candidates = bucket collisions against every generation's
+    * postings (distinct over (arrival, dup_of) — generation identity
+    * deliberately dropped, that is what folding erases), then q139's
+    * exact-Jaccard verify against history + day-1 texts. */
+  private[analytics] def bandProbe(s: SparkSession, dir: String,
+      gens: Seq[String]): DataFrame = {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val day3 = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id").as("arrival_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 800000).as("arrival_id"),
+          lshMutate(col("text")).as("text")))
+      .unionAll(d.filter(col("doc_id") >= 300 && col("doc_id") < 316)
+        .select((col("doc_id") + 900000).as("arrival_id"),
+          lshMutate(col("text")).as("text")))
+    // distinct metric prefix (bench skew map merges by field name)
+    val d3Post = DedupFns
+      .lshPostings(day3, "arrival_id", "text", metricPrefix = "lshd3")
+      .withColumnRenamed("id", "arrival_id")
+    val cand = gens.map { g =>
+      d3Post.hint("merge").join(
+        s.table(g).select(col("band"), col("bucket"), col("id").as("dup_of")),
+        Seq("band", "bucket"))
+        .select("arrival_id", "dup_of")
+    }.reduce(_ unionAll _).distinct()
+    val shD3 = day3.select(col("arrival_id"),
+      DedupFns.packedHashSet(col("text")).as("sh_a"))
+    // reference texts: history + day-1 (an indexed dup_of ≥ 300 is a
+    // day-1 survivor's arrival id)
+    val shRef = lshHist(d).select(col("doc_id").as("dup_of"),
+        DedupFns.packedHashSet(col("text")).as("sh_b"))
+      .unionAll(lshDay1(d).select(col("arrival_id").as("dup_of"),
+        DedupFns.packedHashSet(col("text")).as("sh_b")))
+    cand.join(shD3, "arrival_id").join(shRef, "dup_of")
+      .withColumn("jaccard", lshJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("arrival_id"), col("dup_of"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("arrival_id", "dup_of")
+  }
+
+  /** q152: band-index GENERATION COMPACTION — q150's nightly fold for
+    * the OTHER write-back index family (q139's LSH posting
+    * generations): gen 0 + gen 1 folded bucket-wise into one posting
+    * table, day-3 batch probed against it with ONE bucket-local merge
+    * join + exact verify. Chain-vs-fold value identity pinned; the
+    * oracle replays the whole pipeline (q139's machinery with a d3
+    * role and the survivor-filtered index side). Together q150 + q152
+    * close the "nightly compaction" clause both write-back entries'
+    * scaladocs carried. */
+  def bandCompaction: Q = (s, dir) => {
+    val (g0, g1) = buildBandGenerations(s, dir)
+    bandProbe(s, dir, Seq(foldBandGenerations(s, g0, g1)))
+  }
+
   val entries: Map[String, Q] = Map(
+    "q152_band_compaction" -> bandCompaction,
     "q150_index_compaction" -> indexCompaction,
     "q148_curation_pipeline" -> curationPipeline,
     "q147_int8_store_probe" -> int8StoredAnn,
@@ -3531,6 +3711,7 @@ object CorpusQueries {
     "q137_kmeans_train" -> kmeansOracleSql,
     "q138_semantic_dedup" -> semanticDedupOracleSql,
     "q139_band_writeback" -> bandWriteBackOracleSql,
+    "q152_band_compaction" -> bandCompactionOracleSql,
     "q37_simhash_pairs" -> simhashOracleSql,
     // same plane-literal embedding trick as q96 (the dedup index is
     // 12-bit where search is 6-bit); the OR over tables reproduces

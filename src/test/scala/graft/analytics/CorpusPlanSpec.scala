@@ -172,6 +172,36 @@ class CorpusPlanSpec extends SparkSpec {
     assert(chain.nonEmpty)
   }
 
+  test("q152 band compaction: exchange-free fold, chain-identical probe") {
+    val (g0, g1) = CorpusQueries.buildBandGenerations(spark, sf)
+    // same fold contract as q150, on the overlapping-key posting
+    // layout: read side exchange-free, output = the inputs' files
+    val union = spark.table(g0).unionAll(spark.table(g1))
+    assert(!union.queryExecution.executedPlan.toString.contains("Exchange"),
+      union.queryExecution.executedPlan.toString)
+    val gc = CorpusQueries.foldBandGenerations(spark, g0, g1)
+    assert(spark.table(gc).inputFiles.length ==
+      spark.table(g0).inputFiles.length + spark.table(g1).inputFiles.length)
+    assert(spark.table(gc).count() ==
+      spark.table(g0).count() + spark.table(g1).count())
+    // folded probe: the index side never reshuffles (q135/q139's
+    // budget discipline) and candidates form on the bucket key
+    val folded = CorpusQueries.bandProbe(spark, sf, Seq(gc))
+    val plan = finalPlan(folded)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // day-3 matches identical whether probing the chain or the fold —
+    // and nonempty on BOTH sides of the index: a mutated re-crawl of
+    // history (dup_of < 300) and of day 1 (dup_of ≥ 300) each appear
+    val rows = folded.collect().map(_.toSeq.toVector).toVector
+    val chain = CorpusQueries.bandProbe(spark, sf, Seq(g0, g1))
+      .collect().map(_.toSeq.toVector).toVector
+    assert(rows == chain && rows.nonEmpty)
+    assert(rows.exists(_(1).asInstanceOf[Long] < 300))
+    assert(rows.exists(_(1).asInstanceOf[Long] >= 300))
+  }
+
   test("q135 incremental near-dup: band index probed bucket-locally") {
     // the persisted posting index is bucketed by (band, bucket): the
     // candidate join reads it without an exchange — only the batch's
