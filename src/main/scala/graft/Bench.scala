@@ -336,7 +336,9 @@ object Bench {
           "q102_dup_clusters", "q117_lm_quality",
           "q58_column_discovery", "q90_alpha_all", "q91_rank_ic",
           "q125_similarity_ivf", "q127_incremental_dedup",
-          "q134_index_writeback", "q137_kmeans_train")
+          "q134_index_writeback", "q137_kmeans_train",
+          "q148_curation_pipeline", "q150_index_compaction",
+          "q151_ivf_append")
         def once(n: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
           val t = System.nanoTime()
           try { fn(spark, sf2Dir).write.format("noop").mode("overwrite").save()

@@ -1348,15 +1348,17 @@ object CorpusQueries {
   }
 
   /** q132 sketch geometry + row-hash parameters, shared between the
-    * Spark entry and the DuckDB oracle (interpolated as literals). */
-  private val cmsDepth = 4
+    * Spark entry and the DuckDB oracle (interpolated as literals);
+    * `private[graft]` because the streaming CMS (q153) runs the same
+    * sketch in windowed state. */
+  private[graft] val cmsDepth = 4
   // width 32 against the fixture's ~40-token vocabulary forces real
   // bucket collisions, so the entry demonstrates the one-sided error
   // (cms_n > true_n on collided tokens), not just exact pass-through;
   // production sizing is w = ceil(e/ε) for error ε·N
-  private val cmsWidth = 32L
-  private val cmsA = (0 until cmsDepth).map(i => 1299721L * (i + 1) + 7919L)
-  private val cmsB = (0 until cmsDepth).map(i => 104729L * (i + 1))
+  private[graft] val cmsWidth = 32L
+  private[graft] val cmsA = (0 until cmsDepth).map(i => 1299721L * (i + 1) + 7919L)
+  private[graft] val cmsB = (0 until cmsDepth).map(i => 104729L * (i + 1))
   private val cmsTerms = Seq("spark", "window", "join", "table", "customer")
 
   /** q132: COUNT-MIN SKETCH token-frequency estimation — the
@@ -1374,9 +1376,9 @@ object CorpusQueries {
   // CMS row hash: the 60-bit portable hash reduced mod p FIRST so
   // h*a stays under 2^63 (ANSI mode; same discipline as the minhash
   // permutations).
-  private def cmsRowHash(c: Column): Column =
+  private[graft] def cmsRowHash(c: Column): Column =
     pmod(DedupFns.portableHash60(c), lit(DedupFns.minhashP))
-  private def cmsBucket(h: Column, i: Int): Column =
+  private[graft] def cmsBucket(h: Column, i: Int): Column =
     pmod(pmod(h * cmsA(i) + cmsB(i), lit(DedupFns.minhashP)), lit(cmsWidth))
 
   def cmsFrequency: Q = (s, dir) => {

@@ -430,7 +430,80 @@ object StreamQueries {
   def ohlcStreamValues: Q = (s, dir) =>
     streamedOhlc(s, dir).orderBy("bar_start_us")
 
+  /** q153 tracked items, shared with the oracle literal. */
+  private val cmsTrackedUsers = Seq(1L, 2L, 3L, 4L, 5L)
+
+  /** q153: streaming windowed COUNT-MIN frequency telemetry — q143's
+    * companion: where the KMV sketch answers "how many DISTINCT" with
+    * ≤ k longs of state, the CMS answers "how often is item X" with a
+    * FIXED d×w counter grid per open window. The sketch needs no
+    * custom aggregate in streaming at all: each event pre-explodes
+    * (statelessly) into its d cell coordinates and the "sketch" is a
+    * plain windowed count keyed (window, row, bucket) — ≤ d·w = 128
+    * state rows per open hour REGARDLESS of traffic, watermark-
+    * evicted, mergeable across micro-batches by the aggregation
+    * itself (cells merge by addition — the CMS property). Closed
+    * windows emit their cells; the tracked-item estimates (min over
+    * the item's d cells, absent cell = 0) and the true counts are
+    * derived batch-side, q132's true-vs-estimate shape per hour.
+    * Deterministic portable hashing → the DuckDB oracle replays
+    * sketch, estimate, and truth cell for cell. */
+  def streamedCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.CorpusQueries.{cmsBucket, cmsDepth, cmsRowHash}
+    val root = graft.TempDirs.scratch("graft_stream_cms", preferShm = true)
+    val ev = graft.Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(tsUtc(col("ts")).as("ts"), col("user_id"))
+    val src = replaySource(s, root, ev, thirds)
+    val h = cmsRowHash(col("user_id").cast("string"))
+    runToMemorySink(s, root, "q153_cms",
+      src()
+        .withWatermark("ts", "2 hours")
+        .select(col("ts"), h.as("h"))
+        .select(col("ts"), explode(array((0 until cmsDepth).map(r =>
+          struct(lit(r).as("r"), cmsBucket(col("h"), r).as("bucket"))): _*))
+          .as("c"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("c.r").as("r"),
+          col("c.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("hour"), col("r"), col("bucket"), col("cnt")))
+  }
+
+  def cmsStreamValues: Q = (s, dir) => {
+    import graft.analytics.CorpusQueries.{cmsBucket, cmsDepth, cmsRowHash}
+    import s.implicits._
+    // the cells frame is consumed twice (closed-hours grid + the
+    // estimate join): checkpoint the ≤128-rows/hour sketch so the
+    // memory-sink view isn't self-joined (analyzer can't dedupe
+    // MemoryPlan references) and isn't re-read per consumer
+    val cells = streamedCms(s, dir).localCheckpoint()
+    val uh = cmsRowHash(col("user_id").cast("string"))
+    val uframe = cmsTrackedUsers.toDF("user_id")
+      .select(col("user_id"), explode(array((0 until cmsDepth).map(r =>
+        struct(lit(r).as("r"), cmsBucket(uh, r).as("bucket"))): _*)).as("c"))
+      .select(col("user_id"), col("c.r").as("r"), col("c.bucket").as("bucket"))
+    // closed hours × tracked users × d rows; an absent cell means
+    // nothing hashed there that hour — its count is 0, and min picks
+    // it up (the estimate must not ignore empty cells)
+    val est = cells.select(col("hour")).distinct()
+      .crossJoin(broadcast(uframe))
+      .join(cells, Seq("hour", "r", "bucket"), "left")
+      .groupBy("hour", "user_id")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
+    val truth = graft.Tables.load(s, dir, "events")
+      .filter(col("user_id").isin(cmsTrackedUsers: _*))
+      .groupBy(date_trunc("hour", col("ts").cast("timestamp")).as("hour"),
+        col("user_id"))
+      .agg(count(lit(1)).as("true_n"))
+    est.join(truth, Seq("hour", "user_id"), "left")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("user_id"), coalesce(col("true_n"), lit(0L)).as("true_n"),
+        col("cms_n"))
+      .orderBy("hour", "user_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q153_stream_cms" -> cmsStreamValues,
     "q149_stream_ohlc" -> ohlcStreamValues,
     "q95_ema_stream_parity" -> emaStreamValues,
     "q114_stream_hourly" -> hourlyStreamValues,
@@ -446,6 +519,51 @@ object StreamQueries {
     * identical double ops on exactly-representable inputs, so values
     * match bitwise before the 6-dp quantization. */
   val oracles: Map[String, String] = Map(
+    // q153: the sketch rebuilt per hour from the batch table — every
+    // event crossed with the d hash params onto its cells, q114's
+    // ms-floored closed-window rule, estimates as min over the
+    // tracked item's cells with absent cells counting 0
+    "q153_stream_cms" -> {
+      import graft.analytics.CorpusQueries.{cmsA, cmsB, cmsWidth}
+      val p = graft.functions.DedupFns.minhashP
+      val params = cmsA.zip(cmsB).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      val users = cmsTrackedUsers.map(u => s"($u)").mkString(", ")
+      s"""WITH wm AS (
+         | SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 2 HOUR AS w
+         | FROM events),
+         |hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS h
+         | FROM events, wm WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w),
+         |hm AS (SELECT date_trunc('hour', ts) AS h,
+         |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) % $p AS hh
+         | FROM events WHERE user_id IS NOT NULL),
+         |params(r, a, b) AS (VALUES $params),
+         |cells AS (SELECT h, r, ((hh * a + b) % $p) % $cmsWidth AS bucket,
+         |    count(*) AS cnt
+         |  FROM hm CROSS JOIN params GROUP BY 1, 2, 3),
+         |u(user_id) AS (VALUES $users),
+         |ub AS (SELECT user_id, r,
+         |  ((CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |     AS BIGINT) % $p * a + b) % $p) % $cmsWidth AS bucket
+         | FROM u CROSS JOIN params),
+         |est AS (
+         | SELECT hrs.h, ub.user_id, min(coalesce(cells.cnt, 0)) AS cms_n
+         | FROM hrs CROSS JOIN ub
+         | LEFT JOIN cells ON cells.h = hrs.h AND cells.r = ub.r
+         |  AND cells.bucket = ub.bucket
+         | GROUP BY 1, 2),
+         |tru AS (SELECT date_trunc('hour', ts) AS h, user_id,
+         |    count(*) AS true_n
+         |  FROM events WHERE user_id IN (SELECT user_id FROM u)
+         |  GROUP BY 1, 2)
+         |SELECT strftime(est.h, '%Y-%m-%d %H:%M') AS hour,
+         | CAST(est.user_id AS BIGINT) AS user_id,
+         | CAST(coalesce(true_n, 0) AS BIGINT) AS true_n,
+         | CAST(cms_n AS BIGINT) AS cms_n
+         |FROM est LEFT JOIN tru ON tru.h = est.h AND tru.user_id = est.user_id
+         |ORDER BY hour, user_id""".stripMargin
+    },
     // q149: the kept set is deterministic (the beyond-horizon late
     // slice is dropped, the in-horizon one absorbed), so the oracle
     // rebuilds each bar from events MINUS the dropped slice, with

@@ -320,6 +320,52 @@ class StreamOpsSpec extends SparkSpec {
       s"rocksdb=${rocks.take(3)} default=${default.take(3)}")
   }
 
+  test("q153 streaming CMS: bounded cells, one-sided error, batch parity") {
+    val sf = "/root/testdata/sf0.001"
+    val cells = StreamQueries.streamedCms(spark, sf)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getInt(1),
+        r.getLong(2), r.getLong(3)))
+    assert(cells.nonEmpty)
+    // the CMS state contract: ≤ d·w = 128 cells per window, ever
+    val perHour = cells.groupBy(_._1).view.mapValues(_.length)
+    assert(perHour.values.max <= 128)
+    // keys unique (the sketch is a grid, not a bag)
+    assert(cells.map(c => (c._1, c._2, c._3)).distinct.length == cells.length)
+    // streamed cells == the batch sketch on closed hours, cell for
+    // cell (the cross-micro-batch merge is the aggregation itself)
+    import graft.analytics.CorpusQueries.{cmsBucket, cmsDepth, cmsRowHash}
+    val ev = graft.Tables.load(spark, sf, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+    val wmUs = (ev.agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000) *
+      1000 - 2L * 3600 * 1000 * 1000
+    val h = cmsRowHash(col("user_id").cast("string"))
+    val batch = ev.select(col("ts"), h.as("h"))
+      .select(col("ts"), explode(array((0 until cmsDepth).map(r =>
+        struct(lit(r).as("r"), cmsBucket(col("h"), r).as("bucket"))): _*)).as("c"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("c.r").as("r"),
+        col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(unix_micros(col("hour")) + 3600L * 1000 * 1000 <= wmUs)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getInt(1),
+        r.getLong(2), r.getLong(3)))
+    assert(cells.toSet == batch.toSet)
+    // the estimate never undercounts (CMS's one-sided guarantee)
+    val rows = StreamQueries.cmsStreamValues(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(3) >= r.getLong(2)))
+  }
+
+  test("q149 OHLC bars: RocksDB state-store provider is value-identical") {
+    // the third stateful family (watermarked windowed agg with late
+    // data absorbed AND dropped) under the production state provider:
+    // the late-arrival semantics must not depend on the store
+    val sf = "/root/testdata/sf0.001"
+    val default = sortedRows(StreamQueries.ohlcStreamValues(spark, sf))
+    val rocks = withRocksDb(sortedRows(StreamQueries.ohlcStreamValues(spark, sf)))
+    assert(rocks.nonEmpty && rocks == default,
+      s"rocksdb=${rocks.take(3)} default=${default.take(3)}")
+  }
+
   test("q120 attribution: RocksDB state-store provider is value-identical") {
     // the stream-stream interval join holds TWO watermark-bounded
     // buffers (views + purchases) in state — the tier's heavier
