@@ -65,7 +65,13 @@ object Bench {
                 ingest: String): String = {
     val qs = results.map { case (k, w, _, _) => "\"" + entryKey(k) + "\":" + r3(w) }
       .mkString("{", ",", "}")
-    val rerun = results.collect { case (k, _, _, true) => "\"" + entryKey(k) + "\"" }
+    // rerun capped like failed: a contended host pushes MOST entries
+    // over the rerun threshold at once, and an uncapped list (~6
+    // bytes/entry × ~120) would re-overflow the tail capture in
+    // exactly the round whose artifact must explain the slowdown
+    val rk = results.collect { case (k, _, _, true) => entryKey(k) }
+    val rerun = (if (rk.length <= 12) rk.map("\"" + _ + "\"")
+      else rk.take(12).map("\"" + _ + "\"") :+ s""""+${rk.length - 12}"""")
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // entryKey-compacted AND capped: a failed entry is already visible
@@ -232,6 +238,12 @@ object Bench {
     // per-attempt + per-medium-load diag fields explain it
     if (diskBest._2 > tmpfsBest._2 && tmpfsBest._2 >= 0)
       tmpfsBest = better(tmpfsBest, tryIngest(preferShm = true, "tmpfs"))
+    // failure is judged on the KEPT reading, not the last attempt: a
+    // transient error on a retry must not fail a run whose earlier
+    // good reading survives (tryIngest's own clearing only covers
+    // fail-then-succeed, not succeed-then-fail)
+    for ((best, tag) <- Seq((tmpfsBest, "tmpfs"), (diskBest, "disk")))
+      if (best._2 >= 0) failed = failed.filterNot(_ == s"ingest_bulk_load_$tag")
     val (ingestRows, ingestRps, ingestCpu, ingestBpr, ingestMedium) = tmpfsBest
     val (_, ingestRpsDisk, ingestCpuDisk, _, _) = diskBest
     // the shared full-panel alpha derivation is a ONE-TIME session

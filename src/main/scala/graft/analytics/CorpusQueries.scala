@@ -2455,12 +2455,24 @@ object CorpusQueries {
     * precisely so the PROBE cost stops growing — that is what this
     * demonstrates. */
   private[analytics] def foldGenerations(s: SparkSession, g0Name: String,
-      g1Name: String): String = {
-    val root = graft.TempDirs.scratch("graft_fp_fold")
+      g1Name: String): String =
+    foldBucketedGens(s, g0Name, g1Name, Seq("fp"), "g150_fp_genc")
+
+  /** The ONE fold mechanism behind q150 (fp index) and q152 (band
+    * index): union two identically-bucketed generations and write
+    * them back under the same layout — every input bucket file is one
+    * task whose rows belong to one output bucket, so nothing moves
+    * between tasks (no exchange; output files = sum of input files,
+    * pinned in both specs). */
+  private def foldBucketedGens(s: SparkSession, g0Name: String,
+      g1Name: String, keyCols: Seq[String], prefix: String): String = {
+    val root = graft.TempDirs.scratch(prefix + "_fold")
     val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
-    val cName = s"g150_fp_genc_$tag"
+    val cName = s"${prefix}_$tag"
     s.table(g0Name).unionAll(s.table(g1Name))
-      .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
+      .write.format("parquet")
+      .bucketBy(8, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
       .option("path", s"$root/$cName").mode("overwrite").saveAsTable(cName)
     cName
   }
@@ -2524,16 +2536,8 @@ object CorpusQueries {
     * history and day-1 postings), which is exactly what a posting
     * list is — the fold concatenates payloads, it never merges keys. */
   private[analytics] def foldBandGenerations(s: SparkSession, g0Name: String,
-      g1Name: String): String = {
-    val root = graft.TempDirs.scratch("graft_band_fold")
-    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
-    val cName = s"g152_band_genc_$tag"
-    s.table(g0Name).unionAll(s.table(g1Name))
-      .write.format("parquet").bucketBy(8, "band", "bucket")
-      .sortBy("band", "bucket")
-      .option("path", s"$root/$cName").mode("overwrite").saveAsTable(cName)
-    cName
-  }
+      g1Name: String): String =
+    foldBucketedGens(s, g0Name, g1Name, Seq("band", "bucket"), "g152_band_genc")
 
   /** The day-3 NEAR-dup probe, parameterized by the generation chain:
     * candidates = bucket collisions against every generation's

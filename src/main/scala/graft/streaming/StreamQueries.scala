@@ -373,6 +373,12 @@ object StreamQueries {
     * late). Batch maxima stay nondecreasing — the id%5 filter leaves
     * the true range endpoints in their home batches. */
   private def lateThirds(lo: Long, hi: Long): Seq[Column] = {
+    // the slice geometry assumes head and tail slices are disjoint
+    // within batch 1 ((hi-lo)/3 ≥ 12h); a regenerated fixture with a
+    // shorter range would otherwise deliver an overlapping tick in
+    // BOTH late batches and silently break oracle parity — fail loud
+    require((hi - lo) / 3 >= 2 * lateSliceUs,
+      s"events range ${hi - lo}us too short for the late-slice replay geometry")
     val b1 = lo + (hi - lo) / 3
     val b2 = lo + 2 * ((hi - lo) / 3)
     val m = tsMicros(col("ts"))

@@ -63,6 +63,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(f.get(12).asText() == "+48", f.toString)
   }
 
+  test("mass rerun keeps the line under budget (rerun list is capped)") {
+    // a contended host pushes MOST entries over the rerun threshold
+    // at once — exactly the round whose artifact must survive the
+    // tail capture to explain itself
+    val entries = (1 to 130).map { i =>
+      (f"q$i%d_some_entry_name_here", 4.345 + (i % 7), 123.4 + i, true)
+    }
+    val line = Bench.finalLine(entries,
+      hostLoad = """{"start":24.312,"end":27.897,"cores":32}""",
+      failed = Nil,
+      sf = "/root/testdata/sf0.1",
+      ingest = """{"rows":320000,"rps":3961234.5,"rps_disk":4112345.6,"bpr":6.2}""")
+    assert(line.length < 1900, s"mass-rerun line is ${line.length} bytes: $line")
+    val r = mapper.readTree(line).get("rerun")
+    assert(r.size() == 13, r.toString)
+    assert(r.get(12).asText() == "+118", r.toString)
+  }
+
   test("final line is one parseable JSON object; cpu array on the diag side") {
     val entries = fakeEntries(130)
     val line = fakeLine(130)
