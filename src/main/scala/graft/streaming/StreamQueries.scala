@@ -508,7 +508,77 @@ object StreamQueries {
       .orderBy("hour", "user_id")
   }
 
+  /** q154: STREAM-STATIC join — dedup-on-arrival as a LIVE feed
+    * (q127's batch flow restated on the last streaming join family
+    * the tier lacked): arriving documents stream in as micro-batches
+    * and LEFT-join the PERSISTED bucketed fingerprint index (q127's
+    * layout) to split each batch into index-dups vs new. The join is
+    * STATELESS — no watermark, no state store: the static side is
+    * re-planned per micro-batch against the current table, which is
+    * precisely the production semantics (index updates land between
+    * batches). The replay makes the boundary of that semantic
+    * explicit: batch 3 re-crawls a batch-1 ARRIVAL, and the static
+    * join does NOT catch it (the index never saw batch 1) — the
+    * documented gap that q134's nightly write-back closes. Batch
+    * identity rides as a data column, so the per-(batch, source)
+    * rollup is deterministic and the DuckDB oracle replays arrivals,
+    * index membership, and the uncaught re-crawl relationally.
+    *
+    * Scale: the per-batch join is bucket-local against the index
+    * (only the batch moves — q127's argument); stream side state is
+    * ZERO. */
+  def streamedIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_sjoin", preferShm = true)
+    val d = graft.Tables.load(s, dir, "documents")
+    val fp = graft.functions.TextFns.fingerprint(col("text"))
+    // the static side: q127's bucketed fingerprint index of history
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val idxName = s"g154_fp_index_$tag"
+    d.filter(col("doc_id") < 400)
+      .groupBy(fp.as("fp")).agg(min("doc_id").as("keep_id"))
+      .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
+      .option("path", s"$root/$idxName").mode("overwrite").saveAsTable(idxName)
+    // three arrival batches, batch id carried as data: new docs split
+    // by id range, plus re-crawls of HISTORY (caught by the index)
+    // and, in batch 3, re-crawls of BATCH-1 arrivals (not caught —
+    // the static side never saw them)
+    def arrivals(i: Int): DataFrame = {
+      val fresh = d.filter(col("doc_id") >= 400 + i * 34 &&
+          col("doc_id") < (400 + (i + 1) * 34).min(500))
+        .select(col("doc_id").as("arrival_id"), col("source"), col("text"))
+      val recrawl = i match {
+        case 0 => d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("arrival_id"), col("source"), col("text"))
+        case 1 => d.filter(col("doc_id") >= 300 && col("doc_id") < 310)
+          .select((col("doc_id") + 200000).as("arrival_id"), col("source"), col("text"))
+        case _ => d.filter(col("doc_id") >= 400 && col("doc_id") < 410)
+          .select((col("doc_id") + 300000).as("arrival_id"), col("source"), col("text"))
+      }
+      fresh.unionAll(recrawl).withColumn("batch_id", lit(i.toLong))
+    }
+    val writtenSchema = (0 until 3).map { i =>
+      val b = arrivals(i)
+      b.coalesce(1).write.parquet(s"$root/in/b$i")
+      b.schema
+    }.head
+    val stream = s.readStream.schema(writtenSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in/*")
+    runToMemorySink(s, root, "q154_sjoin",
+      stream.select(col("arrival_id"), col("source"), col("batch_id"), fp.as("fp"))
+        .join(s.table(idxName).select(col("fp"), col("keep_id")), Seq("fp"), "left"))
+  }
+
+  def indexDedupStreamValues: Q = (s, dir) =>
+    streamedIndexDedup(s, dir)
+      .groupBy("batch_id", "source")
+      .agg(count(lit(1)).as("n_arrived"),
+        sum(when(col("keep_id").isNotNull, 1L).otherwise(0L)).as("n_dup_hist"),
+        sum(when(col("keep_id").isNull, 1L).otherwise(0L)).as("n_new"))
+      .orderBy("batch_id", "source")
+
   val entries: Map[String, Q] = Map(
+    "q154_stream_index_dedup" -> indexDedupStreamValues,
     "q153_stream_cms" -> cmsStreamValues,
     "q149_stream_ohlc" -> ohlcStreamValues,
     "q95_ema_stream_parity" -> emaStreamValues,
@@ -525,6 +595,42 @@ object StreamQueries {
     * identical double ops on exactly-representable inputs, so values
     * match bitwise before the 6-dp quantization. */
   val oracles: Map[String, String] = Map(
+    // q154: arrivals, index membership (fps of docs < 400) and the
+    // per-(batch, source) split replayed relationally — including the
+    // batch-3 re-crawls of batch-1 arrivals, which count as n_new
+    // because a STATIC index cannot see them (the documented gap
+    // q134's write-back closes)
+    "q154_stream_index_dedup" ->
+      raw"""WITH fps AS (
+         | SELECT doc_id, source,
+         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         | FROM documents),
+         |idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 400),
+         |arr AS (
+         |  SELECT doc_id AS arrival_id, source, fp, 0 AS batch_id FROM fps
+         |   WHERE doc_id >= 400 AND doc_id < 434
+         |  UNION ALL
+         |  SELECT doc_id + 100000, source, fp, 0 FROM fps WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id, source, fp, 1 FROM fps
+         |   WHERE doc_id >= 434 AND doc_id < 468
+         |  UNION ALL
+         |  SELECT doc_id + 200000, source, fp, 1 FROM fps
+         |   WHERE doc_id >= 300 AND doc_id < 310
+         |  UNION ALL
+         |  SELECT doc_id, source, fp, 2 FROM fps
+         |   WHERE doc_id >= 468 AND doc_id < 500
+         |  UNION ALL
+         |  SELECT doc_id + 300000, source, fp, 2 FROM fps
+         |   WHERE doc_id >= 400 AND doc_id < 410),
+         |j AS (SELECT arr.batch_id, arr.source,
+         |        CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM arr LEFT JOIN idx USING (fp))
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id, source,
+         | count(*) AS n_arrived,
+         | CAST(sum(hit) AS BIGINT) AS n_dup_hist,
+         | CAST(sum(1 - hit) AS BIGINT) AS n_new
+         |FROM j GROUP BY 1, 2 ORDER BY batch_id, source""".stripMargin,
     // q153: the sketch rebuilt per hour from the batch table — every
     // event crossed with the d hash params onto its cells, q114's
     // ms-floored closed-window rule, estimates as min over the

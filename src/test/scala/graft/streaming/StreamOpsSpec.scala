@@ -320,6 +320,23 @@ class StreamOpsSpec extends SparkSpec {
       s"rocksdb=${rocks.take(3)} default=${default.take(3)}")
   }
 
+  test("q154 stream-static join: index catches history, not in-stream arrivals") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = StreamQueries.streamedIndexDedup(spark, sf)
+      .select(col("arrival_id"), col("batch_id"),
+        col("keep_id").isNotNull.as("hit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // all three micro-batches flowed through the stateless join
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    // batch-1 re-crawls of HISTORY are caught by the static index ...
+    val histRecrawl = rows.filter(r => r._1 >= 100000 && r._1 < 200000)
+    assert(histRecrawl.nonEmpty && histRecrawl.forall(_._3))
+    // ... but batch-3 re-crawls of BATCH-1 ARRIVALS are NOT — the
+    // static side never saw them (the gap q134's write-back closes)
+    val arrivalRecrawl = rows.filter(_._1 >= 300000)
+    assert(arrivalRecrawl.nonEmpty && arrivalRecrawl.forall(!_._3))
+  }
+
   test("q153 streaming CMS: bounded cells, one-sided error, batch parity") {
     val sf = "/root/testdata/sf0.001"
     val cells = StreamQueries.streamedCms(spark, sf)
