@@ -2595,7 +2595,88 @@ object CorpusQueries {
     bandProbe(s, dir, Seq(foldBandGenerations(s, g0, g1)))
   }
 
+  /** q155 bloom geometry, shared with the oracle literals: m = 1024
+    * bits, k = 3 deterministic hash positions per fingerprint —
+    * deliberately SMALL against the ~400-fp index (fill ≈ 69%, false
+    * positive rate ≈ 1/3) so the entry demonstrates BOTH outcomes the
+    * pattern exists for: bloom-negative arrivals skip the index probe
+    * outright (zero false negatives — the filter's guarantee), and
+    * bloom-positive misses (false positives) are caught by the real
+    * join. Production sizes m for its FP budget; the mechanics are
+    * identical. */
+  private val bloomM = 1024L
+  private val bloomA = (0 until 3).map(j => 15485863L * (j + 1) + 32452843L)
+  private def bloomPos(h: Column, j: Int): Column =
+    pmod(pmod(h * bloomA(j) + lit(97L * (j + 1)), lit(DedupFns.minhashP)),
+      lit(bloomM))
+
+  /** q155: BLOOM-GUARDED index probe — the scan-reduction idiom in
+    * front of every remote/expensive membership check at 100 TB: the
+    * historical fingerprint index publishes a tiny bloom bitmap
+    * (built with ONE distinct-positions aggregate, broadcast as a
+    * single sorted array ≤ m entries); an arriving batch tests its
+    * k positions against the broadcast FIRST, and only bloom-POSITIVE
+    * winners pay the bucket-local index join — bloom-negatives are
+    * proven-absent without touching the index at all (a bloom has no
+    * false negatives). The per-source report splits arrivals into
+    * skipped / false-positive / true-dup, so the filter's measured
+    * selectivity and FP rate ride in the result. Deterministic
+    * portable hashing end to end → DuckDB replays bitmap, guard and
+    * join verdict for verdict (unlike Spark's built-in murmur-based
+    * BloomFilterAggregate, which no second engine can replay). */
+  def bloomGuardedDedup: Q = (s, dir) => {
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val fp = TextFns.fingerprint(col("text"))
+    val root = graft.TempDirs.scratch("graft_bloom_idx")
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val idxName = s"g155_fp_index_$tag"
+    d.filter(col("doc_id") < 400)
+      .groupBy(fp.as("fp")).agg(min("doc_id").as("keep_id"))
+      .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
+      .option("path", s"$root/$idxName").mode("overwrite").saveAsTable(idxName)
+    val index = s.table(idxName)
+    val h = pmod(DedupFns.portableHash60(col("fp")), lit(DedupFns.minhashP))
+    // the published bitmap: distinct bit positions of every indexed
+    // fp, ONE map-side-combined distinct + one ≤1024-long array row
+    val bits = index
+      .select(explode(array((0 until 3).map(j => bloomPos(h, j)): _*)).as("b"))
+      .distinct()
+      .agg(array_sort(collect_list(col("b"))).as("bits"))
+    // q127's batch shape: new arrivals + re-crawled history + an
+    // in-batch double submission, deduped to per-fp winners first
+    val arrivals = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id").as("arrival_id"), col("source"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("arrival_id"), col("source"), col("text")))
+      .unionAll(d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000).as("arrival_id"), col("source"), col("text")))
+    val winners = arrivals.select(col("arrival_id"), col("source"), fp.as("fp"))
+      .groupBy("fp").agg(min("arrival_id").as("arrival_id"),
+        count(lit(1)).as("n_in_batch"), min("source").as("source"))
+    val guarded = winners.crossJoin(broadcast(bits))
+      .withColumn("bloom_hit", (0 until 3)
+        .map(j => array_contains(col("bits"), bloomPos(h, j)))
+        .reduce(_ && _))
+      .drop("bits")
+      .localCheckpoint() // feeds the probe AND the negatives rollup
+    // ONLY bloom-positives reach the index join (pinned)
+    val probed = guarded.filter(col("bloom_hit"))
+      .hint("merge").join(index.select(col("fp"), col("keep_id")), Seq("fp"), "left")
+    val negatives = guarded.filter(!col("bloom_hit"))
+      .withColumn("keep_id", lit(null).cast("long"))
+    probed.unionByName(negatives)
+      .groupBy("source")
+      .agg(sum("n_in_batch").as("n_arrived"),
+        (sum("n_in_batch") - count(lit(1))).as("n_batch_dups"),
+        sum(when(!col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_skip"),
+        sum(when(col("bloom_hit") && col("keep_id").isNull, 1L).otherwise(0L))
+          .as("n_bloom_fp"),
+        sum(when(col("keep_id").isNotNull, 1L).otherwise(0L)).as("n_dup_index"))
+      .orderBy("source")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q155_bloom_guard" -> bloomGuardedDedup,
     "q152_band_compaction" -> bandCompaction,
     "q150_index_compaction" -> indexCompaction,
     "q148_curation_pipeline" -> curationPipeline,
@@ -2729,6 +2810,50 @@ object CorpusQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q155: bitmap, guard and join verdict replayed — h is
+    // portableHash60 OF THE FP STRING (md5-of-md5), the k positions
+    // interpolate the same (a, b, m) literals, membership via IN over
+    // the distinct-position set, and the guarded split mirrors the
+    // entry's three-way counters (a bloom has no false negatives, so
+    // in-index implies bloom-positive)
+    "q155_bloom_guard" -> {
+      val p = DedupFns.minhashP
+      def pos(j: Int) = s"((h * ${bloomA(j)} + ${97L * (j + 1)}) % $p) % $bloomM"
+      raw"""WITH fps AS (
+         | SELECT doc_id, source,
+         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         | FROM documents),
+         |idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 400),
+         |hp AS (SELECT fp,
+         |  CAST(concat('0x', substr(md5(fp), 1, 15)) AS BIGINT) % $p AS h
+         | FROM (SELECT DISTINCT fp FROM fps)),
+         |ib AS (SELECT DISTINCT ${pos(0)} AS b FROM hp JOIN idx USING (fp)
+         | UNION SELECT ${pos(1)} FROM hp JOIN idx USING (fp)
+         | UNION SELECT ${pos(2)} FROM hp JOIN idx USING (fp)),
+         |arr AS (
+         |  SELECT doc_id AS arrival_id, source, fp FROM fps WHERE doc_id >= 400
+         |  UNION ALL
+         |  SELECT doc_id + 100000, source, fp FROM fps WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id + 200000, source, fp FROM fps WHERE doc_id < 20),
+         |w AS (SELECT fp, min(arrival_id) AS arrival_id,
+         |        count(*) AS n_in_batch, min(source) AS source
+         |      FROM arr GROUP BY fp),
+         |wg AS (SELECT w.source, w.n_in_batch,
+         |  (${pos(0)} IN (SELECT b FROM ib)
+         |   AND ${pos(1)} IN (SELECT b FROM ib)
+         |   AND ${pos(2)} IN (SELECT b FROM ib)) AS bloom_hit,
+         |  CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END AS in_idx
+         | FROM w JOIN hp USING (fp) LEFT JOIN idx ON idx.fp = w.fp)
+         |SELECT source, CAST(sum(n_in_batch) AS BIGINT) AS n_arrived,
+         | CAST(sum(n_in_batch) - count(*) AS BIGINT) AS n_batch_dups,
+         | CAST(sum(CASE WHEN NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_bloom_skip,
+         | CAST(sum(CASE WHEN bloom_hit AND in_idx = 0 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_bloom_fp,
+         | CAST(sum(in_idx) AS BIGINT) AS n_dup_index
+         |FROM wg GROUP BY source ORDER BY source""".stripMargin
+    },
     // q150: storage-independent relational replay (q127/q134's
     // argument) — the folded index's fingerprint SET is exactly the
     // fps of docs < 400 (gen 0 = history < 300; gen 1 = day-1 new fps

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Plan audits for the training-data-pipeline entries: the scaladocs
   * claim specific scale shapes (broadcast eval/query sides, no corpus
@@ -200,6 +201,37 @@ class CorpusPlanSpec extends SparkSpec {
     assert(rows == chain && rows.nonEmpty)
     assert(rows.exists(_(1).asInstanceOf[Long] < 300))
     assert(rows.exists(_(1).asInstanceOf[Long] >= 300))
+  }
+
+  test("q155 bloom guard: no false negatives, all three outcomes live") {
+    val rows = CorpusQueries.bloomGuardedDedup(spark, sf).collect()
+    val tot = (c: Int) => rows.map(_.getLong(c)).sum
+    val (arrived, bdups, skip, fp, dup) = (tot(1), tot(2), tot(3), tot(4), tot(5))
+    // the split partitions the per-fp winners exactly
+    assert(skip + fp + dup == arrived - bdups)
+    // the pattern's both outcomes fire at this geometry: arrivals
+    // proven-absent without probing, and false positives caught by
+    // the real join; true dups exist (the re-crawled history)
+    assert(skip > 0 && fp > 0 && dup > 0, s"skip=$skip fp=$fp dup=$dup")
+    // ZERO false negatives: the guarded dup count equals the plain
+    // unguarded membership count computed independently
+    val d = graft.Tables.load(spark, sf, "documents")
+    val fpc = graft.functions.TextFns.fingerprint(col("text"))
+    val idx = d.filter(col("doc_id") < 400).select(fpc.as("fp")).distinct()
+    val arrivals = d.filter(col("doc_id") >= 400).select(fpc.as("fp"))
+      .unionAll(d.filter(col("doc_id") < 50).select(fpc.as("fp")))
+      .unionAll(d.filter(col("doc_id") < 20).select(fpc.as("fp")))
+      .distinct()
+    val unguarded = arrivals.join(idx, Seq("fp"), "left_semi").count()
+    assert(dup == unguarded, s"guarded=$dup unguarded=$unguarded")
+    // the probe is bucket-local on the index side (q127's budget):
+    // winners agg + batch-to-bucket + rollup, never an index shuffle
+    val plan = finalPlan(CorpusQueries.bloomGuardedDedup(spark, sf))
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(ex <= 3, s"$ex hash exchanges:\n$plan")
   }
 
   test("q135 incremental near-dup: band index probed bucket-locally") {
