@@ -577,7 +577,102 @@ object StreamQueries {
         sum(when(col("keep_id").isNull, 1L).otherwise(0L)).as("n_new"))
       .orderBy("batch_id", "source")
 
+  /** q156: streaming index WRITE-BACK via `foreachBatch` — closing
+    * q154's pinned gap LIVE: q154's stateless stream-static join
+    * cannot see earlier micro-batches' arrivals (its index is
+    * static); here each micro-batch, inside ONE `foreachBatch`
+    * transaction, (1) dedups its per-fp winners against the CURRENT
+    * index — which now includes every previous batch's write-back —
+    * (2) appends its verdict rows to the result store, and (3)
+    * appends its genuinely-new fingerprints to the bucketed index as
+    * the next generation. The same batch-3 re-crawl of a batch-1
+    * arrival that q154 reports as `n_new` is caught here as
+    * `n_dup_stream`. This is the canonical Spark pattern for
+    * stream-to-store upserts (foreachBatch = the sink with batch-
+    * scoped full-DataFrame semantics); batch order under the file
+    * replay is deterministic, so the DuckDB oracle replays the
+    * sequential index evolution with a min-batch window. At 100 TB:
+    * per batch one bucket-local probe + one batch-sized bucketed
+    * append — q134's movement bound, at micro-batch cadence. */
+  def streamedWriteBack(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_wb", preferShm = true)
+    val d = graft.Tables.load(s, dir, "documents")
+    val fp = graft.functions.TextFns.fingerprint(col("text"))
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val idxName = s"g156_fp_index_$tag"
+    // generation 0: history. keep_id < 0 encodes "historical".
+    d.filter(col("doc_id") < 400)
+      .groupBy(fp.as("fp")).agg(min(lit(-1L)).as("keep_id"))
+      .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
+      .option("path", s"$root/$idxName").mode("overwrite").saveAsTable(idxName)
+    // q154's exact batch geometry, so the two entries' verdicts on
+    // the SAME replay differ only by the write-back
+    def arrivals(i: Int): DataFrame = {
+      val fresh = d.filter(col("doc_id") >= 400 + i * 34 &&
+          col("doc_id") < (400 + (i + 1) * 34).min(500))
+        .select(col("doc_id").as("arrival_id"), col("source"), col("text"))
+      val recrawl = i match {
+        case 0 => d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("arrival_id"), col("source"), col("text"))
+        case 1 => d.filter(col("doc_id") >= 300 && col("doc_id") < 310)
+          .select((col("doc_id") + 200000).as("arrival_id"), col("source"), col("text"))
+        case _ => d.filter(col("doc_id") >= 400 && col("doc_id") < 410)
+          .select((col("doc_id") + 300000).as("arrival_id"), col("source"), col("text"))
+      }
+      fresh.unionAll(recrawl).withColumn("batch_id", lit(i.toLong))
+    }
+    val writtenSchema = (0 until 3).map { i =>
+      val b = arrivals(i)
+      b.coalesce(1).write.parquet(s"$root/in/b$i")
+      b.schema
+    }.head
+    val stream = s.readStream.schema(writtenSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in/*")
+      .select(col("arrival_id"), col("source"), col("batch_id"), fp.as("fp"))
+    withStreamShuffle(s, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val winners = batch.groupBy("fp")
+            .agg(min("arrival_id").as("arrival_id"),
+              count(lit(1)).as("n_in_batch"),
+              min("source").as("source"), min("batch_id").as("batch_id"))
+          val verdicts = winners.hint("merge")
+            .join(s.table(idxName), Seq("fp"), "left")
+            .localCheckpoint() // ONE probe feeds results AND write-back
+          verdicts.write.mode("append").parquet(s"$root/out")
+          // the write-back: this batch's new fps become the next
+          // generation, keep_id = the winning arrival
+          verdicts.filter(col("keep_id").isNull)
+            .select(col("fp"), col("arrival_id").as("keep_id"))
+            .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
+            .mode("append").saveAsTable(idxName)
+          // the next batch must SEE this append: drop the cached file
+          // listing (the bucketed append does not reliably invalidate
+          // the shared relation cache — without this, batch 2 probed
+          // a stale index and missed batch 0's write-back)
+          s.catalog.refreshTable(idxName)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$root/out")
+  }
+
+  def writeBackStreamValues: Q = (s, dir) =>
+    streamedWriteBack(s, dir)
+      .groupBy("batch_id", "source")
+      .agg(sum("n_in_batch").as("n_arrived"),
+        sum(when(col("keep_id") === -1L, 1L).otherwise(0L)).as("n_dup_hist"),
+        sum(when(col("keep_id") >= 0, 1L).otherwise(0L)).as("n_dup_stream"),
+        sum(when(col("keep_id").isNull, 1L).otherwise(0L)).as("n_new"))
+      .orderBy("batch_id", "source")
+
   val entries: Map[String, Q] = Map(
+    "q156_stream_writeback" -> writeBackStreamValues,
     "q154_stream_index_dedup" -> indexDedupStreamValues,
     "q153_stream_cms" -> cmsStreamValues,
     "q149_stream_ohlc" -> ohlcStreamValues,
@@ -595,6 +690,50 @@ object StreamQueries {
     * identical double ops on exactly-representable inputs, so values
     * match bitwise before the 6-dp quantization. */
   val oracles: Map[String, String] = Map(
+    // q156: the sequential index evolution replayed with a window —
+    // a winner's verdict is historical-dup (fp in the pre-stream
+    // index), stream-dup (fp first written back by an EARLIER batch:
+    // min batch over the fp's winners < this batch), or new (this
+    // batch is the fp's first). Deterministic because the file replay
+    // fixes batch order.
+    "q156_stream_writeback" ->
+      raw"""WITH fps AS (
+         | SELECT doc_id, source,
+         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         | FROM documents),
+         |hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 400),
+         |arr AS (
+         |  SELECT doc_id AS arrival_id, source, fp, 0 AS batch_id FROM fps
+         |   WHERE doc_id >= 400 AND doc_id < 434
+         |  UNION ALL
+         |  SELECT doc_id + 100000, source, fp, 0 FROM fps WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id, source, fp, 1 FROM fps
+         |   WHERE doc_id >= 434 AND doc_id < 468
+         |  UNION ALL
+         |  SELECT doc_id + 200000, source, fp, 1 FROM fps
+         |   WHERE doc_id >= 300 AND doc_id < 310
+         |  UNION ALL
+         |  SELECT doc_id, source, fp, 2 FROM fps
+         |   WHERE doc_id >= 468 AND doc_id < 500
+         |  UNION ALL
+         |  SELECT doc_id + 300000, source, fp, 2 FROM fps
+         |   WHERE doc_id >= 400 AND doc_id < 410),
+         |w AS (SELECT batch_id, fp, min(arrival_id) AS arrival_id,
+         |        count(*) AS n_in_batch, min(source) AS source
+         |      FROM arr GROUP BY batch_id, fp),
+         |wm AS (SELECT *,
+         |  min(batch_id) OVER (PARTITION BY fp) AS first_b,
+         |  CASE WHEN fp IN (SELECT fp FROM hist) THEN 1 ELSE 0 END AS in_hist
+         | FROM w)
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id, source,
+         | CAST(sum(n_in_batch) AS BIGINT) AS n_arrived,
+         | CAST(sum(in_hist) AS BIGINT) AS n_dup_hist,
+         | CAST(sum(CASE WHEN in_hist = 0 AND batch_id > first_b
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_stream,
+         | CAST(sum(CASE WHEN in_hist = 0 AND batch_id = first_b
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |FROM wm GROUP BY 1, 2 ORDER BY batch_id, source""".stripMargin,
     // q154: arrivals, index membership (fps of docs < 400) and the
     // per-(batch, source) split replayed relationally — including the
     // batch-3 re-crawls of batch-1 arrivals, which count as n_new

@@ -337,6 +337,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(arrivalRecrawl.nonEmpty && arrivalRecrawl.forall(!_._3))
   }
 
+  test("q156 foreachBatch write-back closes q154's gap on the same replay") {
+    val sf = "/root/testdata/sf0.001"
+    // raw verdicts: every batch-3 re-crawl of a batch-1 arrival
+    // (ids +300000, re-crawling docs 400–409) is caught as a STREAM
+    // dup, and its keep_id is the original batch-1 arrival
+    val raw = StreamQueries.streamedWriteBack(spark, sf)
+      .collect().map(r => (r.getLong(1), // arrival_id
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))) // keep_id
+    val recrawls = raw.filter(_._1 >= 300000)
+    assert(recrawls.nonEmpty)
+    assert(recrawls.forall(_._2.exists(k => k >= 400 && k < 410)),
+      recrawls.mkString(", "))
+    // and the aggregate proof against q154 (identical batch geometry,
+    // static index): the write-back converts EXACTLY q154's
+    // batch-3 false-news into stream-dups
+    def byBatch(df: org.apache.spark.sql.DataFrame, newCol: String) = df
+      .groupBy("batch_id")
+      .agg(sum(newCol).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wb = StreamQueries.writeBackStreamValues(spark, sf)
+    val staticJoin = StreamQueries.indexDedupStreamValues(spark, sf)
+    val wbNew = byBatch(wb, "n_new")
+    val sjNew = byBatch(staticJoin, "n_new")
+    val wbStream = byBatch(wb, "n_dup_stream")
+    assert(wbStream(2L) > 0)
+    for (b <- Seq(0L, 1L, 2L))
+      assert(sjNew(b) - wbNew(b) == wbStream(b),
+        s"batch $b: static-new=${sjNew(b)} wb-new=${wbNew(b)} stream-dup=${wbStream(b)}")
+  }
+
   test("q153 streaming CMS: bounded cells, one-sided error, batch parity") {
     val sf = "/root/testdata/sf0.001"
     val cells = StreamQueries.streamedCms(spark, sf)
