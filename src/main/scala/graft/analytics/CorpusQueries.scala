@@ -1511,8 +1511,15 @@ object CorpusQueries {
     * identical copy (round-12 self-review). */
   private def kmeansRounds(
       s: SparkSession, dir: String): (Seq[DataFrame], DataFrame, DataFrame) = {
-    val rounds = 4
     val em = quantizedEmbeddings(s, dir)
+    val (stats, cents) = kmeansRoundsOn(em)
+    (stats, cents, em)
+  }
+
+  /** The Lloyd's rounds over an arbitrary quantized frame — q137/q138
+    * train on the full corpus, q157 on the historical slice. */
+  private def kmeansRoundsOn(em: DataFrame): (Seq[DataFrame], DataFrame) = {
+    val rounds = 4
     def sqDist(a: Column, b: Column): Column =
       VectorFns.longSqDist(a, b)
     var cents = em.orderBy("vec_id").limit(16)
@@ -1546,7 +1553,7 @@ object CorpusQueries {
       merged.select(lit(r).as("round"), col("cid"),
         col("n_assigned"), col("sq_shift"))
     }
-    (stats, cents, em)
+    (stats, cents)
   }
 
   /** q137 oracle: all 4 Lloyd's rounds unrolled as CTE chains — the
@@ -1598,19 +1605,98 @@ object CorpusQueries {
        |ORDER BY round, cid""".stripMargin
   }
 
-  /** Quantization + init CTEs shared by the q137 and q138 oracles
-    * (the q138 oracle re-runs the full training chain to reach the
-    * final centroids c4). */
-  private def kmeansCtesSql: String =
-    """e AS (
+  /** Quantization + init CTEs shared by the q137/q138/q157 oracles
+    * (q138 re-runs the full training chain to reach the final
+    * centroids c4; q157 trains on the `filter`ed slice — `eall`
+    * always carries the unfiltered corpus for its batch side). */
+  private def kmeansCtesSql: String = kmeansCtesSqlWhere("")
+  private def kmeansCtesSqlWhere(filter: String): String =
+    s"""eall AS (
       | SELECT vec_id, list_transform(embedding,
       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
       | FROM embeddings),
+      |e AS (SELECT * FROM eall $filter),
       |em AS (SELECT vec_id, xq,
       |  list_transform(xq, v -> v * 1000) AS xm FROM e),
       |c0 AS (
       | SELECT vec_id AS cid, list_transform(xq, v -> v * 1000) AS c
       | FROM e ORDER BY vec_id LIMIT 16)""".stripMargin
+
+  /** q157 train/update split, shared with the oracle literal. */
+  private val kmeansSplitId = 400L
+
+  /** q157 internals, exposed for the mergeability pin: returns
+    * (report, updatedCentroids, scratchCentroids) where `scratch`
+    * recomputes the updated centroids from ONE pass over the full
+    * corpus — statistics additivity says updated == scratch. */
+  private[analytics] def kmeansUpdateParts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val emAll = quantizedEmbeddings(s, dir)
+    val emTrain = emAll.filter(col("vec_id") < kmeansSplitId)
+    val (_, cents) = kmeansRoundsOn(emTrain)
+    val model = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    def assign(e: DataFrame): DataFrame = e.crossJoin(broadcast(model))
+      .select(col("vec_id"), col("xq"),
+        array_min(transform(col("cs"), cc =>
+          struct(VectorFns.longSqDist(col("xm"), cc.getField("c")).as("d"),
+            cc.getField("cid").as("cid")))).getField("cid").as("cell"))
+    def stats(e: DataFrame): DataFrame = assign(e)
+      .select(col("cell"), posexplode(col("xq")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    def quotient(st: DataFrame): DataFrame = st.groupBy(col("cell").as("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+          floor(col("sv") * 1000.0 / col("n")).cast("long").as("cv")))),
+        x => x.getField("cv")).as("c"),
+        max("n").as("n"))
+    // the STORED model state: per-cell sufficient statistics of the
+    // training slice under the final assignment (serving centroids =
+    // their quotient — one bonus Lloyd step at store time, so a cell
+    // untouched by new data has shift EXACTLY 0)
+    val trainStats = stats(emTrain).localCheckpoint()
+    val batchStats = stats(emAll.filter(col("vec_id") >= kmeansSplitId))
+      .withColumnRenamed("sv", "sv_b").withColumnRenamed("n", "n_b")
+      .localCheckpoint()
+    // THE UPDATE: statistics merge by ADDITION — no re-scan of the
+    // training slice, no retraining; this is why the stored state is
+    // sums+counts and not centroids alone
+    val merged = trainStats.join(batchStats, Seq("cell", "pos"), "full_outer")
+      .select(col("cell"), col("pos"),
+        (coalesce(col("sv"), lit(0L)) + coalesce(col("sv_b"), lit(0L))).as("sv"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n"))
+    val stored = quotient(trainStats)
+    val updated = quotient(merged)
+    val nNew = batchStats.groupBy(col("cell").as("cid")).agg(max("n_b").as("n_new"))
+    val report = cents.as("t")
+      .join(stored.as("st"), Seq("cid"), "left")
+      .join(updated.as("up"), Seq("cid"), "left")
+      .join(nNew, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("st.n"), lit(0L)).as("n_train"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        VectorFns.longSqDist(
+          coalesce(col("st.c"), col("t.c")),
+          coalesce(col("up.c"), col("t.c"))).as("sq_shift"))
+      .orderBy("cid")
+    (report, updated, quotient(stats(emAll)))
+  }
+
+  /** q157: INCREMENTAL k-means maintenance — the "centroids retrained
+    * on drift" clause q151's scaladoc defers to, demonstrated as a
+    * MERGEABLE-SUFFICIENT-STATISTICS update (the sketch-tier argument
+    * applied to a model): the stored state is per-cell (sum, count)
+    * in exact integers, a new batch contributes its own statistics
+    * with one broadcast-assignment pass over the BATCH ONLY, and the
+    * update is cell-wise addition followed by q137's floored quotient
+    * — history is never re-scanned, and additivity makes the result
+    * bit-identical to recomputing from scratch (pinned). Output per
+    * cell: training population, new-batch population, and the squared
+    * centroid drift (micro² units) — the signal a production system
+    * thresholds to decide when a full q137 retrain is due. All
+    * arithmetic exact-integer or single-IEEE-division, so the DuckDB
+    * oracle replays training, assignment, merge and drift value for
+    * value. */
+  def kmeansUpdate: Q = (s, dir) => kmeansUpdateParts(s, dir)._1
 
   /** q138: SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's shape,
     * public method) — the modern embedding-space dedup pass, composed
@@ -2676,6 +2762,7 @@ object CorpusQueries {
   }
 
   val entries: Map[String, Q] = Map(
+    "q157_kmeans_update" -> kmeansUpdate,
     "q155_bloom_guard" -> bloomGuardedDedup,
     "q152_band_compaction" -> bandCompaction,
     "q150_index_compaction" -> indexCompaction,
@@ -2810,6 +2897,68 @@ object CorpusQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q157: the training chain replays on the sliced corpus (the
+    // shared kmeans CTEs with a WHERE), then the stored statistics
+    // (a5/s5 = final assignment of the train slice), the batch's own
+    // statistics, the cell-wise additive merge, and the drift — every
+    // stage in the entry's exact integer/IEEE arithmetic
+    "q157_kmeans_update" -> {
+      val dim = kmeansDim
+      val split = kmeansSplitId
+      s"""WITH ${kmeansCtesSqlWhere(s"WHERE vec_id < $split")},
+         |$kmeansRoundCtesSql,
+         |a5 AS (
+         | SELECT vec_id, xq, cell FROM (
+         |  SELECT em.vec_id, em.xq, c.cid AS cell,
+         |   row_number() OVER (PARTITION BY em.vec_id ORDER BY
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (em.xm[i] - c.c[i]) * (em.xm[i] - c.c[i]))), c.cid) AS rk
+         |  FROM em CROSS JOIN c4 c) WHERE rk = 1),
+         |s5 AS (
+         | SELECT cell, i AS pos, sum(xq[i]) AS sv, count(*) AS n
+         | FROM a5 CROSS JOIN generate_series(1, $dim) t(i)
+         | GROUP BY cell, i),
+         |st AS (
+         | SELECT cell AS cid,
+         |  list(CAST(floor(sv * 1000.0 / n) AS BIGINT) ORDER BY pos) AS c,
+         |  max(n) AS n_train
+         | FROM s5 GROUP BY cell),
+         |emb AS (SELECT vec_id, xq, list_transform(xq, v -> v * 1000) AS xm
+         | FROM eall WHERE vec_id >= $split),
+         |ab AS (
+         | SELECT vec_id, xq, cell FROM (
+         |  SELECT emb.vec_id, emb.xq, c.cid AS cell,
+         |   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (emb.xm[i] - c.c[i]) * (emb.xm[i] - c.c[i]))), c.cid) AS rk
+         |  FROM emb CROSS JOIN c4 c) WHERE rk = 1),
+         |sb AS (
+         | SELECT cell, i AS pos, sum(xq[i]) AS sv, count(*) AS n
+         | FROM ab CROSS JOIN generate_series(1, $dim) t(i)
+         | GROUP BY cell, i),
+         |nn AS (SELECT cell AS cid, max(n) AS n_new FROM sb GROUP BY cell),
+         |m AS (
+         | SELECT coalesce(s5.cell, sb.cell) AS cell,
+         |  coalesce(s5.pos, sb.pos) AS pos,
+         |  coalesce(s5.sv, 0) + coalesce(sb.sv, 0) AS sv,
+         |  coalesce(s5.n, 0) + coalesce(sb.n, 0) AS n
+         | FROM s5 FULL OUTER JOIN sb
+         |  ON s5.cell = sb.cell AND s5.pos = sb.pos),
+         |up AS (
+         | SELECT cell AS cid,
+         |  list(CAST(floor(sv * 1000.0 / n) AS BIGINT) ORDER BY pos) AS c
+         | FROM m GROUP BY cell)
+         |SELECT c4.cid,
+         | CAST(coalesce(st.n_train, 0) AS BIGINT) AS n_train,
+         | CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+         | CAST(list_sum(list_transform(generate_series(1, $dim),
+         |   i -> (coalesce(st.c, c4.c)[i] - coalesce(up.c, c4.c)[i])
+         |      * (coalesce(st.c, c4.c)[i] - coalesce(up.c, c4.c)[i])))
+         |   AS BIGINT) AS sq_shift
+         |FROM c4 LEFT JOIN st USING (cid) LEFT JOIN up USING (cid)
+         | LEFT JOIN nn USING (cid)
+         |ORDER BY cid""".stripMargin
+    },
     // q155: bitmap, guard and join verdict replayed — h is
     // portableHash60 OF THE FP STRING (md5-of-md5), the k positions
     // interpolate the same (a, b, m) literals, membership via IN over

@@ -234,6 +234,29 @@ class CorpusPlanSpec extends SparkSpec {
     assert(ex <= 3, s"$ex hash exchanges:\n$plan")
   }
 
+  test("q157 incremental k-means: merged statistics == scratch recompute") {
+    val (report, updated, scratch) = CorpusQueries.kmeansUpdateParts(spark, sf)
+    // ADDITIVITY, the whole point: centroids from stored-stats +
+    // batch-stats cell-wise addition are bit-identical to centroids
+    // from one scratch pass over the full corpus
+    def cmap(df: org.apache.spark.sql.DataFrame) = df.select("cid", "c")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val (u, sc) = (cmap(updated), cmap(scratch))
+    assert(u == sc, s"merged != scratch on cells ${
+      (u.keySet ++ sc.keySet).filter(k => u.get(k) != sc.get(k))}")
+    val rows = report.collect()
+    assert(rows.length == 16)
+    // populations partition the corpus across the split
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    assert(rows.map(_.getLong(1)).sum == emb.filter(col("vec_id") < 400).count())
+    assert(rows.map(_.getLong(2)).sum == emb.filter(col("vec_id") >= 400).count())
+    // a cell untouched by new data drifts EXACTLY 0 (serving
+    // centroids are the stored-stats quotient, so merge is identity)
+    assert(rows.filter(_.getLong(2) == 0).forall(_.getLong(3) == 0))
+    // and drift is detected where new data landed
+    assert(rows.exists(r => r.getLong(2) > 0 && r.getLong(3) > 0))
+  }
+
   test("q135 incremental near-dup: band index probed bucket-locally") {
     // the persisted posting index is bucketed by (band, bucket): the
     // candidate join reads it without an exchange — only the batch's
