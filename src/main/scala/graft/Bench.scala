@@ -65,24 +65,18 @@ object Bench {
                 ingest: String): String = {
     val qs = results.map { case (k, w, _, _) => "\"" + entryKey(k) + "\":" + r3(w) }
       .mkString("{", ",", "}")
-    // rerun capped like failed: a contended host pushes MOST entries
-    // over the rerun threshold at once, and an uncapped list (~6
-    // bytes/entry × ~120) would re-overflow the tail capture in
-    // exactly the round whose artifact must explain the slowdown
-    val rk = results.collect { case (k, _, _, true) => entryKey(k) }
-    val rerun = (if (rk.length <= 12) rk.map("\"" + _ + "\"")
-      else rk.take(12).map("\"" + _ + "\"") :+ s""""+${rk.length - 12}"""")
-      .mkString("[", ",", "]")
+    // both lists capped at 12 keys + a "+N" count marker: a mass
+    // failure or a contended host's mass rerun (~6 bytes/entry × ~120)
+    // would otherwise re-overflow the tail capture in exactly the run
+    // whose artifact must explain itself; failed entries stay fully
+    // recoverable from the -1 walls in the queries map
+    def capped12(keys: Seq[String]): String =
+      (if (keys.length <= 12) keys.map("\"" + _ + "\"")
+       else keys.take(12).map("\"" + _ + "\"") :+ s""""+${keys.length - 12}"""")
+        .mkString("[", ",", "]")
+    val rerun = capped12(results.collect { case (k, _, _, true) => entryKey(k) })
     val total = results.map(_._2).filter(_ >= 0).sum
-    // entryKey-compacted AND capped: a failed entry is already visible
-    // as a -1 wall in the queries map, so a mass failure (~50 entries)
-    // lists the first 12 keys plus a "+N" count marker instead of
-    // overflowing the tail capture in exactly the run whose artifact
-    // must explain the breakage
-    val fk = failed.map(entryKey)
-    val failedJson = (if (fk.length <= 12) fk.map("\"" + _ + "\"")
-      else fk.take(12).map("\"" + _ + "\"") :+ s""""+${fk.length - 12}"""")
-      .mkString("[", ",", "]")
+    val failedJson = capped12(failed.map(entryKey))
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"rerun":$rerun,"host_load":$hostLoad,"ingest":$ingest,"failed":$failedJson,"sf":"$sf"}"""
   }
 

@@ -2739,10 +2739,14 @@ object CorpusQueries {
     val winners = arrivals.select(col("arrival_id"), col("source"), fp.as("fp"))
       .groupBy("fp").agg(min("arrival_id").as("arrival_id"),
         count(lit(1)).as("n_in_batch"), min("source").as("source"))
+    // coalesce(…, false): a NULL fingerprint (null text) hashes to
+    // NULL positions and a NULL three-way AND — without the coalesce
+    // such a winner falls through BOTH filters below and silently
+    // vanishes from the rollup while the oracle still counts it
     val guarded = winners.crossJoin(broadcast(bits))
-      .withColumn("bloom_hit", (0 until 3)
+      .withColumn("bloom_hit", coalesce((0 until 3)
         .map(j => array_contains(col("bits"), bloomPos(h, j)))
-        .reduce(_ && _))
+        .reduce(_ && _), lit(false)))
       .drop("bits")
       .localCheckpoint() // feeds the probe AND the negatives rollup
     // ONLY bloom-positives reach the index join (pinned)
@@ -2989,9 +2993,9 @@ object CorpusQueries {
          |        count(*) AS n_in_batch, min(source) AS source
          |      FROM arr GROUP BY fp),
          |wg AS (SELECT w.source, w.n_in_batch,
-         |  (${pos(0)} IN (SELECT b FROM ib)
+         |  coalesce(${pos(0)} IN (SELECT b FROM ib)
          |   AND ${pos(1)} IN (SELECT b FROM ib)
-         |   AND ${pos(2)} IN (SELECT b FROM ib)) AS bloom_hit,
+         |   AND ${pos(2)} IN (SELECT b FROM ib), false) AS bloom_hit,
          |  CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END AS in_idx
          | FROM w JOIN hp USING (fp) LEFT JOIN idx ON idx.fp = w.fp)
          |SELECT source, CAST(sum(n_in_batch) AS BIGINT) AS n_arrived,

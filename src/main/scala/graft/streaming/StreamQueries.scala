@@ -373,11 +373,16 @@ object StreamQueries {
     * late). Batch maxima stay nondecreasing — the id%5 filter leaves
     * the true range endpoints in their home batches. */
   private def lateThirds(lo: Long, hi: Long): Seq[Column] = {
-    // the slice geometry assumes head and tail slices are disjoint
-    // within batch 1 ((hi-lo)/3 ≥ 12h); a regenerated fixture with a
-    // shorter range would otherwise deliver an overlapping tick in
-    // BOTH late batches and silently break oracle parity — fail loud
-    require((hi - lo) / 3 >= 2 * lateSliceUs,
+    // the binding constraint on a regenerated fixture is the DROP
+    // property, not slice disjointness: the head slice is dropped
+    // only if the watermark at batch 3 (= max ts through batch 2 −
+    // 24h = lo + 2(hi−lo)/3 − 24h) has passed every head-slice bar
+    // end (≤ lo + 6h + 1min). A ~40h range keeps slices disjoint yet
+    // ABSORBS the "dropped" slice, silently breaking oracle parity —
+    // so fail loud on the real inequality (disjointness, (hi−lo)/3 ≥
+    // 12h, is implied by it).
+    require(2 * ((hi - lo) / 3) >=
+      24L * 3600 * 1000 * 1000 + lateSliceUs + 60L * 1000 * 1000,
       s"events range ${hi - lo}us too short for the late-slice replay geometry")
     val b1 = lo + (hi - lo) / 3
     val b2 = lo + 2 * ((hi - lo) / 3)
@@ -527,21 +532,26 @@ object StreamQueries {
     * Scale: the per-batch join is bucket-local against the index
     * (only the batch moves — q127's argument); stream side state is
     * ZERO. */
-  def streamedIndexDedup(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.TempDirs.scratch("graft_stream_sjoin", preferShm = true)
+  /** The q154/q156 SHARED scaffolding — one definition because the
+    * two entries' cross-pin (static-new − writeback-new ==
+    * stream-dups, StreamOpsSpec) rests on them replaying the
+    * IDENTICAL geometry: builds the bucketed fingerprint index of
+    * history (keep_id from `keepAgg` — q154 stores the keeper id,
+    * q156 stores −1 so stream-generation hits are distinguishable),
+    * writes the three arrival batches as replay files (new docs split
+    * by id range + re-crawls of history in batches 1–2 + re-crawls of
+    * BATCH-1 ARRIVALS in batch 3, batch id carried as data), and
+    * returns (index table name, the raw arrival stream with fp). */
+  private def fpIndexAndReplay(s: SparkSession, dir: String, root: String,
+      prefix: String, keepAgg: Column): (String, DataFrame) = {
     val d = graft.Tables.load(s, dir, "documents")
     val fp = graft.functions.TextFns.fingerprint(col("text"))
-    // the static side: q127's bucketed fingerprint index of history
     val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
-    val idxName = s"g154_fp_index_$tag"
+    val idxName = s"${prefix}_$tag"
     d.filter(col("doc_id") < 400)
-      .groupBy(fp.as("fp")).agg(min("doc_id").as("keep_id"))
+      .groupBy(fp.as("fp")).agg(keepAgg.as("keep_id"))
       .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
       .option("path", s"$root/$idxName").mode("overwrite").saveAsTable(idxName)
-    // three arrival batches, batch id carried as data: new docs split
-    // by id range, plus re-crawls of HISTORY (caught by the index)
-    // and, in batch 3, re-crawls of BATCH-1 arrivals (not caught —
-    // the static side never saw them)
     def arrivals(i: Int): DataFrame = {
       val fresh = d.filter(col("doc_id") >= 400 + i * 34 &&
           col("doc_id") < (400 + (i + 1) * 34).min(500))
@@ -564,9 +574,17 @@ object StreamQueries {
     val stream = s.readStream.schema(writtenSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/in/*")
+      .select(col("arrival_id"), col("source"), col("batch_id"), fp.as("fp"))
+    (idxName, stream)
+  }
+
+  def streamedIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_sjoin", preferShm = true)
+    val (idxName, stream) =
+      fpIndexAndReplay(s, dir, root, "g154_fp_index", min("doc_id"))
     runToMemorySink(s, root, "q154_sjoin",
-      stream.select(col("arrival_id"), col("source"), col("batch_id"), fp.as("fp"))
-        .join(s.table(idxName).select(col("fp"), col("keep_id")), Seq("fp"), "left"))
+      stream.join(s.table(idxName).select(col("fp"), col("keep_id")),
+        Seq("fp"), "left"))
   }
 
   def indexDedupStreamValues: Q = (s, dir) =>
@@ -596,40 +614,12 @@ object StreamQueries {
     * append — q134's movement bound, at micro-batch cadence. */
   def streamedWriteBack(s: SparkSession, dir: String): DataFrame = {
     val root = graft.TempDirs.scratch("graft_stream_wb", preferShm = true)
-    val d = graft.Tables.load(s, dir, "documents")
-    val fp = graft.functions.TextFns.fingerprint(col("text"))
-    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
-    val idxName = s"g156_fp_index_$tag"
-    // generation 0: history. keep_id < 0 encodes "historical".
-    d.filter(col("doc_id") < 400)
-      .groupBy(fp.as("fp")).agg(min(lit(-1L)).as("keep_id"))
-      .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
-      .option("path", s"$root/$idxName").mode("overwrite").saveAsTable(idxName)
-    // q154's exact batch geometry, so the two entries' verdicts on
-    // the SAME replay differ only by the write-back
-    def arrivals(i: Int): DataFrame = {
-      val fresh = d.filter(col("doc_id") >= 400 + i * 34 &&
-          col("doc_id") < (400 + (i + 1) * 34).min(500))
-        .select(col("doc_id").as("arrival_id"), col("source"), col("text"))
-      val recrawl = i match {
-        case 0 => d.filter(col("doc_id") < 10)
-          .select((col("doc_id") + 100000).as("arrival_id"), col("source"), col("text"))
-        case 1 => d.filter(col("doc_id") >= 300 && col("doc_id") < 310)
-          .select((col("doc_id") + 200000).as("arrival_id"), col("source"), col("text"))
-        case _ => d.filter(col("doc_id") >= 400 && col("doc_id") < 410)
-          .select((col("doc_id") + 300000).as("arrival_id"), col("source"), col("text"))
-      }
-      fresh.unionAll(recrawl).withColumn("batch_id", lit(i.toLong))
-    }
-    val writtenSchema = (0 until 3).map { i =>
-      val b = arrivals(i)
-      b.coalesce(1).write.parquet(s"$root/in/b$i")
-      b.schema
-    }.head
-    val stream = s.readStream.schema(writtenSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$root/in/*")
-      .select(col("arrival_id"), col("source"), col("batch_id"), fp.as("fp"))
+    // q154's scaffolding verbatim (shared def), so the two entries'
+    // verdicts on the SAME replay differ only by the write-back;
+    // keep_id = −1 encodes "historical" here, leaving arrival ids
+    // free to mark stream-generation hits
+    val (idxName, stream) =
+      fpIndexAndReplay(s, dir, root, "g156_fp_index", min(lit(-1L)))
     withStreamShuffle(s, 8) {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
@@ -662,14 +652,20 @@ object StreamQueries {
     s.read.parquet(s"$root/out")
   }
 
-  def writeBackStreamValues: Q = (s, dir) =>
-    streamedWriteBack(s, dir)
+  /** The q156 rollup over an already-materialized verdict frame —
+    * separate so the spec can derive raw assertions AND the rollup
+    * from ONE stream run instead of replaying the pipeline twice. */
+  private[streaming] def writeBackRollup(verdicts: DataFrame): DataFrame =
+    verdicts
       .groupBy("batch_id", "source")
       .agg(sum("n_in_batch").as("n_arrived"),
         sum(when(col("keep_id") === -1L, 1L).otherwise(0L)).as("n_dup_hist"),
         sum(when(col("keep_id") >= 0, 1L).otherwise(0L)).as("n_dup_stream"),
         sum(when(col("keep_id").isNull, 1L).otherwise(0L)).as("n_new"))
       .orderBy("batch_id", "source")
+
+  def writeBackStreamValues: Q = (s, dir) =>
+    writeBackRollup(streamedWriteBack(s, dir))
 
   val entries: Map[String, Q] = Map(
     "q156_stream_writeback" -> writeBackStreamValues,

@@ -339,10 +339,12 @@ class StreamOpsSpec extends SparkSpec {
 
   test("q156 foreachBatch write-back closes q154's gap on the same replay") {
     val sf = "/root/testdata/sf0.001"
+    // ONE stream run feeds both the raw assertions and the rollup
+    val verdicts = StreamQueries.streamedWriteBack(spark, sf)
     // raw verdicts: every batch-3 re-crawl of a batch-1 arrival
     // (ids +300000, re-crawling docs 400–409) is caught as a STREAM
     // dup, and its keep_id is the original batch-1 arrival
-    val raw = StreamQueries.streamedWriteBack(spark, sf)
+    val raw = verdicts
       .collect().map(r => (r.getLong(1), // arrival_id
         if (r.isNullAt(5)) None else Some(r.getLong(5)))) // keep_id
     val recrawls = raw.filter(_._1 >= 300000)
@@ -356,7 +358,7 @@ class StreamOpsSpec extends SparkSpec {
       .groupBy("batch_id")
       .agg(sum(newCol).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val wb = StreamQueries.writeBackStreamValues(spark, sf)
+    val wb = StreamQueries.writeBackRollup(verdicts)
     val staticJoin = StreamQueries.indexDedupStreamValues(spark, sf)
     val wbNew = byBatch(wb, "n_new")
     val sjNew = byBatch(staticJoin, "n_new")
