@@ -2765,7 +2765,46 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** q158: the corpus tier through the SQL SURFACE — q115's console
+    * story extended to the training-data kernels: the graft functions
+    * install as NAMED SQL functions (
+    * [[graft.functions.GraftFunctions]]; the `SparkSessionExtensions`
+    * path for session construction, the registry path for a running
+    * one) and this entry is one `spark.sql` text using them — the
+    * canonical fingerprint, the quality score, the portable hash, and
+    * the KmvMinK sketch AGGREGATE, side by side with the exact
+    * `count(distinct)` it replaces at scale. No UDFs anywhere: each
+    * name resolves to the same Catalyst tree the DataFrame entries
+    * build, so codegen and oracle determinism carry over — the DuckDB
+    * replay is the q33/q31/q140 machinery verbatim. */
+  def corpusSqlSurface: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH h AS (
+         |  SELECT source, graft_quality(text) AS q,
+         |    graft_fingerprint(text) AS fp,
+         |    graft_hash60(graft_fingerprint(text)) AS hfp
+         |  FROM documents),
+         |a AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    count(DISTINCT fp) AS n_fp_distinct,
+         |    floor(min(q) * 1e6 + 0.5) / 1e6 AS q_min,
+         |    floor(max(q) * 1e6 + 0.5) / 1e6 AS q_max,
+         |    graft_kmv_min_k(hfp, 8) AS mins
+         |  FROM h GROUP BY source)
+         |SELECT source, n_docs, n_fp_distinct, q_min, q_max,
+         |  CAST(size(mins) AS BIGINT) AS n_mins,
+         |  element_at(mins, size(mins)) AS kth_min,
+         |  CASE WHEN size(mins) < 8 THEN CAST(size(mins) AS BIGINT)
+         |    ELSE CAST(floor(CAST(7 AS DOUBLE) / element_at(mins, size(mins))
+         |      * CAST(1152921504606846976 AS DOUBLE) + 0.5) AS BIGINT)
+         |  END AS est_fp
+         |FROM a ORDER BY source""".stripMargin)
+  }
+
   val entries: Map[String, Q] = Map(
+    "q158_sql_functions" -> corpusSqlSurface,
     "q157_kmeans_update" -> kmeansUpdate,
     "q155_bloom_guard" -> bloomGuardedDedup,
     "q152_band_compaction" -> bandCompaction,
@@ -2901,6 +2940,48 @@ object CorpusQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q158: the named functions replayed by their definitions —
+    // q31's quality expression, q33's fingerprint, the portable hash,
+    // and the q140/q143-pattern KMV rebuild (k smallest DISTINCT
+    // hashes per source via a partitioned row_number) with the same
+    // fixed-order estimator chain
+    "q158_sql_functions" ->
+      raw"""WITH h AS (
+         | SELECT source,
+         |  0.4 * (1.0 - coalesce(CAST(len(list_filter(
+         |      regexp_split_to_array(trim(text), '\s+'), t -> list_contains(
+         |      ['the','a','an','of','and','to','is','in','it','on'], t)))
+         |      AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\s+')), 1.0))
+         |   + 0.4 * coalesce(CAST(len(list_filter(
+         |      regexp_split_to_array(trim(text), '\s+'),
+         |      t -> length(t) >= 5)) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\s+')), 0.0)
+         |   + 0.2 * (1.0 - coalesce(CAST(length(text)
+         |      - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+         |      AS DOUBLE) / length(text), 1.0)) AS q,
+         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         | FROM documents),
+         |h2 AS (SELECT source, q, fp,
+         |  CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT) AS hh FROM h),
+         |rk AS (SELECT source, hh,
+         |  row_number() OVER (PARTITION BY source ORDER BY hh) AS r
+         | FROM (SELECT DISTINCT source, hh FROM h2)),
+         |mins AS (SELECT source, CAST(count(*) AS BIGINT) AS n_mins,
+         |    max(hh) AS kth_min
+         |  FROM rk WHERE r <= 8 GROUP BY source),
+         |a AS (SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT fp) AS n_fp_distinct,
+         |  floor(min(q) * 1e6 + 0.5) / 1e6 AS q_min,
+         |  floor(max(q) * 1e6 + 0.5) / 1e6 AS q_max
+         | FROM h2 GROUP BY source)
+         |SELECT a.source, n_docs, n_fp_distinct, q_min, q_max,
+         |  n_mins, kth_min,
+         |  CASE WHEN n_mins < 8 THEN n_mins
+         |   ELSE CAST(floor(CAST(7 AS DOUBLE) / kth_min
+         |     * CAST(1152921504606846976 AS DOUBLE) + 0.5) AS BIGINT)
+         |  END AS est_fp
+         |FROM a JOIN mins USING (source) ORDER BY source""".stripMargin,
     // q157: the training chain replays on the sliced corpus (the
     // shared kmeans CTEs with a WHERE), then the stored statistics
     // (a5/s5 = final assignment of the train slice), the batch's own

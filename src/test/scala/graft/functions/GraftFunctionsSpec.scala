@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The SQL-function surface: both installation paths resolve the
+  * names, and every name evaluates EXACTLY like the Column helper it
+  * wraps (same Catalyst tree — this is the no-UDF guarantee). */
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("registry path: names resolve and match the Column API, idempotently") {
+    GraftFunctions.register(spark)
+    GraftFunctions.register(spark) // re-install must be a no-op
+    import spark.implicits._
+    val docs = Seq("  The Quick   brown fox ", "a a a!", "Spark SQL")
+      .toDF("text")
+    docs.createOrReplaceTempView("gfs_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_fingerprint(text) AS fp, graft_quality(text) AS q,
+        |  graft_lang_guess(text) AS lg, graft_hash60(text) AS h
+        |FROM gfs_docs""".stripMargin).collect()
+    val viaCol = docs.select(
+      TextFns.fingerprint(col("text")).as("fp"),
+      TextFns.qualityScore(col("text")).as("q"),
+      TextFns.langGuess(col("text")).as("lg"),
+      DedupFns.portableHash60(col("text")).as("h")).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+    // the aggregate: bottom-k distinct hashes, exactly KmvMinK's
+    val mins = spark.sql(
+      "SELECT graft_kmv_min_k(graft_hash60(text), 2) FROM gfs_docs")
+      .head().getSeq[Long](0)
+    val expected = docs.select(DedupFns.portableHash60(col("text")).as("h"))
+      .distinct().orderBy("h").limit(2).collect().map(_.getLong(0)).toSeq
+    assert(mins == expected)
+    // k must be a literal — a column reference is rejected at analysis
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_kmv_min_k(graft_hash60(text), length(text)) FROM gfs_docs")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
+  test("extensions path: a session built withExtensions resolves the names") {
+    // getOrCreate only applies extensions to a NEW session: clear the
+    // default/active session (same SparkContext is reused), build one
+    // with the extensions installed, and restore afterwards
+    val prev = SparkSession.getDefaultSession
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val fp = s2.sql("SELECT graft_fingerprint('  A  b ') AS fp").head().getString(0)
+      // md5 of the canonical form "a b"
+      assert(fp == java.security.MessageDigest.getInstance("MD5")
+        .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}
