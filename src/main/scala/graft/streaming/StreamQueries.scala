@@ -607,11 +607,13 @@ object StreamQueries {
     * arrival that q154 reports as `n_new` is caught here as
     * `n_dup_stream`. This is the canonical Spark pattern for
     * stream-to-store upserts (foreachBatch = the sink with batch-
-    * scoped full-DataFrame semantics); batch order under the file
-    * replay is deterministic, so the DuckDB oracle replays the
-    * sequential index evolution with a min-batch window. At 100 TB:
-    * per batch one bucket-local probe + one batch-sized bucketed
-    * append — q134's movement bound, at micro-batch cadence. */
+    * scoped full-DataFrame semantics — AT-LEAST-ONCE, so both effects
+    * are built idempotent under retry; see the sink comment); batch
+    * order under the file replay is deterministic, so the DuckDB
+    * oracle replays the sequential index evolution with a min-batch
+    * window. At 100 TB: per batch one bucket-local probe + one
+    * batch-sized bucketed append — q134's movement bound, at
+    * micro-batch cadence. */
   def streamedWriteBack(s: SparkSession, dir: String): DataFrame = {
     val root = graft.TempDirs.scratch("graft_stream_wb", preferShm = true)
     // q154's scaffolding verbatim (shared def), so the two entries'
@@ -623,7 +625,17 @@ object StreamQueries {
     withStreamShuffle(s, 8) {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        // foreachBatch is AT-LEAST-ONCE: a batch that fails between
+        // its writes and the checkpoint commit is re-executed, so
+        // both effects must be idempotent under retry — the verdict
+        // write lands in a per-batchId directory with OVERWRITE (a
+        // retry replaces its own output, never appends a duplicate),
+        // and the index append is naturally idempotent because a
+        // retry re-probes the index its first attempt already
+        // appended to: every fp now hits, so the keep_id-isNull
+        // write-back set is empty. This is the standard recipe for
+        // exactly-once-on-retry foreachBatch sinks.
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val winners = batch.groupBy("fp")
             .agg(min("arrival_id").as("arrival_id"),
               count(lit(1)).as("n_in_batch"),
@@ -631,9 +643,14 @@ object StreamQueries {
           val verdicts = winners.hint("merge")
             .join(s.table(idxName), Seq("fp"), "left")
             .localCheckpoint() // ONE probe feeds results AND write-back
-          verdicts.write.mode("append").parquet(s"$root/out")
+          verdicts.write.mode("overwrite").parquet(s"$root/out/bid=$batchId")
           // the write-back: this batch's new fps become the next
-          // generation, keep_id = the winning arrival
+          // generation, keep_id = the winning arrival. NOTE the retry
+          // hazard order: a retry that runs after a completed first
+          // attempt sees its own appended fps as hits (no-op); the
+          // one remaining window (crash BETWEEN the two statements on
+          // the same attempt, then retry) re-runs the verdict write
+          // idempotently and appends once.
           verdicts.filter(col("keep_id").isNull)
             .select(col("fp"), col("arrival_id").as("keep_id"))
             .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
@@ -649,7 +666,7 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    s.read.parquet(s"$root/out")
+    s.read.parquet(s"$root/out").drop("bid")
   }
 
   /** The q156 rollup over an already-materialized verdict frame —
