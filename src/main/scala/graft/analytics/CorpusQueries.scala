@@ -2780,6 +2780,11 @@ object CorpusQueries {
   def corpusSqlSurface: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
     graft.Tables.registerAll(s, dir)
+    // override the plain view with the spread frame: the per-row work
+    // here (two md5s + quality regexes + KMV) is exactly the workload
+    // loadSpread exists for — without it the one-row-group documents
+    // table runs this map stage in a single task
+    loadSpread(s, dir, "documents", "doc_id").createOrReplaceTempView("documents")
     s.sql(
       s"""WITH h AS (
          |  SELECT source, graft_quality(text) AS q,
@@ -2795,7 +2800,8 @@ object CorpusQueries {
          |  FROM h GROUP BY source)
          |SELECT source, n_docs, n_fp_distinct, q_min, q_max,
          |  CAST(size(mins) AS BIGINT) AS n_mins,
-         |  element_at(mins, size(mins)) AS kth_min,
+         |  CASE WHEN size(mins) > 0 THEN element_at(mins, size(mins)) END
+         |    AS kth_min,
          |  CASE WHEN size(mins) < 8 THEN CAST(size(mins) AS BIGINT)
          |    ELSE CAST(floor(CAST(7 AS DOUBLE) / element_at(mins, size(mins))
          |      * CAST(1152921504606846976 AS DOUBLE) + 0.5) AS BIGINT)
@@ -2966,7 +2972,7 @@ object CorpusQueries {
          |  CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT) AS hh FROM h),
          |rk AS (SELECT source, hh,
          |  row_number() OVER (PARTITION BY source ORDER BY hh) AS r
-         | FROM (SELECT DISTINCT source, hh FROM h2)),
+         | FROM (SELECT DISTINCT source, hh FROM h2 WHERE hh IS NOT NULL)),
          |mins AS (SELECT source, CAST(count(*) AS BIGINT) AS n_mins,
          |    max(hh) AS kth_min
          |  FROM rk WHERE r <= 8 GROUP BY source),
@@ -2976,12 +2982,12 @@ object CorpusQueries {
          |  floor(max(q) * 1e6 + 0.5) / 1e6 AS q_max
          | FROM h2 GROUP BY source)
          |SELECT a.source, n_docs, n_fp_distinct, q_min, q_max,
-         |  n_mins, kth_min,
-         |  CASE WHEN n_mins < 8 THEN n_mins
+         |  CAST(coalesce(n_mins, 0) AS BIGINT) AS n_mins, kth_min,
+         |  CASE WHEN coalesce(n_mins, 0) < 8 THEN CAST(coalesce(n_mins, 0) AS BIGINT)
          |   ELSE CAST(floor(CAST(7 AS DOUBLE) / kth_min
          |     * CAST(1152921504606846976 AS DOUBLE) + 0.5) AS BIGINT)
          |  END AS est_fp
-         |FROM a JOIN mins USING (source) ORDER BY source""".stripMargin,
+         |FROM a LEFT JOIN mins USING (source) ORDER BY source""".stripMargin,
     // q157: the training chain replays on the sliced corpus (the
     // shared kmeans CTEs with a WHERE), then the stored statistics
     // (a5/s5 = final assignment of the train slice), the batch's own

@@ -3,7 +3,7 @@ package graft.expressions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -36,9 +36,17 @@ case class KmvMinK(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
 
   require(k > 0, "kmv_min_k requires k > 0")
+
+  // analysis-time input contract (load-bearing since the SQL surface,
+  // graft_kmv_min_k, exposes this to arbitrary arguments): integers
+  // widen to long implicitly; a double/binary argument is an ANALYSIS
+  // error instead of an executor-side ClassCastException in update().
+  // Result type inferred — AbstractDataType is private[sql] and
+  // cannot be named here.
+  override def inputTypes = Seq(LongType)
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()

@@ -645,12 +645,15 @@ object StreamQueries {
             .localCheckpoint() // ONE probe feeds results AND write-back
           verdicts.write.mode("overwrite").parquet(s"$root/out/bid=$batchId")
           // the write-back: this batch's new fps become the next
-          // generation, keep_id = the winning arrival. NOTE the retry
-          // hazard order: a retry that runs after a completed first
-          // attempt sees its own appended fps as hits (no-op); the
-          // one remaining window (crash BETWEEN the two statements on
-          // the same attempt, then retry) re-runs the verdict write
-          // idempotently and appends once.
+          // generation, keep_id = the winning arrival. Retry windows:
+          // a crash BETWEEN the two statements re-runs the verdict
+          // overwrite idempotently and appends once; a crash AFTER
+          // both statements re-probes an index that already holds
+          // this batch's fps, so the re-written verdicts carry
+          // keep_id = their OWN arrival_id — the rollup classifies
+          // that self-hit as `new` (a genuine stream-dup's keep_id is
+          // an EARLIER batch's arrival id, never the winner's own),
+          // so the retried output is value-identical.
           verdicts.filter(col("keep_id").isNull)
             .select(col("fp"), col("arrival_id").as("keep_id"))
             .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
@@ -677,8 +680,14 @@ object StreamQueries {
       .groupBy("batch_id", "source")
       .agg(sum("n_in_batch").as("n_arrived"),
         sum(when(col("keep_id") === -1L, 1L).otherwise(0L)).as("n_dup_hist"),
-        sum(when(col("keep_id") >= 0, 1L).otherwise(0L)).as("n_dup_stream"),
-        sum(when(col("keep_id").isNull, 1L).otherwise(0L)).as("n_new"))
+        // keep_id = the winner's OWN arrival id only happens on a
+        // foreachBatch retry after a completed attempt (the batch's
+        // new fps are already in the index): classify it as new, so
+        // retried and first-attempt outputs roll up identically
+        sum(when(col("keep_id") >= 0 && col("keep_id") =!= col("arrival_id"),
+          1L).otherwise(0L)).as("n_dup_stream"),
+        sum(when(col("keep_id").isNull || col("keep_id") === col("arrival_id"),
+          1L).otherwise(0L)).as("n_new"))
       .orderBy("batch_id", "source")
 
   def writeBackStreamValues: Q = (s, dir) =>

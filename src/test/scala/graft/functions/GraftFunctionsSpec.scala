@@ -39,6 +39,16 @@ class GraftFunctionsSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage.contains("literal"), err.getMessage)
+    // input-type contract (ImplicitCastInputTypes): numerics coerce
+    // to long through a well-defined Cast — never the executor-side
+    // ClassCastException an unchecked update() would throw — and a
+    // non-castable type is an analysis error
+    assert(spark.sql("SELECT graft_kmv_min_k(CAST(length(text) AS INT), 2) FROM gfs_docs")
+      .head().getSeq[Long](0).nonEmpty)
+    val typeErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_kmv_min_k(array(1), 2) FROM gfs_docs").collect()
+    }
+    assert(typeErr.getMessage.toLowerCase.contains("type"), typeErr.getMessage)
   }
 
   test("extensions path: a session built withExtensions resolves the names") {
