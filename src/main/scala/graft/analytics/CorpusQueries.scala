@@ -2785,7 +2785,7 @@ object CorpusQueries {
     // loadSpread exists for — without it the one-row-group documents
     // table runs this map stage in a single task
     loadSpread(s, dir, "documents", "doc_id").createOrReplaceTempView("documents")
-    s.sql(
+    val out = s.sql(
       s"""WITH h AS (
          |  SELECT source, graft_quality(text) AS q,
          |    graft_fingerprint(text) AS fp,
@@ -2807,6 +2807,13 @@ object CorpusQueries {
          |      * CAST(1152921504606846976 AS DOUBLE) + 0.5) AS BIGINT)
          |  END AS est_fp
          |FROM a ORDER BY source""".stripMargin)
+    // the sql() call above is ANALYZED eagerly, so the spread view is
+    // already bound into `out`; restore the plain `documents` view so
+    // this entry leaves no session-state mutation behind (a later
+    // SQL-surface consumer on the same long-lived session must not
+    // silently plan against the spread variant — r13 advice #3)
+    graft.Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+    out
   }
 
   val entries: Map[String, Q] = Map(
@@ -3084,7 +3091,7 @@ object CorpusQueries {
          |   AND ${pos(1)} IN (SELECT b FROM ib)
          |   AND ${pos(2)} IN (SELECT b FROM ib), false) AS bloom_hit,
          |  CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END AS in_idx
-         | FROM w JOIN hp USING (fp) LEFT JOIN idx ON idx.fp = w.fp)
+         | FROM w LEFT JOIN hp USING (fp) LEFT JOIN idx ON idx.fp = w.fp)
          |SELECT source, CAST(sum(n_in_batch) AS BIGINT) AS n_arrived,
          | CAST(sum(n_in_batch) - count(*) AS BIGINT) AS n_batch_dups,
          | CAST(sum(CASE WHEN NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT)

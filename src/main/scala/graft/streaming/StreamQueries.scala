@@ -804,9 +804,10 @@ object StreamQueries {
       val users = cmsTrackedUsers.map(u => s"($u)").mkString(", ")
       s"""WITH wm AS (
          | SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 2 HOUR AS w
-         | FROM events),
+         | FROM events WHERE user_id IS NOT NULL),
          |hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS h
-         | FROM events, wm WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w),
+         | FROM events, wm WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+         |  AND user_id IS NOT NULL),
          |hm AS (SELECT date_trunc('hour', ts) AS h,
          |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
          |    AS BIGINT) % $p AS hh
