@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * SQL-expressible entry carries a DuckDB oracle — including minhash
   * and simhash, whose kernels hash with [[DedupFns.portableHash60]]
   * (md5-derived) precisely so the oracle can replay them, and the
-  * q54 stub decoder, whose deterministic splitmix64 arithmetic the
-  * oracle replays mod-2^64 in HUGEINT (see [[mulMod64Sql]]).
+  * q54 feature kernel ([[graft.expressions.SplitMixFeatures]]), whose
+  * deterministic splitmix64 arithmetic the oracle replays mod-2^64 in
+  * HUGEINT (see [[mulMod64Sql]]).
   */
 object CorpusQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -566,11 +567,13 @@ object CorpusQueries {
       .orderBy("modality")
 
   /** Multimodal feature extraction: per-modality mean feature norm
-    * over the batch-decoded array<float> column. FULLY ORACLED even
-    * though the decoder is a stub: [[graft.sources.Multimodal.fakeDecode]]
-    * is deterministic integer arithmetic (byte-hash fold + splitmix64
-    * per dim), which the DuckDB oracle replays bit-exactly with
-    * HUGEINT arithmetic mod 2^64 (see [[mulMod64Sql]]). */
+    * over the expression-decoded array<float> column (the codegen'd
+    * [[graft.expressions.SplitMixFeatures]] — no object boundary in
+    * the plan, pinned in CorpusPlanSpec). FULLY ORACLED even though
+    * the kernel is a model stand-in: it is deterministic integer
+    * arithmetic (byte-hash fold + splitmix64 per dim), which the
+    * DuckDB oracle replays bit-exactly with HUGEINT arithmetic mod
+    * 2^64 (see [[mulMod64Sql]]). */
   def multimodalFeatures: Q = (s, dir) => {
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val m = graft.sources.Multimodal.mediaTable(s, dir)
@@ -580,6 +583,58 @@ object CorpusQueries {
       .groupBy("modality")
       .agg(count(lit(1)).as("n"), fr6(avg("norm")).as("avg_norm"))
       .orderBy("modality")
+  }
+
+  /** q159: image HEADER decode on the expression path
+    * ([[graft.expressions.ImageMeta]]) — an encode→decode round trip
+    * the DuckDB oracle can check arithmetically. Each document gets a
+    * CONSTRUCTED payload: a valid PNG signature+IHDR (width/height/
+    * color type derived from doc_id; CRC garbage — the header sniffer
+    * is CRC-agnostic by contract), a baseline-JPEG SOI+APP0+SOF0, or
+    * raw text bytes (the unparseable-media bucket → NULL struct). The
+    * decoder must INVERT the construction bit-for-bit: the oracle
+    * recomputes the planted dimensions straight from doc_id, so any
+    * drift in byte layout or decode logic breaks the hash. Pure
+    * per-row projection — zero shuffles beyond the presentation sort,
+    * codegen end to end (no object boundary; CorpusPlanSpec). */
+  def imageMetaDecode: Q = (s, dir) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val d = Tables.load(s, dir, "documents")
+    val be32 = (c: Column) => unhex(lpad(hex(c), 8, "0"))
+    val be16 = (c: Column) => unhex(lpad(hex(c), 4, "0"))
+    val w = (col("doc_id") % 640 + 1).cast("int")
+    val h = (col("doc_id") % 480 + 1).cast("int")
+    // PNG color type cycles gray/truecolor/RGBA -> nchan 1/3/4
+    val ctype = element_at(array(lit(0), lit(2), lit(6)),
+      expr("CAST((doc_id div 3) % 3 AS INT)") + 1)
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A")),    // signature
+      unhex(lit("0000000D49484452")),    // IHDR length 13 + type
+      be32(w), be32(h),
+      unhex(lit("08")),                  // bit depth 8
+      unhex(lpad(hex(ctype), 2, "0")),   // color type
+      unhex(lit("000000")),              // compression/filter/interlace
+      unhex(lit("DEADBEEF")))            // CRC: deliberately wrong
+    val nchanJ = expr("CAST((doc_id div 3) % 2 AS INT)") * 2 + 1 // 1 | 3
+    val jpeg = concat(
+      unhex(lit("FFD8")),                                  // SOI
+      unhex(lit("FFE000104A46494600010100000100010000")),  // APP0 JFIF
+      unhex(lit("FFC0")), be16(nchanJ * 3 + 8),            // SOF0 + len
+      unhex(lit("08")), be16(h), be16(w),                  // depth, dims
+      unhex(lpad(hex(nchanJ), 2, "0")),                    // n components
+      when(nchanJ === 1, unhex(lit("011100")))             // comp specs
+        .otherwise(unhex(lit("011100021101031101"))))
+    val payload = when(col("doc_id") % 3 === 0, png)
+      .when(col("doc_id") % 3 === 1, jpeg)
+      .otherwise(col("text").cast("binary"))
+    val meta = ColumnBridge.column(graft.expressions.ImageMeta(
+      ColumnBridge.expression(col("payload"))))
+    d.select(col("doc_id").as("media_id"), payload.as("payload"))
+      .select(col("media_id"), meta.as("m"))
+      .select(col("media_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.depth").as("depth"), col("m.nchan").as("nchan"))
+      .orderBy("media_id")
   }
 
   /** q107: IVF-flavored ANN search — the coarse-quantizer counterpart
@@ -2177,13 +2232,22 @@ object CorpusQueries {
     * shuffles the SURVIVING postings once by doc_id. Hashes are
     * [[DedupFns.portableHash60]] over the space-joined gram, so the
     * oracle replays every gram. */
-  def dupGramCoverage: Q = (s, dir) => {
+  /** Shared q144/q160 posting builder: ONE tokenize pass
+    * (checkpointed `toks` — q160's reconstruction side needs the
+    * token arrays again) and ONE gram-hash pass (checkpointed
+    * posting frame — its two consumers are the map-side-combined
+    * per-hash count and the hash-keyed join back; without the
+    * checkpoint the per-position hash kernel and the corpus-linear
+    * explode would run once per consumer, and at 100 TB the posting
+    * frame IS the dominant cost — r12 verdict #2). Returns
+    * (toks(doc_id, t), postings(doc_id, n_tokens, i, gh)). */
+  private def gramPostings(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val k = dupGramK
-    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
     val d = loadSpread(s, dir, "documents", "doc_id")
     val toks = d.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= k)
-    val grams = toks.select(col("doc_id"),
+      .localCheckpoint()
+    val grams = toks.filter(size(col("t")) >= k)
+      .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
         explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
           i => struct(i.as("i"), DedupFns.portableHash60(
@@ -2191,10 +2255,22 @@ object CorpusQueries {
       .select(col("doc_id"), col("n_tokens"),
         col("g.i").as("i"), col("g.gh").as("gh"))
       .localCheckpoint()
+    (toks, grams)
+  }
+
+  /** Duplicated window starts: postings whose gram hash occurs >= 2
+    * times corpus-wide (another doc OR a same-doc repeat). */
+  private def dupGramHits(grams: DataFrame): DataFrame = {
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
-    val hits = grams.join(dup.select("gh"), "gh")
-    hits
+    grams.join(dup.select("gh"), "gh")
+  }
+
+  def dupGramCoverage: Q = (s, dir) => {
+    val k = dupGramK
+    val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
+    val (_, grams) = gramPostings(s, dir)
+    dupGramHits(grams)
       .withColumn("cov", least(lit(k), col("i") - coalesce(
         lag(col("i"), 1).over(Window.partitionBy("doc_id").orderBy("i")),
         col("i") - lit(k))))
@@ -2204,6 +2280,54 @@ object CorpusQueries {
       .withColumn("coverage",
         fr6(col("covered_tokens").cast("double") / col("n_tokens")))
       .orderBy(col("coverage").desc, col("doc_id"))
+  }
+
+  /** q160: ExactSubstr REMOVAL — q144's audit acted on (Lee et al.
+    * 2022 §4.1: drop every token covered by a duplicated k-gram
+    * window, keep the rest in order). Emits the WHOLE corpus:
+    * (doc_id, n_tokens, tokens_removed, cleaned_text), where
+    * `tokens_removed` reconciles with q144's `covered_tokens`
+    * row-for-row on the audited docs (pinned in CorpusPlanSpec) and
+    * untouched docs pass through with 0 removed.
+    *
+    * The covered-token UNION needs no interval engine at
+    * reconstruction either: duplicated starts become sweep EVENTS
+    * (+1 at i, −1 at i+k), and a per-doc running sum over the
+    * positions frame marks a token covered iff any window is active —
+    * one window pass, same shape as q144's lag. Scale: both frames
+    * are one-row-per-token (the honest linear cost of
+    * exact-substring dedup); the posting subtree runs ONCE
+    * ([[gramPostings]] checkpoints — pinned: no hash kernel, no gram
+    * explode in the final plan); events aggregate map-side to at
+    * most one row per position; the rebuild is one doc_id-keyed
+    * window + one groupBy — no pairwise operator anywhere. */
+  def exactSubstrRemoval: Q = (s, dir) => {
+    val k = dupGramK
+    val (toks, grams) = gramPostings(s, dir)
+    val hits = dupGramHits(grams).select(col("doc_id"), col("i"))
+    val events = hits.select(col("doc_id"), col("i").as("p"), lit(1L).as("delta"))
+      .unionAll(hits.select(col("doc_id"), (col("i") + k).as("p"),
+        lit(-1L).as("delta")))
+      .groupBy("doc_id", "p").agg(sum("delta").as("delta"))
+    val positions = toks.select(col("doc_id"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val swept = positions.join(events, Seq("doc_id", "p"), "left")
+      .withColumn("active", sum(coalesce(col("delta"), lit(0L)))
+        .over(Window.partitionBy("doc_id").orderBy("p")))
+    val rebuilt = swept.groupBy("doc_id")
+      .agg(sum(when(col("active") > 0, 1L).otherwise(0L)).as("tokens_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("active") <= 0,
+            struct(col("p"), col("tok"))))),
+          x => x.getField("tok"))).as("cleaned_text"))
+    // total over the corpus: zero-token docs rebuild to "" too
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
   }
 
   /** q145 shard count, shared with the oracle literal. */
@@ -2825,6 +2949,7 @@ object CorpusQueries {
     "q148_curation_pipeline" -> curationPipeline,
     "q147_int8_store_probe" -> int8StoredAnn,
     "q144_dupgram_coverage" -> dupGramCoverage,
+    "q160_exact_substr_removal" -> exactSubstrRemoval,
     "q145_shard_interleave" -> shardInterleave,
     "q146_embed_calibration" -> embedCalibration,
     "q142_winnow_neardup" -> winnowNearDup,
@@ -2855,6 +2980,7 @@ object CorpusQueries {
     "q38_embedding_neardups" -> embeddingNearDups,
     "q53_multimodal_meta" -> multimodalMeta,
     "q54_multimodal_features" -> multimodalFeatures,
+    "q159_image_meta" -> imageMetaDecode,
     "q96_ann_search" -> annSearch,
     "q121_int8_ann" -> int8AnnSearch,
     "q122_ann_recall" -> annRecallAudit,
@@ -2893,7 +3019,7 @@ object CorpusQueries {
       s" * (tf$i * (CAST(1.2 AS DOUBLE) + 1))" +
       s" / (tf$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))"
 
-  /** q54 oracle plumbing: replay [[graft.sources.Multimodal.fakeDecode]]
+  /** q54 oracle plumbing: replay [[graft.expressions.SplitMixFeatures.kernel]]
     * bit-exactly in DuckDB. Java's wrapping signed-64 arithmetic is
     * arithmetic mod 2^64 on the bit pattern, so the oracle runs the
     * same fold/mix in HUGEINT (128-bit) with explicit `% 2^64`:
@@ -3280,6 +3406,42 @@ object CorpusQueries {
          |    AS coverage
          |FROM c GROUP BY doc_id, n_tokens
          |ORDER BY coverage DESC, doc_id""".stripMargin
+    },
+    // q160: same gram pipeline as q144, then the removal — covered
+    // positions as an explicit per-position union (generate_series per
+    // hit window, DISTINCT), kept tokens re-joined in order. The
+    // FILTER/coalesce pair makes a fully-covered doc rebuild to '',
+    // not to its original text.
+    "q160_exact_substr_removal" -> {
+      val k = dupGramK
+      s"""WITH $toksCte,
+         |g AS (
+         |  SELECT doc_id, u.i AS i,
+         |    ${h60Sql(s"array_to_string(t[u.i:u.i+${k - 1}], ' ')")} AS gh
+         |  FROM toks, LATERAL unnest(generate_series(1, len(t) - ${k - 1})) AS u(i)
+         |  WHERE len(t) >= $k),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |h AS (SELECT g.* FROM g JOIN dup USING (gh)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, cp.p AS p
+         |  FROM h, LATERAL unnest(generate_series(h.i, h.i + ${k - 1})) AS cp(p)),
+         |pos AS (
+         |  SELECT doc_id, u.p AS p, t[u.p] AS tok
+         |  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(p)),
+         |rb AS (
+         |  SELECT p.doc_id,
+         |    CAST(count(*) FILTER (WHERE c.p IS NOT NULL) AS BIGINT)
+         |      AS tokens_removed,
+         |    array_to_string(coalesce(
+         |      list(p.tok ORDER BY p.p) FILTER (WHERE c.p IS NULL),
+         |      CAST([] AS VARCHAR[])), ' ') AS cleaned_text
+         |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.p = c.p
+         |  GROUP BY p.doc_id)
+         |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+         |  coalesce(rb.tokens_removed, 0) AS tokens_removed,
+         |  coalesce(rb.cleaned_text, '') AS cleaned_text
+         |FROM toks LEFT JOIN rb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     // q145: same seeded hash-mod-S shard, same two-level rollup
     "q145_shard_interleave" ->
@@ -3917,6 +4079,23 @@ object CorpusQueries {
         | count(DISTINCT checksum) AS n_distinct,
         | max(CAST(ceil(octet_length(payload) / 256.0) AS BIGINT)) AS max_frames
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q159: the decoder must INVERT the entry's byte construction, so
+    // the oracle recomputes the planted header fields from doc_id
+    // alone (png/jpeg per doc_id%3; text payloads -> NULL struct)
+    "q159_image_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |      WHEN doc_id % 3 = 1 THEN 'jpeg' END AS format,
+        | CASE WHEN doc_id % 3 = 2 THEN NULL
+        |      ELSE CAST(doc_id % 640 + 1 AS INT) END AS width,
+        | CASE WHEN doc_id % 3 = 2 THEN NULL
+        |      ELSE CAST(doc_id % 480 + 1 AS INT) END AS height,
+        | CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(8 AS INT) END AS depth,
+        | CASE WHEN doc_id % 3 = 0
+        |      THEN CAST([1,3,4][CAST((doc_id // 3) % 3 AS INT) + 1] AS INT)
+        |      WHEN doc_id % 3 = 1
+        |      THEN CAST((doc_id // 3) % 2 * 2 + 1 AS INT) END AS nchan
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q35_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

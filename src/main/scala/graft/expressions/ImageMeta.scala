@@ -95,6 +95,11 @@ object ImageMeta {
       while (p + 8 <= n) {
         val len = be32(b, p)
         if (len < 0) return null // > 2 GiB chunk length: malformed
+        // chunk payload+CRC past the buffer: reject BEFORE advancing —
+        // `p += 12 + len` with len near Int.MaxValue would wrap p
+        // negative and turn the loop guard into an out-of-bounds read
+        // (n - p - 12 cannot overflow: 8 <= p <= n - 8)
+        if (len > n - p - 12) return null
         if (b(p + 4) == 'I' && b(p + 5) == 'H' && b(p + 6) == 'D' &&
             b(p + 7) == 'R') {
           if (p + 8 + 13 > n) return null
@@ -121,7 +126,7 @@ object ImageMeta {
         else if ((m >= 0xd0 && m <= 0xd8) || m == 0x01) { p += 2 } // standalone
         else {
           val len = be16(b, p + 2)
-          if (len < 2) return null
+          if (len < 2 || len > n - p - 2) return null // runs past buffer
           val sofn = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
           if (sofn) {
             if (p + 10 > n) return null

@@ -49,9 +49,10 @@ object SplitMixFeatures {
   def compute(payload: Array[Byte], dim: Int): ArrayData =
     new GenericArrayData(kernel(payload, dim))
 
-  /** The raw float kernel (also the [[graft.sources.Multimodal]]
-    * driver-side helper): byte-fold seed, then one splitmix64 draw
-    * per dimension, scaled to (-1, 1). */
+  /** The raw float kernel — the SINGLE copy of the oracle-pinned
+    * arithmetic (q54's DuckDB HUGEINT mod-2^64 replay tracks THIS
+    * function): byte-fold seed, then one splitmix64 draw per
+    * dimension, scaled to (-1, 1). */
   def kernel(payload: Array[Byte], dim: Int): Array[Float] = {
     var seed = GOLDEN
     var i = 0

@@ -1,22 +1,23 @@
 package graft.sources
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (builder brief): image/audio/video
   * payloads ride as opaque `binary` columns with a typed metadata
-  * struct; decode / feature-extract / frame-sample run as batched
-  * per-partition passes over the bytes.
+  * struct; decode / feature-extract / frame-sample run on the
+  * EXPRESSION path, inside whole-stage codegen with the scan.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio
-  * codecs, so [[fakeDecode]] produces deterministic hash-seeded
+  * The FEATURE KERNEL IS A STAND-IN: this container has no image/
+  * audio codecs or model weights, so [[extractFeatures]] runs
+  * [[graft.expressions.SplitMixFeatures]] — deterministic hash-seeded
   * pseudo-features. Everything around it — the binary schema, the
-  * metadata struct, the batch shape (fixed-size batches decoded
-  * together, the Arrow-UDF execution contract), the byte-slicing
-  * frame sampler, and the partitioning — is real and tested
-  * (MultimodalSpec). Swapping in a real codec changes one function.
+  * metadata struct ([[graft.expressions.ImageMeta]] for real header
+  * decode), the byte-slicing frame sampler, and the partitioning — is
+  * real and tested (MultimodalSpec, SplitMixFeaturesSpec,
+  * ImageMetaSpec). Swapping in a real model changes the kernel body,
+  * not the plan.
   */
 object Multimodal {
 
@@ -36,42 +37,18 @@ object Multimodal {
         md5(col("payload")).as("checksum")))
   }
 
-  /** STUB decoder (deterministic fake): splitmix64 over a byte-hash
-    * seed, `dim` floats in (-1, 1). Replace with a real codec where
-    * one exists — the pipeline contract around it does not change. */
-  def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    var seed = 0x9e3779b97f4a7c15L
-    var i = 0
-    while (i < payload.length) { seed = seed * 31 + payload(i); i += 1 }
-    val out = new Array[Float](dim)
-    var j = 0
-    while (j < dim) {
-      var z = seed + 0x9e3779b97f4a7c15L * (j + 1)
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      out(j) = ((z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble).toFloat
-      j += 1
-    }
-    out
-  }
-
-  /** Batched feature extraction: rows are processed in fixed-size
-    * batches (whole batch decoded before any row is emitted — the
-    * same batch contract as an Arrow/pandas UDF), appending an
-    * `array<float>` feature column. Distributes per partition; no
-    * driver involvement. */
-  def extractFeatures(df: DataFrame, payloadCol: String, dim: Int,
-                      batchSize: Int = 64): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      StructField("features", ArrayType(FloatType, containsNull = false)))
-    implicit val enc = Encoders.row(outSchema)
-    val idx = df.schema.fieldIndex(payloadCol)
-    df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        val feats = batch.map(r => fakeDecode(r.getAs[Array[Byte]](idx), dim))
-        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f))
-      }
-    }
+  /** Feature extraction on the EXPRESSION path: appends an
+    * `array<float>` feature column computed by the codegen'd
+    * [[graft.expressions.SplitMixFeatures]] kernel — one pass per row
+    * pipelined with the scan, no `SerializeFromObject` object
+    * boundary, no driver involvement (r13 verdict ask #1; the former
+    * `mapPartitions` batch stub broke whole-stage codegen and paid
+    * per-row serialization at media-corpus scale). */
+  def extractFeatures(df: DataFrame, payloadCol: String, dim: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.withColumn("features", ColumnBridge.column(
+      graft.expressions.SplitMixFeatures(
+        ColumnBridge.expression(col(payloadCol)), dim)))
   }
 
   /** Frame sampler: every `every`-th fixed-size byte window of the

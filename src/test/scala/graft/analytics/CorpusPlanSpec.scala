@@ -404,6 +404,32 @@ class CorpusPlanSpec extends SparkSpec {
     assert(!plan.contains("Generate explode"), plan)
   }
 
+  test("q160 removal: reconciles with q144 row-for-row, posting subtree once") {
+    // the audit acted on: every doc q144 reports must lose EXACTLY its
+    // covered_tokens, every other doc passes through untouched, and
+    // the rebuild is lossless (kept + removed = n_tokens)
+    val cov = CorpusQueries.dupGramCoverage(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rem = CorpusQueries.exactSubstrRemoval(spark, sf).collect()
+    assert(cov.nonEmpty && rem.length > cov.size)
+    val removed = rem.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cov.forall { case (id, c) => removed(id) == c },
+      cov.collect { case (id, c) if removed(id) != c => (id, c, removed(id)) }.take(3).toString)
+    assert(rem.filter(r => !cov.contains(r.getLong(0))).forall(_.getLong(2) == 0L))
+    assert(rem.forall { r =>
+      val kept = if (r.getString(3).isEmpty) 0 else r.getString(3).split(" ").length
+      kept == r.getLong(1) - r.getLong(2)
+    })
+    // posting subtree ran ONCE (at the gramPostings checkpoints): the
+    // per-position hash kernel and the gram explode are absent from
+    // the final plan, and nothing pairwise appears anywhere
+    val plan = finalPlan(CorpusQueries.exactSubstrRemoval(spark, sf))
+    assert(!plan.contains("md5"), plan)
+    assert(!plan.contains("Generate explode"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q145 shard audit: partitions the corpus exactly, no global order") {
     val rows = CorpusQueries.shardInterleave(spark, sf).collect()
     assert(rows.length == 16)
@@ -495,6 +521,24 @@ class CorpusPlanSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("shard="))
     val written = spark.read.parquet(out)
     assert(shardDirs.length == written.select("shard").distinct().count())
+  }
+
+  test("q54 features: decode rides whole-stage codegen, no object boundary") {
+    // the SplitMixFeatures expression replaced the mapPartitions batch
+    // stub (r13 verdict ask #1): the plan must carry NO
+    // serialize/deserialize object boundary — at media-corpus scale
+    // that boundary broke codegen and paid per-row serialization
+    val plan = finalPlan(CorpusQueries.multimodalFeatures(spark, sf))
+    assert(!plan.contains("SerializeFromObject")
+      && !plan.contains("DeserializeToObject")
+      && !plan.contains("MapPartitions"), plan)
+  }
+
+  test("q159 image decode: pure projection, no exchange beyond the sort") {
+    val plan = finalPlan(CorpusQueries.imageMetaDecode(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SerializeFromObject"), plan)
   }
 
   test("loadSpread: parallelizes the tiny scan without changing content") {

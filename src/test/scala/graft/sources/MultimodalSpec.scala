@@ -18,22 +18,22 @@ class MultimodalSpec extends SparkSpec {
     assert(Set("image", "audio", "video").contains(row.getAs[String]("modality")))
   }
 
-  test("fakeDecode: deterministic, dim-sized, payload-sensitive") {
-    val a = Multimodal.fakeDecode("hello".getBytes, 16)
-    val b = Multimodal.fakeDecode("hello".getBytes, 16)
-    val c = Multimodal.fakeDecode("other".getBytes, 16)
-    assert(a.length == 16 && a.sameElements(b) && !a.sameElements(c))
-    assert(a.forall(f => f >= -1.0f && f <= 1.0f))
-  }
-
-  test("extractFeatures: batch-decoded array column, stable per row") {
+  test("extractFeatures: expression-decoded array column, stable per row") {
     val df = Seq((1L, "aa".getBytes), (2L, "bb".getBytes), (3L, "aa".getBytes))
       .toDF("id", "payload")
-    val out = Multimodal.extractFeatures(df, "payload", dim = 8, batchSize = 2)
+    val out = Multimodal.extractFeatures(df, "payload", dim = 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
     assert(out(1).length == 8)
     assert(out(1) == out(3)) // same bytes -> same features (determinism)
     assert(out(1) != out(2))
+  }
+
+  test("extractFeatures: no object boundary — decode rides codegen, not mapPartitions") {
+    val df = Seq((1L, "aa".getBytes)).toDF("id", "payload")
+    val plan = Multimodal.extractFeatures(df, "payload", dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"), plan)
   }
 
   test("frameSample: every k-th fixed-size byte window") {
