@@ -2739,6 +2739,53 @@ object CorpusQueries {
     compactionProbe(s, dir, Seq(foldGenerations(s, g0, g1)))
   }
 
+  /** q161's SQUASH: the missing third step of the compaction story —
+    * the fold (q150) is exchange-free but leaves file count = sum of
+    * the inputs' files, so over many nights the per-bucket file count
+    * (and with it scan open/footer overhead, the small-files killer)
+    * still grows. The squash rewrites the folded generation at
+    * exactly one file per bucket, EXCHANGE-FREE: `repartition(8, fp)`
+    * declares a hash distribution identical to the bucket layout's
+    * (same murmur3+pmod), the fold's bucketed scan already reports
+    * that distribution, so EnsureRequirements elides the exchange and
+    * each bucket is one local read→merge-write task emitting one
+    * file. The subtlety making this robust: AQE's elision composes
+    * with `DisableUnnecessaryBucketedScan`, which — seeing no
+    * surviving operator that needs the distribution — would then
+    * UN-bucket the scan, silently re-introducing arbitrary file
+    * splits (16 mixed-bucket output files observed); the squash pins
+    * `autoBucketedScan` off for its one write so the bucket-aligned
+    * read is load-bearing, then restores the session conf. 8 output
+    * files pinned (a hash mismatch would fan each task across
+    * buckets, up to 64 files, so the pin also proves writer-hash
+    * alignment); a non-bucket-aligned input pays at worst one keyed
+    * shuffle of the index — never of the corpus. */
+  private[analytics] def squashGeneration(s: SparkSession, gcName: String): String = {
+    val root = graft.TempDirs.scratch("g161_fp_sq")
+    val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+    val sqName = s"g161_fp_gensq_$tag"
+    val abKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(abKey)
+    s.conf.set(abKey, "false")
+    try s.table(gcName).repartition(8, col("fp"))
+      .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
+      .option("path", s"$root/$sqName").mode("overwrite").saveAsTable(sqName)
+    finally s.conf.set(abKey, prev)
+    sqName
+  }
+
+  /** q161: build → write-back → fold → SQUASH → probe, the full
+    * generational life cycle. The day-3 probe against the squashed
+    * index is the same ONE bucket-local merge join as against the
+    * fold, and the counters are value-identical across chain, fold
+    * and squash (pinned in CorpusPlanSpec); the DuckDB oracle is
+    * q150's — storage-independent by design, so the entry's hash
+    * proves the extra rewrite lossless. */
+  def indexSquash: Q = (s, dir) => {
+    val (g0, g1) = buildFpGenerations(s, dir)
+    compactionProbe(s, dir, Seq(squashGeneration(s, foldGenerations(s, g0, g1))))
+  }
+
   /** q152's fold: the band-index generations merged into one bucketed
     * posting table. Same exchange-free argument as [[foldGenerations]]
     * — identical (band, bucket) layouts, bucket-pure input tasks; here
@@ -2946,6 +2993,7 @@ object CorpusQueries {
     "q155_bloom_guard" -> bloomGuardedDedup,
     "q152_band_compaction" -> bandCompaction,
     "q150_index_compaction" -> indexCompaction,
+    "q161_index_squash" -> indexSquash,
     "q148_curation_pipeline" -> curationPipeline,
     "q147_int8_store_probe" -> int8StoredAnn,
     "q144_dupgram_coverage" -> dupGramCoverage,
@@ -3005,6 +3053,38 @@ object CorpusQueries {
       |   THEN CAST([] AS VARCHAR[])
       |   ELSE regexp_split_to_array(trim(text), '\s+') END AS t
       | FROM documents)""".stripMargin
+
+  /** q150/q161 shared oracle: the day-3 probe counters replayed
+    * storage-independently (q127's argument) — identical whether the
+    * index is the generation chain, the fold, or the squashed fold,
+    * so each entry's hash proves its own storage chain lossless. */
+  private val day3ProbeOracle: String =
+    raw"""WITH fps AS (
+       | SELECT doc_id, source,
+       |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+       | FROM documents),
+       |idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 400),
+       |arr AS (
+       |  SELECT doc_id AS arrival_id, source, fp FROM fps WHERE doc_id >= 400
+       |  UNION ALL
+       |  SELECT doc_id + 500000, source, fp FROM fps
+       |   WHERE doc_id >= 300 AND doc_id < 320
+       |  UNION ALL
+       |  SELECT doc_id + 600000, source, fp FROM fps WHERE doc_id < 25
+       |  UNION ALL
+       |  SELECT doc_id + 700000, source, fp FROM fps
+       |   WHERE doc_id >= 400 AND doc_id < 415),
+       |w AS (SELECT fp, min(arrival_id) AS arrival_id,
+       |        count(*) AS n_in_batch, min(source) AS source
+       |      FROM arr GROUP BY fp),
+       |j AS (SELECT w.source, w.n_in_batch,
+       |        CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM w LEFT JOIN idx USING (fp))
+       |SELECT source, CAST(sum(n_in_batch) AS BIGINT) AS n_arrived,
+       | CAST(sum(n_in_batch) - count(*) AS BIGINT) AS n_batch_dups,
+       | CAST(sum(hit) AS BIGINT) AS n_dup_index,
+       | CAST(sum(1 - hit) AS BIGINT) AS n_new
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   /** q112 oracle body: one per-term score contribution in the exact
     * association order of the Spark expression (literal arithmetic
@@ -3232,33 +3312,11 @@ object CorpusQueries {
     // fps of docs < 400 (gen 0 = history < 300; gen 1 = day-1 new fps
     // from 300–399; re-crawl fps collapse into gen 0), and the day-3
     // counters depend only on membership
-    "q150_index_compaction" ->
-      raw"""WITH fps AS (
-         | SELECT doc_id, source,
-         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-         | FROM documents),
-         |idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 400),
-         |arr AS (
-         |  SELECT doc_id AS arrival_id, source, fp FROM fps WHERE doc_id >= 400
-         |  UNION ALL
-         |  SELECT doc_id + 500000, source, fp FROM fps
-         |   WHERE doc_id >= 300 AND doc_id < 320
-         |  UNION ALL
-         |  SELECT doc_id + 600000, source, fp FROM fps WHERE doc_id < 25
-         |  UNION ALL
-         |  SELECT doc_id + 700000, source, fp FROM fps
-         |   WHERE doc_id >= 400 AND doc_id < 415),
-         |w AS (SELECT fp, min(arrival_id) AS arrival_id,
-         |        count(*) AS n_in_batch, min(source) AS source
-         |      FROM arr GROUP BY fp),
-         |j AS (SELECT w.source, w.n_in_batch,
-         |        CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END AS hit
-         |      FROM w LEFT JOIN idx USING (fp))
-         |SELECT source, CAST(sum(n_in_batch) AS BIGINT) AS n_arrived,
-         | CAST(sum(n_in_batch) - count(*) AS BIGINT) AS n_batch_dups,
-         | CAST(sum(hit) AS BIGINT) AS n_dup_index,
-         | CAST(sum(1 - hit) AS BIGINT) AS n_new
-         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "q150_index_compaction" -> day3ProbeOracle,
+    // q161: same day-3 probe, same storage-independent oracle — the
+    // entry differs only in the squash rewrite between fold and probe,
+    // which is exactly what the shared hash proves lossless
+    "q161_index_squash" -> day3ProbeOracle,
     // q148: the whole funnel replayed stage by stage — q31's quality
     // expression, q33's fingerprint, q102's recursive-CTE clusters,
     // q126's rate arithmetic scoped to stage-3 survivors, the same

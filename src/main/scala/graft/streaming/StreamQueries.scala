@@ -614,61 +614,96 @@ object StreamQueries {
     * window. At 100 TB: per batch one bucket-local probe + one
     * batch-sized bucketed append — q134's movement bound, at
     * micro-batch cadence. */
-  def streamedWriteBack(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.TempDirs.scratch("graft_stream_wb", preferShm = true)
+  /** The q156 per-micro-batch transaction — foreachBatch is
+    * AT-LEAST-ONCE: a batch that fails between its writes and the
+    * checkpoint commit is re-executed, so both effects are idempotent
+    * under retry — the verdict write lands in a per-batchId directory
+    * with OVERWRITE (a retry replaces its own output, never appends a
+    * duplicate), and the index append is naturally idempotent because
+    * a retry re-probes the index its first attempt already appended
+    * to: every fp now hits, so the keep_id-isNull write-back set is
+    * empty. This is the standard recipe for exactly-once-on-retry
+    * foreachBatch sinks — and the RESTART pin (StreamOpsSpec) proves
+    * it live: a crash injected after a batch's writes but before its
+    * commit, then a second `Trigger.AvailableNow` start on the same
+    * checkpoint, yields rollup and final index identical to an
+    * uninterrupted run. */
+  private def writeBackBatch(s: SparkSession, idxName: String, root: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val winners = batch.groupBy("fp")
+      .agg(min("arrival_id").as("arrival_id"),
+        count(lit(1)).as("n_in_batch"),
+        min("source").as("source"), min("batch_id").as("batch_id"))
+    val verdicts = winners.hint("merge")
+      .join(s.table(idxName), Seq("fp"), "left")
+      .localCheckpoint() // ONE probe feeds results AND write-back
+    verdicts.write.mode("overwrite").parquet(s"$root/out/bid=$batchId")
+    // the write-back: this batch's new fps become the next
+    // generation, keep_id = the winning arrival. Retry windows:
+    // a crash BETWEEN the two statements re-runs the verdict
+    // overwrite idempotently and appends once; a crash AFTER
+    // both statements re-probes an index that already holds
+    // this batch's fps, so the re-written verdicts carry
+    // keep_id = their OWN arrival_id — the rollup classifies
+    // that self-hit as `new` (a genuine stream-dup's keep_id is
+    // an EARLIER batch's arrival id, never the winner's own),
+    // so the retried output is value-identical.
+    verdicts.filter(col("keep_id").isNull)
+      .select(col("fp"), col("arrival_id").as("keep_id"))
+      .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
+      .mode("append").saveAsTable(idxName)
+    // the next batch must SEE this append: drop the cached file
+    // listing (the bucketed append does not reliably invalidate
+    // the shared relation cache — without this, batch 2 probed
+    // a stale index and missed batch 0's write-back)
+    s.catalog.refreshTable(idxName)
+  }
+
+  /** q156 pipeline factory: builds the scaffolding ONCE under `root`
+    * and returns (index table name, start function). Each invocation
+    * of the start function runs one `Trigger.AvailableNow` pass
+    * against the SAME checkpoint dir — so the restart-recovery pin
+    * can kill a run mid-stream and resume it. `failAfterWritesOf`
+    * injects a crash AFTER that batch's two writes land but BEFORE
+    * its checkpoint commit — the widest at-least-once retry window. */
+  private[streaming] def writeBackHarness(s: SparkSession, dir: String,
+      root: String): (String, Option[Long] => Unit) = {
     // q154's scaffolding verbatim (shared def), so the two entries'
     // verdicts on the SAME replay differ only by the write-back;
     // keep_id = −1 encodes "historical" here, leaving arrival ids
     // free to mark stream-generation hits
     val (idxName, stream) =
       fpIndexAndReplay(s, dir, root, "g156_fp_index", min(lit(-1L)))
-    withStreamShuffle(s, 8) {
+    val start = (failAfterWritesOf: Option[Long]) => withStreamShuffle(s, 8) {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
-        // foreachBatch is AT-LEAST-ONCE: a batch that fails between
-        // its writes and the checkpoint commit is re-executed, so
-        // both effects must be idempotent under retry — the verdict
-        // write lands in a per-batchId directory with OVERWRITE (a
-        // retry replaces its own output, never appends a duplicate),
-        // and the index append is naturally idempotent because a
-        // retry re-probes the index its first attempt already
-        // appended to: every fp now hits, so the keep_id-isNull
-        // write-back set is empty. This is the standard recipe for
-        // exactly-once-on-retry foreachBatch sinks.
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val winners = batch.groupBy("fp")
-            .agg(min("arrival_id").as("arrival_id"),
-              count(lit(1)).as("n_in_batch"),
-              min("source").as("source"), min("batch_id").as("batch_id"))
-          val verdicts = winners.hint("merge")
-            .join(s.table(idxName), Seq("fp"), "left")
-            .localCheckpoint() // ONE probe feeds results AND write-back
-          verdicts.write.mode("overwrite").parquet(s"$root/out/bid=$batchId")
-          // the write-back: this batch's new fps become the next
-          // generation, keep_id = the winning arrival. Retry windows:
-          // a crash BETWEEN the two statements re-runs the verdict
-          // overwrite idempotently and appends once; a crash AFTER
-          // both statements re-probes an index that already holds
-          // this batch's fps, so the re-written verdicts carry
-          // keep_id = their OWN arrival_id — the rollup classifies
-          // that self-hit as `new` (a genuine stream-dup's keep_id is
-          // an EARLIER batch's arrival id, never the winner's own),
-          // so the retried output is value-identical.
-          verdicts.filter(col("keep_id").isNull)
-            .select(col("fp"), col("arrival_id").as("keep_id"))
-            .write.format("parquet").bucketBy(8, "fp").sortBy("fp")
-            .mode("append").saveAsTable(idxName)
-          // the next batch must SEE this append: drop the cached file
-          // listing (the bucketed append does not reliably invalidate
-          // the shared relation cache — without this, batch 2 probed
-          // a stale index and missed batch 0's write-back)
-          s.catalog.refreshTable(idxName)
+          writeBackBatch(s, idxName, root)(batch, batchId)
+          if (failAfterWritesOf.contains(batchId))
+            throw new RuntimeException(
+              s"injected crash: batch $batchId wrote, not yet committed")
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      try q.awaitTermination()
+      catch {
+        // the injected crash surfaces as a query failure — exactly a
+        // driver death between sink writes and checkpoint commit
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if failAfterWritesOf.isDefined &&
+              (Option(e.getMessage).exists(_.contains("injected crash")) ||
+                Option(e.getCause).flatMap(c => Option(c.getMessage))
+                  .exists(_.contains("injected crash"))) => ()
+      }
     }
+    (idxName, start)
+  }
+
+  def streamedWriteBack(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft_stream_wb", preferShm = true)
+    val (_, start) = writeBackHarness(s, dir, root)
+    start(None)
     s.read.parquet(s"$root/out").drop("bid")
   }
 

@@ -173,6 +173,54 @@ class CorpusPlanSpec extends SparkSpec {
     assert(chain.nonEmpty)
   }
 
+  test("q161 squash: exchange-free, exactly 8 files, value-identical") {
+    val (g0, g1) = CorpusQueries.buildFpGenerations(spark, sf)
+    val gc = CorpusQueries.foldGenerations(spark, g0, g1)
+    // the fold left more files than buckets — that growth is what the
+    // squash exists to stop
+    assert(spark.table(gc).inputFiles.length > 8)
+    // the squash is EXCHANGE-FREE: under the write's conf (bucketed
+    // scan pinned on) the scan reports the hash distribution the
+    // keyed repartition declares, so EnsureRequirements elides the
+    // exchange — each bucket is one local read→merge-write task
+    val abKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAb = spark.conf.get(abKey)
+    spark.conf.set(abKey, "false")
+    try {
+      val repart = spark.table(gc).repartition(8, col("fp"))
+      repart.collect()
+      val rplan = repart.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!rplan.contains("Exchange"), rplan)
+      assert(rplan.contains("Bucketed: true"), rplan)
+    } finally spark.conf.set(abKey, prevAb)
+    val sq = CorpusQueries.squashGeneration(spark, gc)
+    // exactly one file per bucket — also proves repartition's hash
+    // aligned with the bucket layout (a mismatch fans each task
+    // across buckets, up to 64 files)
+    assert(spark.table(sq).inputFiles.length == 8,
+      s"${spark.table(sq).inputFiles.length} files")
+    // content identical to the fold
+    assert(spark.table(sq).exceptAll(spark.table(gc)).isEmpty
+      && spark.table(gc).exceptAll(spark.table(sq)).isEmpty)
+    // day-3 counters identical across chain / fold / squash
+    val chain = CorpusQueries.compactionProbe(spark, sf, Seq(g0, g1))
+      .collect().map(_.toSeq.toVector).toVector
+    val fold = CorpusQueries.compactionProbe(spark, sf, Seq(gc))
+      .collect().map(_.toSeq.toVector).toVector
+    val squash = CorpusQueries.compactionProbe(spark, sf, Seq(sq))
+      .collect().map(_.toSeq.toVector).toVector
+    assert(squash == chain && squash == fold && squash.nonEmpty)
+    // the probe against the squashed index keeps q150's shape: one
+    // bucket-local merge join, index side never reshuffles
+    val plan = finalPlan(CorpusQueries.compactionProbe(spark, sf, Seq(sq)))
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.linesIterator.count(_.contains("SortMergeJoin")) == 1, plan)
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(ex <= 3, s"$ex hash exchanges:\n$plan")
+  }
+
   test("q152 band compaction: exchange-free fold, chain-identical probe") {
     val (g0, g1) = CorpusQueries.buildBandGenerations(spark, sf)
     // same fold contract as q150, on the overlapping-key posting

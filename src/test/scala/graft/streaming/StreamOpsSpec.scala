@@ -369,6 +369,47 @@ class StreamOpsSpec extends SparkSpec {
         s"batch $b: static-new=${sjNew(b)} wb-new=${wbNew(b)} stream-dup=${wbStream(b)}")
   }
 
+  test("q156 restart recovery: killed-and-resumed run == uninterrupted run") {
+    val sf = "/root/testdata/sf0.001"
+    // interrupted + resumed, ONE checkpoint dir: run 1 crashes AFTER
+    // batch 1's verdict write and index append land but BEFORE its
+    // checkpoint commit — the widest at-least-once retry window
+    val rootA = graft.TempDirs.scratch("graft_wb_recover", preferShm = true)
+    val (idxA, startA) = StreamQueries.writeBackHarness(spark, sf, rootA)
+    startA(Some(1L))
+    assert(new java.io.File(s"$rootA/ckpt/commits/0").exists,
+      "batch 0 must have committed before the injected crash")
+    assert(!new java.io.File(s"$rootA/ckpt/commits/1").exists,
+      "batch 1 must NOT have committed — the crash preempted it")
+    // run 2 on the same checkpoint: re-executes batch 1, then batch 2
+    startA(None)
+    assert(new java.io.File(s"$rootA/ckpt/commits/2").exists)
+    val recovered = spark.read.parquet(s"$rootA/out").drop("bid")
+    // the retry really re-ran batch 1 against an index already holding
+    // its own fps: its fresh arrivals carry the self-hit signature
+    assert(recovered.filter(col("batch_id") === 1L
+      && col("keep_id") === col("arrival_id")).count() > 0,
+      "no self-hit verdicts — the retry window was not exercised")
+    // uninterrupted control run, fresh root
+    val rootB = graft.TempDirs.scratch("graft_wb_control", preferShm = true)
+    val (idxB, startB) = StreamQueries.writeBackHarness(spark, sf, rootB)
+    startB(None)
+    val control = spark.read.parquet(s"$rootB/out").drop("bid")
+    // ROLLUP IDENTITY: the self-hit classification absorbs the retry,
+    // so the resumed run's counters equal the uninterrupted run's
+    val a = StreamQueries.writeBackRollup(recovered)
+      .collect().map(_.toSeq.toVector).toVector
+    val b = StreamQueries.writeBackRollup(control)
+      .collect().map(_.toSeq.toVector).toVector
+    assert(a == b && a.nonEmpty, s"recovered=$a\ncontrol=$b")
+    // FINAL INDEX IDENTITY: the crashed attempt's append was not
+    // duplicated by the retry (empty write-back set on re-probe)
+    val ia = spark.table(idxA)
+    val ib = spark.table(idxB)
+    assert(ia.count() == ib.count())
+    assert(ia.exceptAll(ib).isEmpty && ib.exceptAll(ia).isEmpty)
+  }
+
   test("q153 streaming CMS: bounded cells, one-sided error, batch parity") {
     val sf = "/root/testdata/sf0.001"
     val cells = StreamQueries.streamedCms(spark, sf)
