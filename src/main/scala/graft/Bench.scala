@@ -88,6 +88,40 @@ object Bench {
   def cpuArrayJson(results: Seq[(String, Double, Double, Boolean)]): String =
     results.map { case (_, _, c, _) => r1(c) }.mkString("[", ",", "]")
 
+  /** The previous round's per-entry walls (compact keys → seconds)
+    * from the newest `BENCH_r{N}.json` the driver left in the working
+    * directory — the baseline for the RELATIVE rerun trigger. Zero
+    * dependencies: the wall map is the one UNESCAPED
+    * `"queries":{...}` object in the wrapper's `parsed` section (the
+    * raw-tail copy is escaped, so the literal pattern cannot match
+    * it). Absent file, unreadable JSON, or a driver format change
+    * all degrade to an empty map — the absolute threshold still
+    * stands alone, exactly the pre-r15 behavior. Overridable with
+    * SPARK_GRAFT_PREV_BENCH for ad-hoc comparisons. */
+  private[graft] def previousArtifactWalls(): Map[String, Double] = try {
+    val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
+    val file = explicit.orElse {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f)); case _ => None
+        }).sortBy(-_._1).headOption.map(_._2)
+    }
+    file.filter(_.isFile).map { f =>
+      val txt = java.nio.file.Files.readString(f.toPath)
+      val m = java.util.regex.Pattern.compile("\"queries\":\\s*\\{([^}]*)\\}").matcher(txt)
+      if (!m.find()) Map.empty[String, Double]
+      else m.group(1).split(",").toSeq.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+  } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -308,13 +342,23 @@ object Bench {
       (name, fn, w, c)
     }
     // contention armor: any entry whose first wall reading crosses the
-    // threshold is re-run once and the minimum kept. A genuinely slow
-    // entry measures the same twice (cost: one duplicate run of the
-    // few slowest entries); an entry that merely landed in a busy
-    // scheduling window recovers its real number.
+    // ABSOLUTE threshold OR reads more than 2x its previous-round
+    // artifact value is re-run once and the minimum kept. A genuinely
+    // slow entry measures the same twice (cost: one duplicate run of
+    // the few slowest entries); an entry that merely landed in a busy
+    // scheduling window recovers its real number. The relative
+    // trigger closes the sub-threshold gap the absolute one left:
+    // r13/r14 both ran on a contended driver box and a band of
+    // sub-2.5 s entries (q42/q115/q117/q122/q123) read 1.3-1.9x their
+    // previous walls with untouched code — phantom regressions the
+    // artifact could not disprove by itself.
     val rerunWall = sys.env.getOrElse("SPARK_GRAFT_RERUN_WALL", "2.5").toDouble
+    val prevWalls = previousArtifactWalls()
+    def needsRerun(name: String, w: Double): Boolean =
+      w >= rerunWall ||
+        prevWalls.get(entryKey(name)).exists(p => p > 0 && w > 2 * p)
     val measured = firstPass.map { case (name, fn, w, c) =>
-      if (w >= 0 && w >= rerunWall) {
+      if (w >= 0 && needsRerun(name, w)) {
         val (w2, c2) = timeEntry(name, fn, sfDir, recordFail = false)
         if (w2 >= 0 && w2 < w) (name, w2, c2, true) else (name, w, c, true)
       } else (name, w, c, false)
@@ -382,18 +426,20 @@ object Bench {
       skew.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }
-    // full-detail diagnostics (skew guard metrics, the per-entry CPU
-    // array, ingest forensics) on their OWN line so the final line
+    // full-detail diagnostics (the per-entry CPU array, skew guard
+    // metrics, ingest forensics) on their OWN line so the final line
     // stays inside the driver's tail capture. Field order is
-    // tail-survival priority REVERSED (the capture is a tail): skew
-    // first, the bulky CPU array mid-line, ingest forensics LAST so
-    // a capture window reaching into this line sees the fields that
-    // explain a suspicious ingest number first
+    // tail-survival priority REVERSED (the capture is a tail): the
+    // bulky CPU array FIRST (r13 ask #7 — it is the axis most often
+    // cross-read against the wall map, but when the window is tight
+    // it is also the most affordable loss), skew mid-line, ingest
+    // forensics LAST so a capture window reaching into this line sees
+    // the fields that explain a suspicious ingest number first
     val triesJson = ingestTries.map { case (k, v) =>
       "\"" + k + "\":" + v.map(r1).mkString("[", ",", "]") }.mkString("{", ",", "}")
     val loadsJson = ingestLoads.map { case (k, v) => "\"" + k + "\":" + r1(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"diag","skew":$skewJson,"cpu_by_query_order":${cpuArrayJson(results)},"ingest_cpu":${r3(ingestCpu)},"ingest_cpu_disk":${r3(ingestCpuDisk)},"ingest_medium":"$ingestMedium","ingest_bytes_per_row":${r3(ingestBpr)},"ingest_tries":$triesJson,"ingest_load":$loadsJson}""")
+    println(s"""{"metric":"diag","cpu_by_query_order":${cpuArrayJson(results)},"skew":$skewJson,"ingest_cpu":${r3(ingestCpu)},"ingest_cpu_disk":${r3(ingestCpuDisk)},"ingest_medium":"$ingestMedium","ingest_bytes_per_row":${r3(ingestBpr)},"ingest_tries":$triesJson,"ingest_load":$loadsJson}""")
     // compact ingest summary for the final line: rows/s is the
     // BASELINE.md comparison axis and must survive in the artifact
     val ingestJson = s"""{"rows":$ingestRows,"rps":${r1(ingestRps)},"rps_disk":${r1(ingestRpsDisk)},"bpr":${r1(ingestBpr)}}"""

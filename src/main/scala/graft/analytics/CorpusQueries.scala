@@ -2968,16 +2968,19 @@ object CorpusQueries {
          |    floor(min(q) * 1e6 + 0.5) / 1e6 AS q_min,
          |    floor(max(q) * 1e6 + 0.5) / 1e6 AS q_max,
          |    graft_kmv_min_k(hfp, 8) AS mins
-         |  FROM h GROUP BY source)
-         |SELECT source, n_docs, n_fp_distinct, q_min, q_max,
-         |  CAST(size(mins) AS BIGINT) AS n_mins,
-         |  CASE WHEN size(mins) > 0 THEN element_at(mins, size(mins)) END
-         |    AS kth_min,
-         |  CASE WHEN size(mins) < 8 THEN CAST(size(mins) AS BIGINT)
-         |    ELSE CAST(floor(CAST(7 AS DOUBLE) / element_at(mins, size(mins))
-         |      * CAST(1152921504606846976 AS DOUBLE) + 0.5) AS BIGINT)
-         |  END AS est_fp
-         |FROM a ORDER BY source""".stripMargin)
+         |  FROM h GROUP BY source),
+         |b AS (
+         |  SELECT source, n_docs, n_fp_distinct, q_min, q_max,
+         |    CAST(size(mins) AS BIGINT) AS n_mins,
+         |    CASE WHEN size(mins) > 0 THEN element_at(mins, size(mins)) END
+         |      AS kth_min
+         |  FROM a)
+         |SELECT source, n_docs, n_fp_distinct, q_min, q_max, n_mins, kth_min,
+         |  -- the named estimator (SketchFns.kmvEstimate's tree): the
+         |  -- n_mins < k branch never touches the NULL kth_min of an
+         |  -- exhaustive empty sketch, same as the former inline CASE
+         |  graft_kmv_estimate(n_mins, kth_min, 8) AS est_fp
+         |FROM b ORDER BY source""".stripMargin)
     // the sql() call above is ANALYZED eagerly, so the spread view is
     // already bound into `out`; restore the plain `documents` view so
     // this entry leaves no session-state mutation behind (a later

@@ -222,8 +222,86 @@ object TimeSeriesQueries {
     s.sql(s"WITH $sqlSurfaceBody")
   }
 
+  /** q162 SQL body, shared between the Spark surface and the DuckDB
+    * oracle with the per-engine snippets injected: the array builder
+    * (`collect_list` vs `list`) and the three graft named functions
+    * (which the oracle replays as list lambdas — q23's conventions).
+    * Everything else is IDENTICAL text, so association order —
+    * window sums, the alpha product, the quantization — matches op
+    * for op. Float discipline: the momentum axis uses price DELTAS
+    * (exact 1/64-grain doubles whose window sums are
+    * order-independent) instead of return quotients — a windowed sum
+    * of inexact quotients would hash-diverge on DuckDB's
+    * segment-tree accumulation order. */
+  private def quantSqlBody(list: String, tsRankC8: String, argmaxC10: String,
+      decayVw9: String, tsRankV5: String): String =
+    s"""r AS (
+       | SELECT stock, day, close, low, volume, vwap,
+       |  close - lag(close) OVER (PARTITION BY stock ORDER BY day) AS d1
+       | FROM quotes),
+       |arrs AS (
+       | SELECT stock, day,
+       |  $list(close) OVER w8 AS c8,
+       |  $list(close) OVER w10 AS c10,
+       |  $list(vwap) OVER w9 AS vw9,
+       |  $list(volume) OVER w5 AS v5,
+       |  min(low) OVER w5 AS minlow5,
+       |  sum(d1) OVER w240 AS sd240,
+       |  sum(d1) OVER w20 AS sd20
+       | FROM r
+       | WINDOW
+       |  w5 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       |  w8 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+       |  w9 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+       |  w10 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       |  w20 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       |  w240 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 239 PRECEDING AND CURRENT ROW)),
+       |lagd AS (
+       | SELECT *,
+       |  lag(minlow5, 5) OVER (PARTITION BY stock ORDER BY day) AS minlow5l,
+       |  (sd240 - sd20) / 220.0 AS rx
+       | FROM arrs),
+       |xrk AS (
+       | SELECT *, CASE WHEN rx IS NOT NULL THEN
+       |   (CAST(rank() OVER (PARTITION BY day ORDER BY rx NULLS LAST) AS DOUBLE)
+       |    + (CAST(count(*) OVER (PARTITION BY day, rx) AS DOUBLE) - 1) / 2.0)
+       |   / CAST(count(rx) OVER (PARTITION BY day) AS DOUBLE) END AS r52
+       | FROM lagd)
+       |SELECT stock, day,
+       | round($tsRankC8, 6) AS tsrank_c8,
+       | $argmaxC10 AS argmax_c10,
+       | round($decayVw9, 4) AS decay_vw9,
+       | -- the injected snippet is parenthesized: an unparenthesized
+       | -- a/b replay would re-associate the product (x*a/b vs x*(a/b))
+       | -- and drift one ulp across the floor boundary
+       | floor((-minlow5 + minlow5l) * r52 * ($tsRankV5) * 1e6 + 0.5) / 1e6
+       |   AS alpha52
+       |FROM xrk ORDER BY stock, day""".stripMargin
+
+  /** q162: the QUANT tier as named SQL functions (r13 ask #6) — the
+    * §2.5 w-ops `graft_ts_rank` / `graft_ts_argmax` /
+    * `graft_decay_linear` run from pure SQL TEXT over a
+    * `collect_list(...) OVER w` array, and an Alpha formula
+    * (Kakushadze #52, the panel's exact-arithmetic momentum
+    * convention, average-tie pct cross-rank) evaluates end-to-end in
+    * that text — the reference's console user writes alphas without
+    * touching the DataFrame API. The named functions return the SAME
+    * Catalyst subtrees as [[graft.ops.TsOps]]'s window helpers
+    * (delegation pinned in GraftFunctionsSpec), so this plans
+    * identically to the factor engine: one stock-keyed exchange
+    * serves every trailing window, one day-keyed exchange the cross
+    * ranks. */
+  def quantSqlFunctions: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    graft.functions.GraftFunctions.register(s)
+    s.sql("WITH " + quantSqlBody("collect_list",
+      "graft_ts_rank(c8)", "graft_ts_argmax(c10)",
+      "graft_decay_linear(vw9)", "graft_ts_rank(v5)"))
+  }
+
   val entries: Map[String, Q] = Map(
     "q115_sql_surface" -> sqlSurface,
+    "q162_quant_sql" -> quantSqlFunctions,
     "q97_asof_join" -> asOfJoinEntry,
     "q98_ohlc_resample" -> ohlcResample(5),
     "q101_ohlc_monthly" -> ohlcResample(21),
@@ -240,6 +318,20 @@ object TimeSeriesQueries {
     "q115_sql_surface" ->
       s"""WITH ${graft.sources.Quotes.sqlCte},
          |$sqlSurfaceBody""".stripMargin,
+    // q162: identical body text; the graft named functions replayed as
+    // DuckDB list lambdas in the exact q23 conventions (filter-count
+    // rank, indexof argmax, (x,i)-weighted decay)
+    "q162_quant_sql" -> {
+      def tsRank(a: String) =
+        s"CAST(len(list_filter($a, x -> x <= $a[-1])) AS DOUBLE)" +
+          s" / CAST(len($a) AS DOUBLE)"
+      s"WITH ${graft.sources.Quotes.sqlCte},\n" + quantSqlBody("list",
+        tsRank("c8"),
+        "CAST(len(c10) - list_indexof(c10, list_aggregate(c10, 'max')) AS DOUBLE)",
+        "list_sum(list_transform(vw9, (x, i) -> x * i))" +
+          " / (len(vw9) * (len(vw9) + 1) / 2.0)",
+        tsRank("v5"))
+    },
     "q97_asof_join" ->
       s"""WITH ${graft.sources.Quotes.sqlCte},
          |l AS (SELECT stock, day, round(close, 6) + 0.0 AS close FROM quotes),

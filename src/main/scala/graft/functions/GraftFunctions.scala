@@ -53,6 +53,15 @@ object GraftFunctions {
     // graft_hash60(str): the portable 60-bit md5 hash every
     // deterministic sketch in the tier is built on
     unary("graft_hash60")(DedupFns.portableHash60),
+    // quant tier (r13 ask #6): the §2.5 trailing-window w-ops by
+    // name, applied to a `collect_list(x) OVER w` array built in SQL
+    // text — the SAME array-form kernels the TsOps WindowSpec helpers
+    // delegate to, so a SQL-console alpha formula and the DataFrame
+    // factor engine share one Catalyst subtree (parity pinned in
+    // GraftFunctionsSpec; q162 runs an Alpha formula in pure SQL)
+    unary("graft_ts_rank")(graft.ops.TsOps.tsRankArr),
+    unary("graft_ts_argmax")(graft.ops.TsOps.tsArgMaxArr),
+    unary("graft_decay_linear")(graft.ops.TsOps.decayLinearArr),
     // graft_kmv_min_k(hash, k): bottom-k KMV distinct sketch (array
     // of the k smallest distinct values); k must be a literal
     (FunctionIdentifier("graft_kmv_min_k"),
@@ -67,6 +76,18 @@ object GraftFunctions {
             s"graft_kmv_min_k: k must be an integer literal, got $other")
         }
         graft.expressions.KmvMinK(es.head, k)
+      }),
+    // graft_kmv_estimate(n_mins, kth_min, k): the ONE estimator
+    // definition ([[SketchFns.kmvEstimate]]) as a named function —
+    // q158 consumes it from SQL text, collapsing the inline
+    // estimator duplication (r13 ask #8): an arithmetic fix lands on
+    // the DataFrame entries and the SQL console at once
+    (FunctionIdentifier("graft_kmv_estimate"),
+      new ExpressionInfo(GraftFunctions.getClass.getName, "graft_kmv_estimate"),
+      es => {
+        require(es.length == 3,
+          "graft_kmv_estimate(n_mins, kth_min, k) expects exactly 3 arguments")
+        ex(SketchFns.kmvEstimate(cc(es(0)), cc(es(1)), cc(es(2))))
       }))
 
   /** Install (or re-install) every function on a running session. */

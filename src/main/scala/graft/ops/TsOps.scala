@@ -74,12 +74,38 @@ object TsOps {
     aggregate(arr, lit(1.0), (acc, v) => acc * v)
   }
 
+  // ---- array-form kernels -------------------------------------------
+  // The SQL-function surface (graft_ts_rank / graft_ts_argmax /
+  // graft_decay_linear, GraftFunctions) applies these to a
+  // `collect_list(x) OVER w` array built in SQL text; the WindowSpec
+  // forms below DELEGATE to them, so the two surfaces are the same
+  // Catalyst subtree by construction — parity pinned in
+  // GraftFunctionsSpec, and any tie/null-convention fix lands on both
+  // at once.
+
+  /** Rows since the oldest occurrence of the array max. */
+  def tsArgMaxArr(arr: Column): Column =
+    (size(arr) - array_position(arr, array_max(arr))).cast(DoubleType)
+
+  /** Rank of the LAST element within its array, in (0,1]. */
+  def tsRankArr(arr: Column): Column = {
+    val cur = element_at(arr, -1)
+    size(filter(arr, v => v <= cur)).cast(DoubleType) / size(arr).cast(DoubleType)
+  }
+
+  /** Linear-decay weighted mean of the array: weights 1..n, last
+    * element (the newest row in window form) weight n. */
+  def decayLinearArr(arr: Column): Column = {
+    val n = size(arr)
+    val weighted = zip_with(arr, sequence(lit(1), n), (v, wt) => v * wt)
+    aggregate(weighted, lit(0.0), (acc, v) => acc + v) /
+      (n * (n + 1) / lit(2.0))
+  }
+
   /** Rows since the oldest occurrence of the window max
     * (alpha101_engine.py:47-50; convention pinned in the scaladoc). */
-  def tsArgMax(x: Column, d: Int, w: WindowSpec): Column = {
-    val arr = collect_list(x).over(trailing(w, d))
-    (size(arr) - array_position(arr, array_max(arr))).cast(DoubleType)
-  }
+  def tsArgMax(x: Column, d: Int, w: WindowSpec): Column =
+    tsArgMaxArr(collect_list(x).over(trailing(w, d)))
 
   /** Rows since the oldest occurrence of the window min
     * (alpha101_engine.py:52-55). */
@@ -90,21 +116,13 @@ object TsOps {
 
   /** Rank of the current value within its trailing window, in (0,1]
     * (alpha101_engine.py:57-62; convention pinned in the scaladoc). */
-  def tsRank(x: Column, d: Int, w: WindowSpec): Column = {
-    val arr = collect_list(x).over(trailing(w, d))
-    val cur = element_at(arr, -1)
-    size(filter(arr, v => v <= cur)).cast(DoubleType) / size(arr).cast(DoubleType)
-  }
+  def tsRank(x: Column, d: Int, w: WindowSpec): Column =
+    tsRankArr(collect_list(x).over(trailing(w, d)))
 
   /** Linear-decay weighted mean: weights 1..n, newest row weight n
     * (alpha101_engine.py:79-84). */
-  def decayLinear(x: Column, d: Int, w: WindowSpec): Column = {
-    val arr = collect_list(x).over(trailing(w, d))
-    val n = size(arr)
-    val weighted = zip_with(arr, sequence(lit(1), n), (v, wt) => v * wt)
-    aggregate(weighted, lit(0.0), (acc, v) => acc + v) /
-      (n * (n + 1) / lit(2.0))
-  }
+  def decayLinear(x: Column, d: Int, w: WindowSpec): Column =
+    decayLinearArr(collect_list(x).over(trailing(w, d)))
 
   /** Running (unbounded-preceding) sum — cumulative series. */
   def cumSum(x: Column, w: WindowSpec): Column =

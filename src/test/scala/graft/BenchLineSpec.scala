@@ -103,6 +103,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(cpu.get(0).asDouble() == 412.3)
   }
 
+  test("previousArtifactWalls reads the newest driver artifact's wall map") {
+    // the working dir holds the real BENCH_r{N}.json series the driver
+    // wrote; the parser must find the NEWEST one and extract its
+    // unescaped queries map (the raw-tail copy is escaped and must not
+    // match) — the relative rerun trigger's baseline
+    val walls = Bench.previousArtifactWalls()
+    assert(walls.nonEmpty, "no artifact parsed from the repo root")
+    assert(walls.contains("alpha") && walls.contains("01"))
+    assert(walls.values.forall(v => v == -1.0 || v >= 0.0))
+    // compact keys only (the parsed section's map), never full names
+    assert(walls.keys.forall(k => !k.contains("_")))
+  }
+
   test("entryKey compacts numbered entries and derivation lines") {
     assert(Bench.entryKey("q34_jaccard_pairs") == "34")
     assert(Bench.entryKey("q01_pricing_summary") == "01")

@@ -51,6 +51,54 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(typeErr.getMessage.toLowerCase.contains("type"), typeErr.getMessage)
   }
 
+  test("quant tier: named w-ops == TsOps window helpers, value and tree") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val panel = Seq((1L, 1L, 10.0), (1L, 2L, 30.0), (1L, 3L, 20.0),
+        (1L, 4L, 20.0), (1L, 5L, 40.0), (2L, 1L, 5.0), (2L, 2L, 3.0))
+      .toDF("stock", "day", "x")
+    panel.createOrReplaceTempView("gfs_panel")
+    // SQL text path: the named functions over a collect_list window
+    val viaSql = spark.sql(
+      """SELECT stock, day,
+        |  graft_ts_rank(a) AS tsr, graft_ts_argmax(a) AS am,
+        |  graft_decay_linear(a) AS dl
+        |FROM (SELECT stock, day, collect_list(x) OVER
+        |  (PARTITION BY stock ORDER BY day
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a FROM gfs_panel)
+        |ORDER BY stock, day""".stripMargin).collect()
+    // Column path: the TsOps WindowSpec helpers
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stock").orderBy("day")
+    val viaCol = panel.select(col("stock"), col("day"),
+        graft.ops.TsOps.tsRank(col("x"), 3, w).as("tsr"),
+        graft.ops.TsOps.tsArgMax(col("x"), 3, w).as("am"),
+        graft.ops.TsOps.decayLinear(col("x"), 3, w).as("dl"))
+      .orderBy("stock", "day").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+    // SAME-TREE parity, not just value parity: the registered builder
+    // delegates to the identical array-form kernel, so the analyzed
+    // expression trees match node-for-node (canonicalized — attribute
+    // ids differ per plan)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def canon(c: org.apache.spark.sql.Column): String = {
+      val df = panel.select(c.as("y"))
+      // compare the aliased EXPRESSION (the alias's own exprId is
+      // per-plan and legitimately differs)
+      df.queryExecution.analyzed.expressions.last.children.head
+        .canonicalized.toString
+    }
+    val arr = array(lit(1.0), lit(2.0), lit(3.0))
+    for ((name, kernel) <- Seq(
+        "graft_ts_rank" -> graft.ops.TsOps.tsRankArr _,
+        "graft_ts_argmax" -> graft.ops.TsOps.tsArgMaxArr _,
+        "graft_decay_linear" -> graft.ops.TsOps.decayLinearArr _)) {
+      val viaFn = canon(call_function(name, arr))
+      val viaKernel = canon(kernel(arr))
+      assert(viaFn == viaKernel, s"$name tree diverged:\n$viaFn\n$viaKernel")
+    }
+  }
+
   test("extensions path: a session built withExtensions resolves the names") {
     // getOrCreate only applies extensions to a NEW session: clear the
     // default/active session (same SparkContext is reused), build one
