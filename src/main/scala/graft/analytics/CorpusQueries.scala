@@ -637,6 +637,55 @@ object CorpusQueries {
       .orderBy("media_id")
   }
 
+  /** q163: REAL image RESIZE on the expression path
+    * ([[graft.expressions.PpmResize]]) — the last multimodal brief
+    * item (decode / feature-extract / resize / frame-sample) made
+    * real: each document gets a CONSTRUCTED raw-bitmap P6 image
+    * whose every pixel is a closed-form function of (x, y, channel,
+    * doc_id), the expression nearest-neighbor-resizes it to 8×6, and
+    * the oracle rebuilds the ENTIRE resized byte stream
+    * arithmetically (each output pixel (tx,ty,c) must equal the
+    * source pixel at (tx·w/8, ty·h/6) — DuckDB re-derives those
+    * bytes from doc_id and string_aggs the hex), so the hash is
+    * bit-exact over the resized IMAGE BYTES, header included. Every
+    * fifth image carries a `#` comment in its header — the resize
+    * must parse past it (comment handling proven through the hash,
+    * not just the spec). Garbage payloads (doc_id%4==3) exercise the
+    * NULL bucket. Pure per-row projection; scale-linear in pixel
+    * bytes. */
+  def ppmResizeImages: Q = (s, dir) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val d = Tables.load(s, dir, "documents")
+    val w = (col("doc_id") % 13 + 4).cast("int")
+    val h = (col("doc_id") % 11 + 3).cast("int")
+    // pixel byte i (row-major, 3 channels): value is closed-form
+    val n = (w * h * 3).cast("int")
+    val pixHex = concat_ws("", transform(sequence(lit(0), n - 1), i => {
+      val c = i % 3
+      // integer division via truncating cast: for these small exact
+      // ints the correctly-rounded double quotient can never cross an
+      // integer boundary, so the truncation is the true `div`
+      val pix = (i / 3).cast("int")
+      val x = pix % w
+      val y = (pix / w).cast("int")
+      lpad(hex((x * 7 + y * 11 + col("doc_id") * 13 + c * 5) % 256), 2, "0")
+    }))
+    val header = concat(lit("P6\n"),
+      when(col("doc_id") % 5 === 0, lit("# synthetic\n")).otherwise(lit("")),
+      w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    val payload = when(col("doc_id") % 4 === 3,
+        concat(lit("#"), col("text")).cast("binary"))
+      .otherwise(concat(header.cast("binary"), unhex(pixHex)))
+    val r = ColumnBridge.column(graft.expressions.PpmResize(
+      ColumnBridge.expression(col("payload")), 8, 6))
+    d.select(col("doc_id").as("media_id"), payload.as("payload"))
+      .select(col("media_id"), r.as("r"))
+      .select(col("media_id"), col("r").isNotNull.as("ok"),
+        length(col("r")).cast("long").as("out_len"),
+        lower(hex(col("r"))).as("out_hex"))
+      .orderBy("media_id")
+  }
+
   /** q107: IVF-flavored ANN search — the coarse-quantizer counterpart
     * to q96's LSH buckets (builder brief: "an IVF or LSH-bucketed
     * variant as the scale path"). Cells are the 16 vectors with
@@ -3032,6 +3081,7 @@ object CorpusQueries {
     "q53_multimodal_meta" -> multimodalMeta,
     "q54_multimodal_features" -> multimodalFeatures,
     "q159_image_meta" -> imageMetaDecode,
+    "q163_ppm_resize" -> ppmResizeImages,
     "q96_ann_search" -> annSearch,
     "q121_int8_ann" -> int8AnnSearch,
     "q122_ann_recall" -> annRecallAudit,
@@ -4157,6 +4207,32 @@ object CorpusQueries {
         |      WHEN doc_id % 3 = 1
         |      THEN CAST((doc_id // 3) % 2 * 2 + 1 AS INT) END AS nchan
         |FROM documents ORDER BY media_id""".stripMargin,
+    // q163: the oracle REBUILDS the resized byte stream — header hex
+    // constant + per-pixel closed form at the nearest-neighbor source
+    // coordinates — so the hash is bit-exact over the image bytes
+    "q163_ppm_resize" -> {
+      val hdrHex = "P6\n8 6\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .map(b => f"${b & 0xff}%02x").mkString
+      val outLen = 11 + 8 * 6 * 3
+      s"""WITH m AS (
+         | SELECT doc_id, CAST(doc_id % 13 + 4 AS INT) AS w,
+         |   CAST(doc_id % 11 + 3 AS INT) AS h
+         | FROM documents WHERE doc_id % 4 <> 3),
+         |px AS (
+         | SELECT doc_id, string_agg(
+         |   lpad(lower(to_hex(
+         |     ((tx * w // 8) * 7 + (ty * h // 6) * 11 + doc_id * 13 + c * 5)
+         |       % 256)), 2, '0'), '' ORDER BY ty, tx, c) AS hx
+         | FROM m, generate_series(0, 5) g1(ty), generate_series(0, 7) g2(tx),
+         |   generate_series(0, 2) g3(c)
+         | GROUP BY doc_id)
+         |SELECT d.doc_id AS media_id,
+         | d.doc_id % 4 <> 3 AS ok,
+         | CASE WHEN d.doc_id % 4 <> 3 THEN CAST($outLen AS BIGINT) END AS out_len,
+         | CASE WHEN d.doc_id % 4 <> 3 THEN '$hdrHex' || px.hx END AS out_hex
+         |FROM documents d LEFT JOIN px ON d.doc_id = px.doc_id
+         |ORDER BY media_id""".stripMargin
+    },
     "q35_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

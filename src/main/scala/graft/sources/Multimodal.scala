@@ -51,6 +51,16 @@ object Multimodal {
         ColumnBridge.expression(col(payloadCol)), dim)))
   }
 
+  /** REAL nearest-neighbor resize over a raw-bitmap (PPM `P6`)
+    * payload — [[graft.expressions.PpmResize]] on the expression
+    * path: complete P6 in, complete P6 at (w × h) out, NULL for
+    * anything malformed. */
+  def resize(payload: Column, w: Int, h: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.PpmResize(
+      ColumnBridge.expression(payload), w, h))
+  }
+
   /** Frame sampler: every `every`-th fixed-size byte window of the
     * payload as an array<binary> — pure Column plumbing (substr on
     * binary), no decode needed. */

@@ -589,6 +589,13 @@ class CorpusPlanSpec extends SparkSpec {
     assert(!plan.contains("SerializeFromObject"), plan)
   }
 
+  test("q163 resize: pure projection, no exchange beyond the sort") {
+    val plan = finalPlan(CorpusQueries.ppmResizeImages(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SerializeFromObject"), plan)
+  }
+
   test("loadSpread: parallelizes the tiny scan without changing content") {
     val plain = graft.Tables.load(spark, sf, "documents")
     val spread = CorpusQueries.loadSpread(spark, sf, "documents", "doc_id")
