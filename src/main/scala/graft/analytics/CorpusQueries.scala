@@ -686,6 +686,43 @@ object CorpusQueries {
       .orderBy("media_id")
   }
 
+  /** q164: PII DETECTION + REDACTION — the privacy scrub every
+    * released training corpus runs (C4/Dolma convention): emails,
+    * phone numbers, IPv4 addresses and ID codes detected by the
+    * [[TextFns.piiPatterns]] regex set and replaced by fixed tokens.
+    * The synthetic corpus carries no PII, so each document is
+    * AUGMENTED with closed-form planted PII derived from doc_id
+    * (email / phone / ip+badge round-robin) — the detectors then run
+    * over the WHOLE text (they must find the plants and anything
+    * text-shaped), and the oracle replays injection, per-kind counts,
+    * and the full redaction chain with the identical pattern text
+    * (common Java/RE2 subset, single-sourced from piiPatterns). The
+    * cleaned text rides in the output, so the hash is exact over the
+    * redacted corpus itself. Pure chained projection — codegen'd
+    * regex, no UDF, zero exchanges beyond the presentation sort. */
+  def piiScrubCorpus: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val id = col("doc_id")
+    val vs = (c: Column) => c.cast("string")
+    val injected = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), vs(id),
+        lit("@mail"), vs(id % 7), lit(".org"))).otherwise(lit("")),
+      when(id % 3 === 1, concat(lit(" call "), vs(id % 900 + 100),
+        lit("-"), vs((id * 7) % 900 + 100),
+        lit("-"), vs((id * 13) % 9000 + 1000))).otherwise(lit("")),
+      when(id % 3 === 2, concat(lit(" host 10."), vs(id % 256),
+        lit("."), vs((id * 3) % 256), lit("."), vs((id * 7) % 250),
+        lit(" badge AB"), vs(id % 90000000 + 10000000))).otherwise(lit("")))
+    d.select(id.as("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        TextFns.piiCount(col("t"), "email").as("n_email"),
+        TextFns.piiCount(col("t"), "phone").as("n_phone"),
+        TextFns.piiCount(col("t"), "ip").as("n_ip"),
+        TextFns.piiCount(col("t"), "id").as("n_id"),
+        TextFns.piiScrub(col("t")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
   /** q107: IVF-flavored ANN search — the coarse-quantizer counterpart
     * to q96's LSH buckets (builder brief: "an IVF or LSH-bucketed
     * variant as the scale path"). Cells are the 16 vectors with
@@ -3082,6 +3119,7 @@ object CorpusQueries {
     "q54_multimodal_features" -> multimodalFeatures,
     "q159_image_meta" -> imageMetaDecode,
     "q163_ppm_resize" -> ppmResizeImages,
+    "q164_pii_scrub" -> piiScrubCorpus,
     "q96_ann_search" -> annSearch,
     "q121_int8_ann" -> int8AnnSearch,
     "q122_ann_recall" -> annRecallAudit,
@@ -4232,6 +4270,38 @@ object CorpusQueries {
          | CASE WHEN d.doc_id % 4 <> 3 THEN '$hdrHex' || px.hx END AS out_hex
          |FROM documents d LEFT JOIN px ON d.doc_id = px.doc_id
          |ORDER BY media_id""".stripMargin
+    },
+    // q164: injection, per-kind counts and the redaction chain all
+    // replayed with the IDENTICAL regex text (single-sourced from
+    // TextFns.piiPatterns — common Java/RE2 subset, no dialect split)
+    "q164_pii_scrub" -> {
+      val ps = TextFns.piiPatterns
+      def pat(k: String) = ps.find(_._1 == k).get._2
+      val scrub = ps.foldLeft("t") { case (acc, (_, p, r)) =>
+        s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      s"""WITH t AS (
+         | SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         |    CAST(doc_id AS VARCHAR) || '@mail' ||
+         |    CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 1 THEN ' call ' ||
+         |    CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+         |    CAST((doc_id * 7) % 900 + 100 AS VARCHAR) || '-' ||
+         |    CAST((doc_id * 13) % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 2 THEN ' host 10.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |    CAST((doc_id * 3) % 256 AS VARCHAR) || '.' ||
+         |    CAST((doc_id * 7) % 250 AS VARCHAR) || ' badge AB' ||
+         |    CAST(doc_id % 90000000 + 10000000 AS VARCHAR) ELSE '' END AS t
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(t, '${pat("email")}')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(t, '${pat("phone")}')) AS BIGINT) AS n_phone,
+         | CAST(len(regexp_extract_all(t, '${pat("ip")}')) AS BIGINT) AS n_ip,
+         | CAST(len(regexp_extract_all(t, '${pat("id")}')) AS BIGINT) AS n_id,
+         | $scrub AS cleaned
+         |FROM t ORDER BY doc_id""".stripMargin
     },
     "q35_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -168,4 +168,36 @@ object TextFns {
     * set over [[wordGrams]]. */
   def wordShingles(text: Column, n: Int): Column =
     array_distinct(wordGrams(text, n))
+
+  /** PII patterns for the curation scrub step (the C4/Dolma-style
+    * privacy pass every training-data pipeline runs before release):
+    * (kind, regex, replacement). The regexes live in the COMMON
+    * Java-regex/RE2 subset — character classes, bounded quantifiers,
+    * ASCII `\b`, no backrefs or lookaround — precisely so the DuckDB
+    * oracle replays the identical pattern text verbatim (single
+    * source: q164's oracle is generated from THIS list). Scrub order
+    * is the list order: emails first (their local parts contain
+    * digit runs the narrower patterns could nibble at), then phone /
+    * IP / id. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("id", "\\b[A-Z]{2}\\d{8}\\b", "[ID]"))
+
+  /** Per-kind PII match count over the raw text (detection axis —
+    * counted independently per pattern, before any replacement). */
+  def piiCount(text: Column, kind: String): Column = {
+    val p = piiPatterns.find(_._1 == kind)
+      .getOrElse(throw new IllegalArgumentException(s"unknown PII kind $kind"))._2
+    size(regexp_extract_all(text, lit(p), lit(0))).cast("long")
+  }
+
+  /** The redaction pass: every pattern replaced by its token, in
+    * [[piiPatterns]] order — one chained codegen'd projection, no
+    * UDF, scale-linear in text bytes. */
+  def piiScrub(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, p, r)) =>
+      regexp_replace(t, lit(p), lit(r))
+    }
 }

@@ -596,6 +596,30 @@ class CorpusPlanSpec extends SparkSpec {
     assert(!plan.contains("SerializeFromObject"), plan)
   }
 
+  test("q164 PII scrub: plants found, nothing left after redaction, no UDF") {
+    val rows = CorpusQueries.piiScrubCorpus(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every planted kind detected on its docs
+    assert(rows.filter(_.getLong(0) % 3 == 0).forall(_.getLong(1) >= 1)) // email
+    assert(rows.filter(_.getLong(0) % 3 == 1).forall(_.getLong(2) >= 1)) // phone
+    assert(rows.filter(_.getLong(0) % 3 == 2).forall(r =>
+      r.getLong(3) >= 1 && r.getLong(4) >= 1)) // ip + badge id
+    // redaction is COMPLETE: re-running detection on the cleaned text
+    // finds zero matches of any pattern, and the tokens are present
+    rows.foreach { r =>
+      val cleaned = r.getString(5)
+      graft.functions.TextFns.piiPatterns.foreach { case (kind, p, _) =>
+        assert(!p.r.findFirstIn(cleaned).isDefined,
+          s"doc ${r.getLong(0)}: $kind survived redaction in: $cleaned")
+      }
+    }
+    assert(rows.filter(_.getLong(0) % 3 == 0).forall(_.getString(5).contains("[EMAIL]")))
+    // pure chained projection: no exchange, no object boundary
+    val plan = finalPlan(CorpusQueries.piiScrubCorpus(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("loadSpread: parallelizes the tiny scan without changing content") {
     val plain = graft.Tables.load(spark, sf, "documents")
     val spread = CorpusQueries.loadSpread(spark, sf, "documents", "doc_id")
