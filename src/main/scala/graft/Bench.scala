@@ -290,32 +290,40 @@ object Bench {
           (-1.0, -1.0)
       }
     }
-    val alphaDerive = timeDerive("alpha_derive",
-      () => graft.analytics.FactorQueries.primeAlphaFull(spark, sfDir))
-    // the q102/q128 cluster derivation is memoized per (session, dir)
-    // exactly like the alpha frame; priming it HERE (its own line)
-    // keeps min-of-rerun honest — without the prime, the rerun
-    // re-times a warm cache and the kept minimum reports the rollup
-    // over the cached frame (~0.14 s) as if it were the mining+CC
-    // work — round-11 verdict, What's-missing #2.
+    // both session derivations (alpha panel, cluster labels) are
+    // memoized per (session, dir); priming each on its own line keeps
+    // min-of-rerun honest — without the prime, the rerun re-times a
+    // warm cache and the kept minimum reports the rollup over the
+    // cached frame (~0.14 s) as if it were the derivation work —
+    // round-11 verdict, What's-missing #2.
     // Untimed warmup at the tiny SF first (the ingest warmup's
-    // argument): the derivation now runs BEFORE the corpus sweep, so
-    // without it the line pays first-call codegen/JIT for the
-    // shingling + prefix-filter expressions — measured 9.2 s cold vs
-    // 2.2 s steady-state for the sf0.1 mining stage alone (CcProf).
+    // argument): the derivations run BEFORE the corpus sweep, so
+    // without it each line pays first-call codegen/JIT — measured
+    // 9.2 s cold vs 2.2 s steady-state for the sf0.1 mining stage
+    // alone (CcProf). For the alpha DAG the same-dir cold/warm split
+    // is 56.2 s vs 18.6 s (Prof, r15), but a TINY-dir warmup only
+    // recovers the codegen + class-load share (~3 s measured at
+    // sf0.1): C2 compilation needs invocation volume the 1k-row
+    // fixture cannot supply, and priming the mid SF instead is
+    // guarded out below (it would memo-collide with the sf2 diag
+    // line). The warmup is kept for the share it does recover.
     // The tiny dir uses a different memo key than the timed dirs —
     // GUARDED, not assumed: benching the tiny SF itself (sfDir or
     // SF_DIR2 = sf0.001) would otherwise prime the very key the
     // timed derivation reads, reporting a warm-cache no-op as the
-    // mining+CC cost — the exact mislabeling this warmup prevents.
+    // derivation cost — the exact mislabeling this warmup prevents.
     // When the guard skips, the timed line includes first-call JIT,
     // which at that size is an honest part of the cost.
     val tinyDir = "/root/testdata/sf0.001"
     val sf2DirEnv = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
     if (tinyDir != sfDir && tinyDir != sf2DirEnv) {
-      try graft.analytics.CorpusQueries.primeClusterLabels(spark, tinyDir)
+      try graft.analytics.FactorQueries.primeAlphaFull(spark, tinyDir)
       catch { case _: Exception => () } // warmup failure surfaces in the timed run
+      try graft.analytics.CorpusQueries.primeClusterLabels(spark, tinyDir)
+      catch { case _: Exception => () }
     }
+    val alphaDerive = timeDerive("alpha_derive",
+      () => graft.analytics.FactorQueries.primeAlphaFull(spark, sfDir))
     val clusterDerive = timeDerive("cluster_derive",
       () => graft.analytics.CorpusQueries.primeClusterLabels(spark, sfDir))
     // noop-format write materializes EVERY output column (count()
