@@ -96,9 +96,13 @@ object Bench {
     * raw-tail copy is escaped, so the literal pattern cannot match
     * it). Absent file, unreadable JSON, or a driver format change
     * all degrade to an empty map — the absolute threshold still
-    * stands alone, exactly the pre-r15 behavior. Overridable with
-    * SPARK_GRAFT_PREV_BENCH for ad-hoc comparisons. */
-  private[graft] def previousArtifactWalls(): Map[String, Double] = try {
+    * stands alone, exactly the pre-r15 behavior. The artifact's own
+    * recorded `sf` must equal the CURRENT run's `sfDir`: comparing an
+    * sf0.1 run against an sf0.01 baseline would mark essentially
+    * every entry >2x and double the whole bench on spurious reruns.
+    * Overridable with SPARK_GRAFT_PREV_BENCH for ad-hoc comparisons
+    * (the sf guard still applies). */
+  private[graft] def previousArtifactWalls(sfDir: String): Map[String, Double] = try {
     val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
     val file = explicit.orElse {
       val rx = "BENCH_r(\\d+)\\.json".r
@@ -109,8 +113,11 @@ object Bench {
     }
     file.filter(_.isFile).map { f =>
       val txt = java.nio.file.Files.readString(f.toPath)
+      // the parsed section's own sf field (the raw-tail copy is
+      // escaped and cannot match, same argument as for the wall map)
+      val sfM = java.util.regex.Pattern.compile("\"sf\":\\s*\"([^\"]*)\"").matcher(txt)
       val m = java.util.regex.Pattern.compile("\"queries\":\\s*\\{([^}]*)\\}").matcher(txt)
-      if (!m.find()) Map.empty[String, Double]
+      if (!sfM.find() || sfM.group(1) != sfDir || !m.find()) Map.empty[String, Double]
       else m.group(1).split(",").toSeq.flatMap { kv =>
         kv.split(":") match {
           case Array(k, v) =>
@@ -361,7 +368,7 @@ object Bench {
     // previous walls with untouched code — phantom regressions the
     // artifact could not disprove by itself.
     val rerunWall = sys.env.getOrElse("SPARK_GRAFT_RERUN_WALL", "2.5").toDouble
-    val prevWalls = previousArtifactWalls()
+    val prevWalls = previousArtifactWalls(sfDir)
     def needsRerun(name: String, w: Double): Boolean =
       w >= rerunWall ||
         prevWalls.get(entryKey(name)).exists(p => p > 0 && w > 2 * p)

@@ -599,7 +599,7 @@ object CorpusQueries {
     * codegen end to end (no object boundary; CorpusPlanSpec). */
   def imageMetaDecode: Q = (s, dir) => {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val be32 = (c: Column) => unhex(lpad(hex(c), 8, "0"))
     val be16 = (c: Column) => unhex(lpad(hex(c), 4, "0"))
     val w = (col("doc_id") % 640 + 1).cast("int")
@@ -655,7 +655,7 @@ object CorpusQueries {
     * bytes. */
   def ppmResizeImages: Q = (s, dir) => {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val w = (col("doc_id") % 13 + 4).cast("int")
     val h = (col("doc_id") % 11 + 3).cast("int")
     // pixel byte i (row-major, 3 channels): value is closed-form
@@ -701,7 +701,7 @@ object CorpusQueries {
     * redacted corpus itself. Pure chained projection — codegen'd
     * regex, no UDF, zero exchanges beyond the presentation sort. */
   def piiScrubCorpus: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
+    val d = loadSpread(s, dir, "documents", "doc_id")
     val id = col("doc_id")
     val vs = (c: Column) => c.cast("string")
     val injected = concat(col("text"),
@@ -2318,20 +2318,23 @@ object CorpusQueries {
     * shuffles the SURVIVING postings once by doc_id. Hashes are
     * [[DedupFns.portableHash60]] over the space-joined gram, so the
     * oracle replays every gram. */
-  /** Shared q144/q160 posting builder: ONE tokenize pass
-    * (checkpointed `toks` — q160's reconstruction side needs the
-    * token arrays again) and ONE gram-hash pass (checkpointed
-    * posting frame — its two consumers are the map-side-combined
-    * per-hash count and the hash-keyed join back; without the
-    * checkpoint the per-position hash kernel and the corpus-linear
-    * explode would run once per consumer, and at 100 TB the posting
-    * frame IS the dominant cost — r12 verdict #2). Returns
+  /** Shared q144/q160 posting builder: ONE gram-hash pass
+    * (checkpointed posting frame — its two consumers are the
+    * map-side-combined per-hash count and the hash-keyed join back;
+    * without the checkpoint the per-position hash kernel and the
+    * corpus-linear explode would run once per consumer, and at
+    * 100 TB the posting frame IS the dominant cost — r12 verdict
+    * #2). `keepToks` additionally checkpoints the token-array frame
+    * — ONLY q160's reconstruction side re-reads the tokens; q144
+    * passes false so its audit does not pay a corpus-wide token
+    * materialization it never uses. Returns
     * (toks(doc_id, t), postings(doc_id, n_tokens, i, gh)). */
-  private def gramPostings(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def gramPostings(s: SparkSession, dir: String,
+      keepToks: Boolean): (DataFrame, DataFrame) = {
     val k = dupGramK
     val d = loadSpread(s, dir, "documents", "doc_id")
-    val toks = d.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-      .localCheckpoint()
+    val raw = d.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    val toks = if (keepToks) raw.localCheckpoint() else raw
     val grams = toks.filter(size(col("t")) >= k)
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -2355,7 +2358,7 @@ object CorpusQueries {
   def dupGramCoverage: Q = (s, dir) => {
     val k = dupGramK
     val fr6 = (c: Column) => floor(c * 1e6 + lit(0.5)) / 1e6
-    val (_, grams) = gramPostings(s, dir)
+    val (_, grams) = gramPostings(s, dir, keepToks = false)
     dupGramHits(grams)
       .withColumn("cov", least(lit(k), col("i") - coalesce(
         lag(col("i"), 1).over(Window.partitionBy("doc_id").orderBy("i")),
@@ -2389,7 +2392,7 @@ object CorpusQueries {
     * window + one groupBy — no pairwise operator anywhere. */
   def exactSubstrRemoval: Q = (s, dir) => {
     val k = dupGramK
-    val (toks, grams) = gramPostings(s, dir)
+    val (toks, grams) = gramPostings(s, dir, keepToks = true)
     val hits = dupGramHits(grams).select(col("doc_id"), col("i"))
     val events = hits.select(col("doc_id"), col("i").as("p"), lit(1L).as("delta"))
       .unionAll(hits.select(col("doc_id"), (col("i") + k).as("p"),

@@ -102,6 +102,10 @@ object ImageMeta {
         if (len > n - p - 12) return null
         if (b(p + 4) == 'I' && b(p + 5) == 'H' && b(p + 6) == 'D' &&
             b(p + 7) == 'R') {
+          // the 13 IHDR fields must lie inside the DECLARED chunk, not
+          // merely inside the buffer — an IHDR with len < 13 would
+          // otherwise decode the next chunk's bytes as dimensions
+          if (len < 13) return null
           if (p + 8 + 13 > n) return null
           val w = be32(b, p + 8); val h = be32(b, p + 12)
           if (w <= 0 || h <= 0) return null
@@ -130,10 +134,18 @@ object ImageMeta {
           val sofn = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
           if (sofn) {
             if (p + 10 > n) return null
+            // frame-header fields must lie inside the DECLARED segment
+            // (len counts itself; precision..nchan end at offset 8):
+            // an FFC0 with len < 8 would otherwise decode the next
+            // segment's bytes as dimensions
+            if (len < 8) return null
             val depth = b(p + 4) & 0xff
             val h = be16(b, p + 5); val w = be16(b, p + 7)
             val nchan = b(p + 9) & 0xff
             if (w == 0 || h == 0 || nchan == 0) return null
+            // the declared segment must also hold the 3-byte component
+            // specs a real SOFn carries
+            if (len < 8 + 3 * nchan) return null
             return row(JPEG, w, h, depth, nchan)
           }
           p += 2 + len

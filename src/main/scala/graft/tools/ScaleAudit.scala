@@ -34,6 +34,14 @@ object ScaleAudit {
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")
+    // validate BEFORE the (expensive) measurement: a bad dir list
+    // must fail in milliseconds, not after minutes of timing
+    require(sfs.size >= 2, s"need >= 2 SF dirs to measure a slope, got $sfs")
+    sfs.foreach { d =>
+      require(d.split('/').last.matches("sf[0-9.]+"),
+        s"dir basename must be sf<number> (the slope denominator): $d")
+      require(new java.io.File(d).isDirectory, s"not a directory: $d")
+    }
     val minWall = sys.env.getOrElse("SPARK_GRAFT_AUDIT_MIN_WALL", "0.5").toDouble
     val rerunWall = sys.env.getOrElse("SPARK_GRAFT_RERUN_WALL", "2.5").toDouble
     val spark = LocalSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -42,15 +50,19 @@ object ScaleAudit {
     val entries = PlanAudit.goldenEntries
     val names = "alpha_derive" +: "cluster_derive" +: entries.map(_._1)
     val walls: Seq[Map[String, Double]] = sfs.map { dir =>
+      // a failed priming must record the -1 sentinel, not its
+      // time-to-failure — a fail-fast reading would otherwise feed
+      // slope() a bogus numerator and report silently
+      def timeDerive(prime: => Unit): Double = {
+        val t0 = System.nanoTime()
+        try { prime; (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Exception => -1.0 }
+      }
       val derive = Seq(
-        "alpha_derive" -> time {
-          try graft.analytics.FactorQueries.primeAlphaFull(spark, dir)
-          catch { case _: Exception => () }
-        },
-        "cluster_derive" -> time {
-          try graft.analytics.CorpusQueries.primeClusterLabels(spark, dir)
-          catch { case _: Exception => () }
-        })
+        "alpha_derive" -> timeDerive(
+          graft.analytics.FactorQueries.primeAlphaFull(spark, dir)),
+        "cluster_derive" -> timeDerive(
+          graft.analytics.CorpusQueries.primeClusterLabels(spark, dir)))
       val qs = entries.map { case (name, fn) =>
         def once(): Double =
           try time(fn(spark, dir).write.format("noop").mode("overwrite").save())

@@ -108,12 +108,16 @@ class BenchLineSpec extends AnyFunSuite {
     // wrote; the parser must find the NEWEST one and extract its
     // unescaped queries map (the raw-tail copy is escaped and must not
     // match) — the relative rerun trigger's baseline
-    val walls = Bench.previousArtifactWalls()
+    val walls = Bench.previousArtifactWalls("/root/testdata/sf0.1")
     assert(walls.nonEmpty, "no artifact parsed from the repo root")
     assert(walls.contains("alpha") && walls.contains("01"))
     assert(walls.values.forall(v => v == -1.0 || v >= 0.0))
     // compact keys only (the parsed section's map), never full names
     assert(walls.keys.forall(k => !k.contains("_")))
+    // SF guard: an artifact from a DIFFERENT scale factor is no
+    // baseline — comparing across SFs would mark every entry >2x and
+    // double the run on spurious reruns
+    assert(Bench.previousArtifactWalls("/root/testdata/sf0.01").isEmpty)
   }
 
   test("entryKey compacts numbered entries and derivation lines") {

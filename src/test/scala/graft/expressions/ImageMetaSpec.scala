@@ -101,7 +101,18 @@ class ImageMetaSpec extends SparkSpec {
       hexBytes("89504E470D0A1A0A" + "7FFFFFF0" + "41424344" + "0000"),
       hexBytes("89504E470D0A1A0A" + "FFFFFFFF" + "41424344"), // len < 0
       // declared JPEG segment length running past the buffer
-      hexBytes("FFD8" + "FFE0" + "FFFF" + "4A46"))
+      hexBytes("FFD8" + "FFE0" + "FFFF" + "4A46"),
+      // SOF0 with a declared length too short for its own fields: the
+      // dims bytes belong to the NEXT segment — garbage, not metadata
+      hexBytes("FFD8" + "FFC0" + "0002" + "08" + "0002" + "0003" + "03" +
+        "011100021101031101"),
+      // SOF0 whose declared length cannot hold its component specs
+      hexBytes("FFD8" + "FFC00009" + "08" + "0002" + "0003" + "03" +
+        "011100021101031101"),
+      // IHDR chunk declaring len < 13: its "fields" are the next
+      // chunk's bytes
+      hexBytes("89504E470D0A1A0A" + "00000005" + "49484452" +
+        "0000001000000020080200" + "00000000"))
     cases.foreach { b =>
       assert(both(b).isEmpty, s"expected NULL for ${b.toSeq}")
     }
