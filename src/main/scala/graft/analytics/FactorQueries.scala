@@ -27,7 +27,15 @@ object FactorQueries {
   private def factors(s: SparkSession, dir: String): DataFrame =
     Technical.compute(Quotes.panel(s, dir))
 
-  private def r6(name: String) = round(col(name), 6).as(name)
+  // floor-based 6-dp quantization, NOT engine round(): Spark rounds
+  // HALF_UP on the shortest decimal repr while DuckDB scales by 1e6
+  // first, and factor ratios DO land on exact 7-digit halves (q44's
+  // roc_60 hit 0.5046875 at sf0.1 — the two engines split the tie,
+  // r15 latent-divergence hunt). floor(x*1e6+0.5)/1e6 is the same
+  // two IEEE ops on both engines, so parity is by construction; the
+  // six factor oracles mirror it textually (see rf6's doc below).
+  private def r6(name: String) =
+    (floor(col(name) * 1e6 + lit(0.5)) / 1e6).as(name)
 
   /** q40: trend block — ma / bias / boll / rsi / atr. */
   def technicalTrend: Q = (s, dir) =>
@@ -1540,16 +1548,16 @@ object FactorQueries {
   private val q40Oracle: String =
     s"""$baseCte
          |SELECT stock, day,
-         | round(avg(close) OVER f5, 6) + 0.0 AS ma_5,
-         | round(avg(close) OVER f20, 6) + 0.0 AS ma_20,
-         | round(avg(close) OVER f60, 6) + 0.0 AS ma_60,
-         | round((close - avg(close) OVER f20) / nullif(avg(close) OVER f20, 0), 6) + 0.0 AS bias_20,
-         | round((close - avg(close) OVER f60) / nullif(avg(close) OVER f60, 0), 6) + 0.0 AS bias_60,
-         | round(avg(close) OVER f20 + 2.0 * stddev_samp(close) OVER f20, 6) + 0.0 AS boll_upper,
-         | round(avg(close) OVER f20 - 2.0 * stddev_samp(close) OVER f20, 6) + 0.0 AS boll_lower,
-         | round(100.0 * sum(up_move) OVER f14
-         |   / nullif(sum(up_move) OVER f14 + sum(dn_move) OVER f14, 0), 6) + 0.0 AS rsi_14,
-         | round(avg(tr) OVER f14, 6) + 0.0 AS atr_14
+         | floor((avg(close) OVER f5) * 1e6 + 0.5) / 1e6 + 0.0 AS ma_5,
+         | floor((avg(close) OVER f20) * 1e6 + 0.5) / 1e6 + 0.0 AS ma_20,
+         | floor((avg(close) OVER f60) * 1e6 + 0.5) / 1e6 + 0.0 AS ma_60,
+         | floor(((close - avg(close) OVER f20) / nullif(avg(close) OVER f20, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS bias_20,
+         | floor(((close - avg(close) OVER f60) / nullif(avg(close) OVER f60, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS bias_60,
+         | floor((avg(close) OVER f20 + 2.0 * stddev_samp(close) OVER f20) * 1e6 + 0.5) / 1e6 + 0.0 AS boll_upper,
+         | floor((avg(close) OVER f20 - 2.0 * stddev_samp(close) OVER f20) * 1e6 + 0.5) / 1e6 + 0.0 AS boll_lower,
+         | floor((100.0 * sum(up_move) OVER f14
+         |   / nullif(sum(up_move) OVER f14 + sum(dn_move) OVER f14, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS rsi_14,
+         | floor((avg(tr) OVER f14) * 1e6 + 0.5) / 1e6 + 0.0 AS atr_14
          |FROM b2
          |WINDOW $frames
          |ORDER BY stock, day""".stripMargin
@@ -1568,14 +1576,14 @@ object FactorQueries {
          |  FROM b2
          |  WINDOW $frames)
          |SELECT stock, day,
-         | round((tp - tp_m) / nullif(0.015 *
-         |   (list_sum(list_transform(tp_l, x -> abs(x - tp_m))) / len(tp_l)), 0), 6) + 0.0 AS cci_14,
-         | round((hh14 - close) / nullif(hh14 - ll14, 0) * -100.0, 6) + 0.0 AS wr_14,
-         | round(100.0 * smfp / nullif(smfp + smfn, 0), 6) + 0.0 AS mfi_14,
-         | round(CAST(volume AS DOUBLE)
-         |   / nullif(CAST(lag(volume, 20) OVER ws AS DOUBLE), 0) - 1.0, 6) + 0.0 AS vroc_20,
-         | round((obv - lag(obv, 20) OVER ws) / 20.0, 6) + 0.0 AS obv_slope_20,
-         | round((close - vwap20) / nullif(vwap20, 0), 6) + 0.0 AS vwap_bias_20
+         | floor(((tp - tp_m) / nullif(0.015 *
+         |   (list_sum(list_transform(tp_l, x -> abs(x - tp_m))) / len(tp_l)), 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS cci_14,
+         | floor(((hh14 - close) / nullif(hh14 - ll14, 0) * -100.0) * 1e6 + 0.5) / 1e6 + 0.0 AS wr_14,
+         | floor((100.0 * smfp / nullif(smfp + smfn, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS mfi_14,
+         | floor((CAST(volume AS DOUBLE)
+         |   / nullif(CAST(lag(volume, 20) OVER ws AS DOUBLE), 0) - 1.0) * 1e6 + 0.5) / 1e6 + 0.0 AS vroc_20,
+         | floor(((obv - lag(obv, 20) OVER ws) / 20.0) * 1e6 + 0.5) / 1e6 + 0.0 AS obv_slope_20,
+         | floor(((close - vwap20) / nullif(vwap20, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS vwap_bias_20
          |FROM b3
          |WINDOW ws AS (PARTITION BY stock ORDER BY day)
          |ORDER BY stock, day""".stripMargin
@@ -1631,36 +1639,36 @@ object FactorQueries {
          |    list_sum(list_transform(lf, x -> (x - mu) * (x - mu) * (x - mu) * (x - mu))) AS c4
          |  FROM m4)
          |SELECT stock, day,
-         | round(roc_5, 6) + 0.0 AS roc_5,
-         | round(roc_20, 6) + 0.0 AS roc_20,
-         | round(roc_60, 6) + 0.0 AS roc_60,
-         | round(volatility_20, 6) + 0.0 AS volatility_20,
-         | round(turnover_mean_5, 6) + 0.0 AS turnover_mean_5,
-         | round(amplitude_mean_5, 6) + 0.0 AS amplitude_mean_5,
-         | round(pos_20, 6) + 0.0 AS pos_20,
-         | round(pos_60, 6) + 0.0 AS pos_60,
-         | round(mom_acc_5, 6) + 0.0 AS mom_acc_5,
-         | round(linear_reg_slope_20, 6) + 0.0 AS linear_reg_slope_20,
-         | round(vr_26, 6) + 0.0 AS vr_26,
-         | round(CASE WHEN c2 <> 0
-         |   THEN sqrt(CAST(nn AS DOUBLE)) * c3 / sqrt(c2 * c2 * c2) END, 6) + 0.0 AS skew_20,
-         | round(CASE WHEN c2 <> 0
-         |   THEN CAST(nn AS DOUBLE) * c4 / (c2 * c2) - 3.0 END, 6) + 0.0 AS kurt_20
+         | floor((roc_5) * 1e6 + 0.5) / 1e6 + 0.0 AS roc_5,
+         | floor((roc_20) * 1e6 + 0.5) / 1e6 + 0.0 AS roc_20,
+         | floor((roc_60) * 1e6 + 0.5) / 1e6 + 0.0 AS roc_60,
+         | floor((volatility_20) * 1e6 + 0.5) / 1e6 + 0.0 AS volatility_20,
+         | floor((turnover_mean_5) * 1e6 + 0.5) / 1e6 + 0.0 AS turnover_mean_5,
+         | floor((amplitude_mean_5) * 1e6 + 0.5) / 1e6 + 0.0 AS amplitude_mean_5,
+         | floor((pos_20) * 1e6 + 0.5) / 1e6 + 0.0 AS pos_20,
+         | floor((pos_60) * 1e6 + 0.5) / 1e6 + 0.0 AS pos_60,
+         | floor((mom_acc_5) * 1e6 + 0.5) / 1e6 + 0.0 AS mom_acc_5,
+         | floor((linear_reg_slope_20) * 1e6 + 0.5) / 1e6 + 0.0 AS linear_reg_slope_20,
+         | floor((vr_26) * 1e6 + 0.5) / 1e6 + 0.0 AS vr_26,
+         | floor((CASE WHEN c2 <> 0
+         |   THEN sqrt(CAST(nn AS DOUBLE)) * c3 / sqrt(c2 * c2 * c2) END) * 1e6 + 0.5) / 1e6 + 0.0 AS skew_20,
+         | floor((CASE WHEN c2 <> 0
+         |   THEN CAST(nn AS DOUBLE) * c4 / (c2 * c2) - 3.0 END) * 1e6 + 0.5) / 1e6 + 0.0 AS kurt_20
          |FROM m5
          |ORDER BY stock, day""".stripMargin
 
   private val q45Oracle: String =
     s"""WITH ${Quotes.sqlCte}
          |SELECT stock, day,
-         | round(ln(total_mv), 6) + 0.0 AS ln_market_cap,
-         | round(1.0 / nullif(pe, 0), 6) + 0.0 AS ep_ttm,
-         | round(1.0 / nullif(pb, 0), 6) + 0.0 AS bp_lr,
-         | round(1.0 / nullif(ps, 0), 6) + 0.0 AS sp_ttm,
-         | round(dv_ratio, 6) + 0.0 AS dividend_yield,
-         | round(pb / nullif(pe, 0), 6) + 0.0 AS roe_ttm,
-         | round((pe - avg(pe) OVER f60) / nullif(stddev_samp(pe) OVER f60, 0), 6) + 0.0
+         | floor((ln(total_mv)) * 1e6 + 0.5) / 1e6 + 0.0 AS ln_market_cap,
+         | floor((1.0 / nullif(pe, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS ep_ttm,
+         | floor((1.0 / nullif(pb, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS bp_lr,
+         | floor((1.0 / nullif(ps, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS sp_ttm,
+         | floor((dv_ratio) * 1e6 + 0.5) / 1e6 + 0.0 AS dividend_yield,
+         | floor((pb / nullif(pe, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS roe_ttm,
+         | floor(((pe - avg(pe) OVER f60) / nullif(stddev_samp(pe) OVER f60, 0)) * 1e6 + 0.5) / 1e6 + 0.0
          |   AS pe_zscore_60,
-         | round((pb - avg(pb) OVER f60) / nullif(stddev_samp(pb) OVER f60, 0), 6) + 0.0
+         | floor(((pb - avg(pb) OVER f60) / nullif(stddev_samp(pb) OVER f60, 0)) * 1e6 + 0.5) / 1e6 + 0.0
          |   AS pb_zscore_60
          |FROM quotes
          |WINDOW f60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
@@ -2017,20 +2025,28 @@ object FactorQueries {
     // this row's mh) inline their producer's expression — recursive
     // terms can't lateral-reference select-list aliases portably.
     "q43_factor_ema" -> {
+      // the complement is computed HERE in binary (1 - a, the exact
+      // double the Scala kernel multiplies by) and interpolated as a
+      // literal: writing `(1 - $a)` in the SQL text lets DuckDB do the
+      // subtraction in exact DECIMAL arithmetic, whose re-binarized
+      // result differs from the binary subtraction by an ulp for
+      // non-dyadic spans (a = 2/14: observed 2-ulp force_13 drift at
+      // sf0.1 recursion depth, crossing the 6-dp boundary — r15
+      // latent-divergence hunt)
       def stepRec(a: Double, x: String, prev: String) =
-        s"($a * $x + (1 - $a) * $prev)"
+        s"($a * $x + ${1 - a} * $prev)"
       val e12n = stepRec(EmaFamily.aMacdFast, "t.close", "rec.e12")
       val e26n = stepRec(EmaFamily.aMacdSlow, "t.close", "rec.e26")
       val diffn = s"(($e12n - $e26n) * 2.0)"
       val dean = stepRec(EmaFamily.aSignal, diffn, "rec.dea")
       val kn = s"(CASE WHEN t.rsv IS NULL THEN rec.k WHEN rec.k IS NULL THEN t.rsv" +
-        s" ELSE ${EmaFamily.aKdj} * t.rsv + (1 - ${EmaFamily.aKdj}) * rec.k END)"
+        s" ELSE ${EmaFamily.aKdj} * t.rsv + ${1 - EmaFamily.aKdj} * rec.k END)"
       val dn = s"(CASE WHEN t.rsv IS NULL THEN rec.d WHEN rec.d IS NULL THEN $kn" +
-        s" ELSE ${EmaFamily.aKdj} * $kn + (1 - ${EmaFamily.aKdj}) * rec.d END)"
+        s" ELSE ${EmaFamily.aKdj} * $kn + ${1 - EmaFamily.aKdj} * rec.d END)"
       val t2n = stepRec(EmaFamily.aTrix, e12n, "rec.t2")
       val t3n = stepRec(EmaFamily.aTrix, t2n, "rec.t3")
       val fn = s"(CASE WHEN t.fin IS NULL THEN rec.f WHEN rec.f IS NULL THEN t.fin" +
-        s" ELSE ${EmaFamily.aForce} * t.fin + (1 - ${EmaFamily.aForce}) * rec.f END)"
+        s" ELSE ${EmaFamily.aForce} * t.fin + ${1 - EmaFamily.aForce} * rec.f END)"
       val mhn = stepRec(EmaFamily.aMass, "t.hl", "rec.mh")
       val mh2n = stepRec(EmaFamily.aMass, mhn, "rec.mh2")
       s"""WITH RECURSIVE ${Quotes.sqlCte},
@@ -2057,14 +2073,14 @@ object FactorQueries {
          |    $fn AS f, $mhn AS mh, $mh2n AS mh2
          |  FROM rec JOIN e0 t ON t.stock = rec.stock AND t.day = rec.day + 1)
          |SELECT stock, day,
-         | round((e12 - e26) * 2.0, 6) + 0.0 AS macd_diff,
-         | round(dea, 6) + 0.0 AS macd_dea,
-         | round(k, 6) + 0.0 AS kdj_k,
-         | round(d, 6) + 0.0 AS kdj_d,
-         | round(3.0 * k - 2.0 * d, 6) + 0.0 AS kdj_j,
-         | round((t3 - lag(t3, 1) OVER wrec) / nullif(lag(t3, 1) OVER wrec, 0), 6) + 0.0 AS trix_12,
-         | round(f, 6) + 0.0 AS force_13,
-         | round(sum(CASE WHEN mh2 <> 0 THEN mh / mh2 END) OVER frec, 6) + 0.0 AS mass_25
+         | floor(((e12 - e26) * 2.0) * 1e6 + 0.5) / 1e6 + 0.0 AS macd_diff,
+         | floor((dea) * 1e6 + 0.5) / 1e6 + 0.0 AS macd_dea,
+         | floor((k) * 1e6 + 0.5) / 1e6 + 0.0 AS kdj_k,
+         | floor((d) * 1e6 + 0.5) / 1e6 + 0.0 AS kdj_d,
+         | floor((3.0 * k - 2.0 * d) * 1e6 + 0.5) / 1e6 + 0.0 AS kdj_j,
+         | floor(((t3 - lag(t3, 1) OVER wrec) / nullif(lag(t3, 1) OVER wrec, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS trix_12,
+         | floor((f) * 1e6 + 0.5) / 1e6 + 0.0 AS force_13,
+         | floor((sum(CASE WHEN mh2 <> 0 THEN mh / mh2 END) OVER frec) * 1e6 + 0.5) / 1e6 + 0.0 AS mass_25
          |FROM rec
          |WINDOW wrec AS (PARTITION BY stock ORDER BY day),
          |  frec AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
@@ -2218,17 +2234,17 @@ object FactorQueries {
          |  FROM b2
          |  WINDOW $frames)
          |SELECT stock, day,
-         | round(sum(CASE WHEN delta_c > 0 THEN 1.0 ELSE 0.0 END) OVER f12
-         |   / 12.0 * 100.0, 6) + 0.0 AS psy_12,
-         | round(sqrt(avg(dd_pct * dd_pct) OVER f14), 6) + 0.0 AS ui_14,
-         | round(avg(abs(ret) / nullif(amount, 0)) OVER f20 * 1e8, 6) + 0.0 AS amihud_20,
-         | round((CAST(len(low_l) - list_indexof(low_l, list_aggregate(low_l, 'min')) AS DOUBLE)
+         | floor((sum(CASE WHEN delta_c > 0 THEN 1.0 ELSE 0.0 END) OVER f12
+         |   / 12.0 * 100.0) * 1e6 + 0.5) / 1e6 + 0.0 AS psy_12,
+         | floor((sqrt(avg(dd_pct * dd_pct) OVER f14)) * 1e6 + 0.5) / 1e6 + 0.0 AS ui_14,
+         | floor((avg(abs(ret) / nullif(amount, 0)) OVER f20 * 1e8) * 1e6 + 0.5) / 1e6 + 0.0 AS amihud_20,
+         | floor(((CAST(len(low_l) - list_indexof(low_l, list_aggregate(low_l, 'min')) AS DOUBLE)
          |      - CAST(len(high_l) - list_indexof(high_l, list_aggregate(high_l, 'max')) AS DOUBLE))
-         |   * 4.0, 6) + 0.0 AS aroon_osc_25,
-         | round(100.0 * log10(sum(tr) OVER f14
+         |   * 4.0) * 1e6 + 0.5) / 1e6 + 0.0 AS aroon_osc_25,
+         | floor((100.0 * log10(sum(tr) OVER f14
          |   / nullif(max(high) OVER f14 - min(low) OVER f14, 0))
-         |   / ${math.log10(14.0)}, 6) + 0.0 AS chop_14,
-         | round(stddev_samp(turnover) OVER f20, 6) + 0.0 AS turnover_std_20
+         |   / ${math.log10(14.0)}) * 1e6 + 0.5) / 1e6 + 0.0 AS chop_14,
+         | floor((stddev_samp(turnover) OVER f20) * 1e6 + 0.5) / 1e6 + 0.0 AS turnover_std_20
          |FROM b4
          |WINDOW $frames
          |ORDER BY stock, day""".stripMargin,

@@ -350,8 +350,14 @@ object TimeSeriesQueries {
     // (The previous closed-form pow(0.8,rn) expansion held only while
     // no value landed within ~1e-13 of a 6-dp round boundary — a
     // testdata regeneration hazard.)
+    // the complement literal is computed HERE in binary (`1 - 0.2`,
+    // the exact double TsOps.ema multiplies by): writing `(1 - 0.2)`
+    // in the SQL text lets DuckDB subtract in exact DECIMAL
+    // arithmetic, whose re-binarized 0.8 sits ONE ULP ABOVE the
+    // binary difference — a latent per-step drift of the q43 force_13
+    // class (caught at sf0.1, r15)
     "q26_ema_series" ->
-      """WITH RECURSIVE t AS (
+      s"""WITH RECURSIVE t AS (
         | SELECT user_id, event_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
         | FROM events),
@@ -359,7 +365,7 @@ object TimeSeriesQueries {
         | SELECT user_id, event_id, rn, value AS ema FROM t WHERE rn = 1
         | UNION ALL
         | SELECT t.user_id, t.event_id, t.rn,
-        |  0.2 * t.value + (1 - 0.2) * rec.ema
+        |  0.2 * t.value + ${1 - 0.2} * rec.ema
         | FROM rec JOIN t ON t.user_id = rec.user_id AND t.rn = rec.rn + 1)
         |SELECT user_id, event_id, floor(ema * 1e6 + 0.5) / 1e6 AS ema
         |FROM rec ORDER BY user_id, event_id""".stripMargin,

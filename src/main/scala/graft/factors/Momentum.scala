@@ -77,8 +77,7 @@ object Momentum {
       .withColumn("mom_acc_5", col("roc_5") - lag(col("roc_5"), 5).over(W))
       .withColumn("linear_reg_slope_20", slope)
       .withColumn("vr_26", vr)
-      .withColumn("skew_20", TsOps.tsSkew(col("ret"), 20, W))
-      .withColumn("kurt_20", TsOps.tsKurt(col("ret"), 20, W))
+      .transform(TsOps.withSkewKurt(_, col("ret"), 20, W, "skew_20", "kurt_20"))
   }
 
   /** Output factor column names (factor_momentum_daily order). */

@@ -61,11 +61,80 @@ object TsOps {
   def tsCovar(x: Column, y: Column, d: Int, w: WindowSpec): Column =
     covar_samp(x, y).over(trailing(w, d))
 
-  /** Rolling skewness / kurtosis (basic factor_function.md: skew_20/kurt_20). */
-  def tsSkew(x: Column, d: Int, w: WindowSpec): Column =
-    skewness(x).over(trailing(w, d))
-  def tsKurt(x: Column, d: Int, w: WindowSpec): Column =
-    kurtosis(x).over(trailing(w, d))
+  /** Rolling population skewness / kurtosis (basic
+    * factor_function.md: skew_20/kurt_20) — computed as an explicit
+    * TWO-PASS fold over the collected window (mean, then left-to-
+    * right central-moment sums), NOT the built-in skewness/kurtosis
+    * aggregates: those update their moments incrementally per row, an
+    * accumulation the q44 oracle's two-pass list replay cannot
+    * reproduce bitwise — at sf0.1 depth the drift crossed the 6-dp
+    * quantization boundary on 4 of 100k rows (r15 latent-divergence
+    * hunt). The fold form IS the oracle's association, so parity is
+    * by construction; nulls are absent from the collected window on
+    * both engines (collect_list skips them, the oracle list_filters).
+    * Formulae: g1 = √n·c3/c2^1.5, g2 = n·c4/c2² − 3 (population;
+    * NULL for a zero-variance window). */
+  def tsSkew(x: Column, d: Int, w: WindowSpec): Column = {
+    val arr = collect_list(x).over(trailing(w, d))
+    val n = size(arr).cast(DoubleType)
+    val mu = aggregate(arr, lit(0.0), (a, v) => a + v) / n
+    val c2 = aggregate(transform(arr, v => (v - mu) * (v - mu)),
+      lit(0.0), (a, v) => a + v)
+    val c3 = aggregate(transform(arr, v => (v - mu) * (v - mu) * (v - mu)),
+      lit(0.0), (a, v) => a + v)
+    when(c2 =!= 0.0, sqrt(n) * c3 / sqrt(c2 * c2 * c2))
+  }
+  def tsKurt(x: Column, d: Int, w: WindowSpec): Column = {
+    val arr = collect_list(x).over(trailing(w, d))
+    val n = size(arr).cast(DoubleType)
+    val mu = aggregate(arr, lit(0.0), (a, v) => a + v) / n
+    val c2 = aggregate(transform(arr, v => (v - mu) * (v - mu)),
+      lit(0.0), (a, v) => a + v)
+    val c4 = aggregate(
+      transform(arr, v => (v - mu) * (v - mu) * (v - mu) * (v - mu)),
+      lit(0.0), (a, v) => a + v)
+    when(c2 =!= 0.0, n * c4 / (c2 * c2) - 3.0)
+  }
+
+  /** [[tsSkew]] + [[tsKurt]] FUSED through staged projections: one
+    * collect_list window and each intermediate (n, mu, c2..c4)
+    * materialized as a column before the next references it. The
+    * single-Column forms above nest `mu` (itself an O(d) fold) inside
+    * every per-element lambda — Catalyst inlines it, so each moment
+    * costs O(d²) per row (measured: q44's wall 0.9 s → 4.4 s at sf0.1
+    * when skew/kurt went fold-form unstaged). Staging restores O(d)
+    * while keeping the oracle's exact association, and the temps are
+    * dropped. Same formulas, same null/zero-variance conventions. */
+  def withSkewKurt(df: DataFrame, x: Column, d: Int, w: WindowSpec,
+      skewName: String, kurtName: String): DataFrame = {
+    val (tArr, tN, tMu, tC2, tC3, tC4) =
+      ("_sk_arr", "_sk_n", "_sk_mu", "_sk_c2", "_sk_c3", "_sk_c4")
+    df.withColumn(tArr, collect_list(x).over(trailing(w, d)))
+      .withColumn(tN, size(col(tArr)).cast(DoubleType))
+      // guard the staged division: an all-null input window collects
+      // an EMPTY array (n = 0) — the single-Column forms never hit
+      // this because their mu lives inside lambdas that an empty
+      // array never evaluates, but a materialized column divides
+      // eagerly and ANSI throws
+      .withColumn(tMu, when(col(tN) > 0.0,
+        aggregate(col(tArr), lit(0.0), (a, v) => a + v) / col(tN)))
+      .withColumn(tC2, aggregate(
+        transform(col(tArr), v => (v - col(tMu)) * (v - col(tMu))),
+        lit(0.0), (a, v) => a + v))
+      .withColumn(tC3, aggregate(
+        transform(col(tArr),
+          v => (v - col(tMu)) * (v - col(tMu)) * (v - col(tMu))),
+        lit(0.0), (a, v) => a + v))
+      .withColumn(tC4, aggregate(
+        transform(col(tArr), v =>
+          (v - col(tMu)) * (v - col(tMu)) * (v - col(tMu)) * (v - col(tMu))),
+        lit(0.0), (a, v) => a + v))
+      .withColumn(skewName, when(col(tC2) =!= 0.0,
+        sqrt(col(tN)) * col(tC3) / sqrt(col(tC2) * col(tC2) * col(tC2))))
+      .withColumn(kurtName, when(col(tC2) =!= 0.0,
+        col(tN) * col(tC4) / (col(tC2) * col(tC2)) - 3.0))
+      .drop(tArr, tN, tMu, tC2, tC3, tC4)
+  }
 
   /** Rolling product, exact (alpha101_engine.py:69-72 uses exp(Σlog);
     * we multiply directly via a fold so sign/zero are handled). */
