@@ -1545,6 +1545,16 @@ object FactorQueries {
       |f60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
       |ws AS (PARTITION BY stock ORDER BY day)""".stripMargin
 
+  /** Closed-form sample-stddev SQL, matching [[graft.ops.TsOps.tsStddevCf]]
+    * association for association (exact power sums for exact-grain
+    * inputs — engine-proof where stddev_samp's incremental moments
+    * are not; see tsStddevCf's doc). */
+  private def stdCfSql(x: String, f: String): String = {
+    val n = s"CAST(count(*) OVER $f AS DOUBLE)"
+    s"(CASE WHEN $n > 1 THEN sqrt(($n * sum(($x) * ($x)) OVER $f" +
+      s" - sum($x) OVER $f * sum($x) OVER $f) / ($n * ($n - 1.0))) END)"
+  }
+
   private val q40Oracle: String =
     s"""$baseCte
          |SELECT stock, day,
@@ -1553,8 +1563,8 @@ object FactorQueries {
          | floor((avg(close) OVER f60) * 1e6 + 0.5) / 1e6 + 0.0 AS ma_60,
          | floor(((close - avg(close) OVER f20) / nullif(avg(close) OVER f20, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS bias_20,
          | floor(((close - avg(close) OVER f60) / nullif(avg(close) OVER f60, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS bias_60,
-         | floor((avg(close) OVER f20 + 2.0 * stddev_samp(close) OVER f20) * 1e6 + 0.5) / 1e6 + 0.0 AS boll_upper,
-         | floor((avg(close) OVER f20 - 2.0 * stddev_samp(close) OVER f20) * 1e6 + 0.5) / 1e6 + 0.0 AS boll_lower,
+         | floor((avg(close) OVER f20 + 2.0 * ${stdCfSql("close", "f20")}) * 1e6 + 0.5) / 1e6 + 0.0 AS boll_upper,
+         | floor((avg(close) OVER f20 - 2.0 * ${stdCfSql("close", "f20")}) * 1e6 + 0.5) / 1e6 + 0.0 AS boll_lower,
          | floor((100.0 * sum(up_move) OVER f14
          |   / nullif(sum(up_move) OVER f14 + sum(dn_move) OVER f14, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS rsi_14,
          | floor((avg(tr) OVER f14) * 1e6 + 0.5) / 1e6 + 0.0 AS atr_14
@@ -1608,7 +1618,6 @@ object FactorQueries {
          |  FROM m1),
          |m3 AS (
          |  SELECT *,
-         |    stddev_samp(ret) OVER f20 AS volatility_20,
          |    avg(turnover) OVER f5 AS turnover_mean_5,
          |    avg(amp) OVER f5 AS amplitude_mean_5,
          |    (close - min(low) OVER f20)
@@ -1642,7 +1651,7 @@ object FactorQueries {
          | floor((roc_5) * 1e6 + 0.5) / 1e6 + 0.0 AS roc_5,
          | floor((roc_20) * 1e6 + 0.5) / 1e6 + 0.0 AS roc_20,
          | floor((roc_60) * 1e6 + 0.5) / 1e6 + 0.0 AS roc_60,
-         | floor((volatility_20) * 1e6 + 0.5) / 1e6 + 0.0 AS volatility_20,
+         | floor((CASE WHEN nn > 1 THEN sqrt(c2 / (nn - 1.0)) END) * 1e6 + 0.5) / 1e6 + 0.0 AS volatility_20,
          | floor((turnover_mean_5) * 1e6 + 0.5) / 1e6 + 0.0 AS turnover_mean_5,
          | floor((amplitude_mean_5) * 1e6 + 0.5) / 1e6 + 0.0 AS amplitude_mean_5,
          | floor((pos_20) * 1e6 + 0.5) / 1e6 + 0.0 AS pos_20,
@@ -1666,9 +1675,9 @@ object FactorQueries {
          | floor((1.0 / nullif(ps, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS sp_ttm,
          | floor((dv_ratio) * 1e6 + 0.5) / 1e6 + 0.0 AS dividend_yield,
          | floor((pb / nullif(pe, 0)) * 1e6 + 0.5) / 1e6 + 0.0 AS roe_ttm,
-         | floor(((pe - avg(pe) OVER f60) / nullif(stddev_samp(pe) OVER f60, 0)) * 1e6 + 0.5) / 1e6 + 0.0
+         | floor(((pe - avg(pe) OVER f60) / nullif(${stdCfSql("pe", "f60")}, 0)) * 1e6 + 0.5) / 1e6 + 0.0
          |   AS pe_zscore_60,
-         | floor(((pb - avg(pb) OVER f60) / nullif(stddev_samp(pb) OVER f60, 0)) * 1e6 + 0.5) / 1e6 + 0.0
+         | floor(((pb - avg(pb) OVER f60) / nullif(${stdCfSql("pb", "f60")}, 0)) * 1e6 + 0.5) / 1e6 + 0.0
          |   AS pb_zscore_60
          |FROM quotes
          |WINDOW f60 AS (PARTITION BY stock ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
@@ -2244,7 +2253,7 @@ object FactorQueries {
          | floor((100.0 * log10(sum(tr) OVER f14
          |   / nullif(max(high) OVER f14 - min(low) OVER f14, 0))
          |   / ${math.log10(14.0)}) * 1e6 + 0.5) / 1e6 + 0.0 AS chop_14,
-         | floor((stddev_samp(turnover) OVER f20) * 1e6 + 0.5) / 1e6 + 0.0 AS turnover_std_20
+         | floor((${stdCfSql("CAST(volume AS DOUBLE)", "f20")} / 1e5) * 1e6 + 0.5) / 1e6 + 0.0 AS turnover_std_20
          |FROM b4
          |WINDOW $frames
          |ORDER BY stock, day""".stripMargin,

@@ -67,7 +67,11 @@ object Momentum {
       sum(col("v_dn")).over(f26) + lit(0.5) * sum(col("v_fl")).over(f26))
 
     base
-      .withColumn("volatility_20", TsOps.tsStddev(col("ret"), 20, W))
+      // volatility_20 rides the SAME staged list fold as skew/kurt
+      // (see the withSkewKurt call below): ret is an inexact quotient,
+      // so the closed-form power sums are order-dependent and only a
+      // sequential fold replays on both engines — stddevName attaches
+      // sqrt(c2/(n-1)) off the shared staged c2
       .withColumn("turnover_mean_5", TsOps.tsMean(col("turnover"), 5, W))
       .withColumn("amplitude_mean_5", TsOps.tsMean(col("amp"), 5, W))
       .withColumn("pos_20", div(col("close") - TsOps.tsMin(col("low"), 20, W),
@@ -77,7 +81,8 @@ object Momentum {
       .withColumn("mom_acc_5", col("roc_5") - lag(col("roc_5"), 5).over(W))
       .withColumn("linear_reg_slope_20", slope)
       .withColumn("vr_26", vr)
-      .transform(TsOps.withSkewKurt(_, col("ret"), 20, W, "skew_20", "kurt_20"))
+      .transform(TsOps.withSkewKurt(_, col("ret"), 20, W, "skew_20", "kurt_20",
+        stddevName = Some("volatility_20")))
   }
 
   /** Output factor column names (factor_momentum_daily order). */

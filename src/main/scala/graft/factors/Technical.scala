@@ -67,7 +67,9 @@ object Technical {
 
     val ma20 = avg(col("close")).over(t(20))
     val ma60 = avg(col("close")).over(t(60))
-    val std20 = stddev_samp(col("close")).over(t(20))
+    // closed-form exact-sum stddev (close is 1/64-grain exact):
+    // engine-proof where the built-in's incremental moments are not
+    val std20 = TsOps.tsStddevCf(col("close"), 20, W)
     val su14 = sum(col("up_move")).over(t(14))
     val sd14 = sum(col("dn_move")).over(t(14))
     val hh14 = max(col("high")).over(t(14))
@@ -114,7 +116,12 @@ object Technical {
       .withColumn("chop_14",
         lit(100.0) * log10(div(sum(col("tr")).over(t(14)), hh14 - ll14))
           / lit(math.log10(14.0)))
-      .withColumn("turnover_std_20", stddev_samp(col("turnover")).over(t(20)))
+      // std(turnover) computed as std(volume)/1e5: turnover itself
+      // (volume/1e5) is an INEXACT double whose power sums are
+      // accumulation-order-dependent, but the integer volumes' sums
+      // are exact — same value, engine-proof (tsStddevCf's contract)
+      .withColumn("turnover_std_20",
+        TsOps.tsStddevCf(col("volume").cast("double"), 20, W) / 1e5)
       .drop("tp_arr")
   }
 

@@ -26,7 +26,9 @@ object Value {
     when(den =!= 0.0, num / den)
 
   private def zscore60(c: Column): Column =
-    div(c - avg(c).over(t(60)), stddev_samp(c).over(t(60)))
+    // closed-form exact-sum stddev (pe/pb are 1/64- and 1/16-grain
+    // exact): engine-proof vs the built-in's incremental moments
+    div(c - avg(c).over(t(60)), graft.ops.TsOps.tsStddevCf(c, 60, W))
 
   def compute(quotes: DataFrame): DataFrame =
     quotes

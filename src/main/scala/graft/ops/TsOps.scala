@@ -49,6 +49,25 @@ object TsOps {
   def tsMin(x: Column, d: Int, w: WindowSpec): Column = min(x).over(trailing(w, d))
   def tsMax(x: Column, d: Int, w: WindowSpec): Column = max(x).over(trailing(w, d))
 
+  /** Rolling sample stddev in CLOSED FORM from power sums:
+    * `sqrt((n·Σx² − (Σx)²) / (n(n−1)))`. For exact-grain inputs
+    * (the panel's 1/64-multiples, integer volumes) both window sums
+    * are EXACT doubles — order-independent, so Spark's frame-scan and
+    * DuckDB's segment-tree accumulate to the same bits and the rest
+    * is identical-association arithmetic: engine-proof parity, where
+    * the built-in stddev_samp's incremental moments are
+    * engine-specific (the q44 skew class; Alpha101.tsStdCf is the
+    * same construction). NULL at n ≤ 1, matching stddev_samp. Do NOT
+    * use on inexact inputs (quotients): their power sums are
+    * order-dependent again — go through the staged list fold
+    * ([[withSkewKurt]]) instead. */
+  def tsStddevCf(x: Column, d: Int, w: WindowSpec): Column = {
+    val f = trailing(w, d)
+    val n = count(lit(1)).over(f).cast(DoubleType)
+    val vx = n * sum(x * x).over(f) - sum(x).over(f) * sum(x).over(f)
+    when(n > 1, sqrt(vx / (n * (n - lit(1.0)))))
+  }
+
   /** Rolling sample stddev over d rows (alpha101_engine.py:74-77). */
   def tsStddev(x: Column, d: Int, w: WindowSpec): Column =
     stddev_samp(x).over(trailing(w, d))
@@ -106,7 +125,8 @@ object TsOps {
     * while keeping the oracle's exact association, and the temps are
     * dropped. Same formulas, same null/zero-variance conventions. */
   def withSkewKurt(df: DataFrame, x: Column, d: Int, w: WindowSpec,
-      skewName: String, kurtName: String): DataFrame = {
+      skewName: String, kurtName: String,
+      stddevName: Option[String] = None): DataFrame = {
     val (tArr, tN, tMu, tC2, tC3, tC4) =
       ("_sk_arr", "_sk_n", "_sk_mu", "_sk_c2", "_sk_c3", "_sk_c4")
     df.withColumn(tArr, collect_list(x).over(trailing(w, d)))
@@ -133,6 +153,11 @@ object TsOps {
         sqrt(col(tN)) * col(tC3) / sqrt(col(tC2) * col(tC2) * col(tC2))))
       .withColumn(kurtName, when(col(tC2) =!= 0.0,
         col(tN) * col(tC4) / (col(tC2) * col(tC2)) - 3.0))
+      // optional sample stddev off the SAME staged c2 — the
+      // inexact-input replacement for the built-in (see tsStddevCf):
+      // list-fold association on both engines, one extra sqrt per row
+      .transform(d0 => stddevName.fold(d0)(sn => d0.withColumn(sn,
+        when(col(tN) > 1.0, sqrt(col(tC2) / (col(tN) - 1.0))))))
       .drop(tArr, tN, tMu, tC2, tC3, tC4)
   }
 
