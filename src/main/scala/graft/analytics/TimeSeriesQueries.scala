@@ -270,7 +270,11 @@ object TimeSeriesQueries {
        |SELECT stock, day,
        | round($tsRankC8, 6) AS tsrank_c8,
        | $argmaxC10 AS argmax_c10,
-       | round($decayVw9, 4) AS decay_vw9,
+       | -- house floor-form quantization (the r6/alpha52 convention):
+       | -- decay_vw9 is a vwap-weighted mean — an inexact quotient — and
+       | -- round(x, 4) HALF_UPs on the shortest-decimal repr in Spark but
+       | -- scale-by-1e4 rounds in DuckDB, diverging on exact 4-dp halves.
+       | floor(($decayVw9) * 1e4 + 0.5) / 1e4 AS decay_vw9,
        | -- the injected snippet is parenthesized: an unparenthesized
        | -- a/b replay would re-associate the product (x*a/b vs x*(a/b))
        | -- and drift one ulp across the floor boundary

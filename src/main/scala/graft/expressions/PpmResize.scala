@@ -33,6 +33,13 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
 case class PpmResize(child: Expression, outW: Int, outH: Int)
     extends UnaryExpression {
   require(outW > 0 && outH > 0, "PpmResize: output dims must be positive")
+  // output-side overflow guard: the per-row buffer is
+  // header + outW*outH*3 bytes in ONE Int-sized array — a misconfigured
+  // plan must fail at construction, not throw
+  // NegativeArraySizeException per row (the null-never-throw contract
+  // covers untrusted INPUT; configured OUTPUT dims are plan-time state)
+  require(outW.toLong * outH * 3 + 32 <= Int.MaxValue,
+    s"PpmResize: output $outW x $outH overflows a byte-array buffer")
 
   override def dataType: DataType = BinaryType
 

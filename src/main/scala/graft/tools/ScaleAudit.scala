@@ -42,6 +42,12 @@ object ScaleAudit {
         s"dir basename must be sf<number> (the slope denominator): $d")
       require(new java.io.File(d).isDirectory, s"not a directory: $d")
     }
+    // equal or non-increasing sf values make log10(sfRatio) = 0 and
+    // slope() emits Infinity/NaN rows that sort to the TOP of the
+    // report — fail before any timing starts, not after
+    val sfVals = sfs.map(_.split('/').last.stripPrefix("sf").toDouble)
+    require(sfVals.zip(sfVals.tail).forall { case (a, b) => a < b },
+      s"SF dirs must be strictly increasing by scale factor, got $sfVals")
     val minWall = sys.env.getOrElse("SPARK_GRAFT_AUDIT_MIN_WALL", "0.5").toDouble
     val rerunWall = sys.env.getOrElse("SPARK_GRAFT_RERUN_WALL", "2.5").toDouble
     val spark = LocalSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
