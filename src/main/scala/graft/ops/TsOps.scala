@@ -61,12 +61,8 @@ object TsOps {
     * use on inexact inputs (quotients): their power sums are
     * order-dependent again — go through the staged list fold
     * ([[withSkewKurt]]) instead. */
-  def tsStddevCf(x: Column, d: Int, w: WindowSpec): Column = {
-    val f = trailing(w, d)
-    val n = count(lit(1)).over(f).cast(DoubleType)
-    val vx = n * sum(x * x).over(f) - sum(x).over(f) * sum(x).over(f)
-    when(n > 1, sqrt(vx / (n * (n - lit(1.0)))))
-  }
+  def tsStddevCf(x: Column, d: Int, w: WindowSpec): Column =
+    moments(x, d, w).getField("stddev_cf")
 
   /** Rolling sample stddev over d rows (alpha101_engine.py:74-77). */
   def tsStddev(x: Column, d: Int, w: WindowSpec): Column =
@@ -93,72 +89,41 @@ object TsOps {
     * both engines (collect_list skips them, the oracle list_filters).
     * Formulae: g1 = √n·c3/c2^1.5, g2 = n·c4/c2² − 3 (population;
     * NULL for a zero-variance window). */
-  def tsSkew(x: Column, d: Int, w: WindowSpec): Column = {
-    val arr = collect_list(x).over(trailing(w, d))
-    val n = size(arr).cast(DoubleType)
-    val mu = aggregate(arr, lit(0.0), (a, v) => a + v) / n
-    val c2 = aggregate(transform(arr, v => (v - mu) * (v - mu)),
-      lit(0.0), (a, v) => a + v)
-    val c3 = aggregate(transform(arr, v => (v - mu) * (v - mu) * (v - mu)),
-      lit(0.0), (a, v) => a + v)
-    when(c2 =!= 0.0, sqrt(n) * c3 / sqrt(c2 * c2 * c2))
-  }
-  def tsKurt(x: Column, d: Int, w: WindowSpec): Column = {
-    val arr = collect_list(x).over(trailing(w, d))
-    val n = size(arr).cast(DoubleType)
-    val mu = aggregate(arr, lit(0.0), (a, v) => a + v) / n
-    val c2 = aggregate(transform(arr, v => (v - mu) * (v - mu)),
-      lit(0.0), (a, v) => a + v)
-    val c4 = aggregate(
-      transform(arr, v => (v - mu) * (v - mu) * (v - mu) * (v - mu)),
-      lit(0.0), (a, v) => a + v)
-    when(c2 =!= 0.0, n * c4 / (c2 * c2) - 3.0)
-  }
+  def tsSkew(x: Column, d: Int, w: WindowSpec): Column =
+    moments(x, d, w).getField("skew")
+  def tsKurt(x: Column, d: Int, w: WindowSpec): Column =
+    moments(x, d, w).getField("kurt")
 
-  /** [[tsSkew]] + [[tsKurt]] FUSED through staged projections: one
-    * collect_list window and each intermediate (n, mu, c2..c4)
-    * materialized as a column before the next references it. The
-    * single-Column forms above nest `mu` (itself an O(d) fold) inside
-    * every per-element lambda — Catalyst inlines it, so each moment
-    * costs O(d²) per row (measured: q44's wall 0.9 s → 4.4 s at sf0.1
-    * when skew/kurt went fold-form unstaged). Staging restores O(d)
-    * while keeping the oracle's exact association, and the temps are
-    * dropped. Same formulas, same null/zero-variance conventions. */
+  /** The shared moment kernel behind [[tsSkew]]/[[tsKurt]]/
+    * [[withSkewKurt]]/[[tsStddevCf]]: ONE
+    * [[graft.expressions.MomentsFold]] window aggregate buffering the
+    * frame as primitive doubles and evaluating every moment with the
+    * exact sequential-fold association of the r15 staged
+    * `collect_list` forms (values pinned in MomentsFoldSpec) — the
+    * boxed per-row array column and its 4× lambda re-folds are gone
+    * (r15 verdict, What's-wrong #3). */
+  private def moments(x: Column, d: Int, w: WindowSpec): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.MomentsFold(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(x))
+        .toAggregateExpression())
+      .over(trailing(w, d))
+
+  /** [[tsSkew]] + [[tsKurt]] (+ optional fold-form sample stddev, the
+    * inexact-input replacement for the built-in) off ONE
+    * [[moments]] aggregate, materialized once and field-extracted.
+    * Same formulas, same null/zero-variance conventions as the
+    * single-Column forms. */
   def withSkewKurt(df: DataFrame, x: Column, d: Int, w: WindowSpec,
       skewName: String, kurtName: String,
       stddevName: Option[String] = None): DataFrame = {
-    val (tArr, tN, tMu, tC2, tC3, tC4) =
-      ("_sk_arr", "_sk_n", "_sk_mu", "_sk_c2", "_sk_c3", "_sk_c4")
-    df.withColumn(tArr, collect_list(x).over(trailing(w, d)))
-      .withColumn(tN, size(col(tArr)).cast(DoubleType))
-      // guard the staged division: an all-null input window collects
-      // an EMPTY array (n = 0) — the single-Column forms never hit
-      // this because their mu lives inside lambdas that an empty
-      // array never evaluates, but a materialized column divides
-      // eagerly and ANSI throws
-      .withColumn(tMu, when(col(tN) > 0.0,
-        aggregate(col(tArr), lit(0.0), (a, v) => a + v) / col(tN)))
-      .withColumn(tC2, aggregate(
-        transform(col(tArr), v => (v - col(tMu)) * (v - col(tMu))),
-        lit(0.0), (a, v) => a + v))
-      .withColumn(tC3, aggregate(
-        transform(col(tArr),
-          v => (v - col(tMu)) * (v - col(tMu)) * (v - col(tMu))),
-        lit(0.0), (a, v) => a + v))
-      .withColumn(tC4, aggregate(
-        transform(col(tArr), v =>
-          (v - col(tMu)) * (v - col(tMu)) * (v - col(tMu)) * (v - col(tMu))),
-        lit(0.0), (a, v) => a + v))
-      .withColumn(skewName, when(col(tC2) =!= 0.0,
-        sqrt(col(tN)) * col(tC3) / sqrt(col(tC2) * col(tC2) * col(tC2))))
-      .withColumn(kurtName, when(col(tC2) =!= 0.0,
-        col(tN) * col(tC4) / (col(tC2) * col(tC2)) - 3.0))
-      // optional sample stddev off the SAME staged c2 — the
-      // inexact-input replacement for the built-in (see tsStddevCf):
-      // list-fold association on both engines, one extra sqrt per row
-      .transform(d0 => stddevName.fold(d0)(sn => d0.withColumn(sn,
-        when(col(tN) > 1.0, sqrt(col(tC2) / (col(tN) - 1.0))))))
-      .drop(tArr, tN, tMu, tC2, tC3, tC4)
+    val t = "_sk_moments"
+    df.withColumn(t, moments(x, d, w))
+      .withColumn(skewName, col(t).getField("skew"))
+      .withColumn(kurtName, col(t).getField("kurt"))
+      .transform(d0 => stddevName.fold(d0)(sn =>
+        d0.withColumn(sn, col(t).getField("stddev_fold"))))
+      .drop(t)
   }
 
   /** Rolling product, exact (alpha101_engine.py:69-72 uses exp(Σlog);
