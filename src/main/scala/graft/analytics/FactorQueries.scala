@@ -504,59 +504,88 @@ object FactorQueries {
     * at sf0.1 — the raw compute frame's ~460 intermediates stay out
     * of the cache), comfortable for MEMORY_AND_DISK; values are
     * deterministic, so consumers are unchanged across re-reads. */
-  /** Bench hook: force the shared full-panel derivation NOW so its
-    * one-time cost appears as its own `alpha_derive` bench line
+  /** Bench hook: build the factor MART for (session, dir) NOW so its
+    * one-time cost appears as its own `factor_mart` bench line
     * instead of inflating whichever alpha consumer happens to run
     * first (q58 under name-sorted execution — the r9 bench
     * misattributed ~26% of total wall to it). */
   def primeAlphaFull(s: SparkSession, dir: String): Unit = { alphaFull(s, dir); () }
 
+  /** Rerun-armor hook (Bench): forget the memoized mart for
+    * (session, dir) so the next [[primeAlphaFull]] re-derives and
+    * re-writes from scratch — without this, a bench rerun of the
+    * `factor_mart` line would time a warm memo (a ~0.1 s map lookup)
+    * and report it as the build (the exact mislabeling the derive
+    * lines' missing armor caused in r15). The superseded mart files
+    * stay in scratch until JVM exit (TempDirs hook) — ≤ ~85 MB each
+    * at sf0.1, never re-read. */
+  def dropAlphaMemo(s: SparkSession, dir: String): Unit = {
+    alphaFullCache.remove((s, dir)); ()
+  }
+
   private val alphaFullCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => DataFrame]()
-  private def alphaFull(s: SparkSession, dir: String): DataFrame = {
+  private[analytics] def alphaFull(s: SparkSession, dir: String): DataFrame = {
     // computeIfAbsent only allocates a memoizing holder (cheap): the
-    // multi-second derivation runs OUTSIDE the map's bin lock, under
+    // multi-second build runs OUTSIDE the map's bin lock, under
     // the holder's own per-key lazy-val lock, so a concurrent first
     // call for a DIFFERENT (session, dir) key never blocks behind it
     val holder = alphaFullCache.computeIfAbsent((s, dir), { case (ss, d) =>
-      lazy val frame = deriveAlphaFull(ss, d)
+      lazy val frame = buildFactorMart(ss, d)
       () => frame
     })
     holder()
   }
 
-  private def deriveAlphaFull(ss: SparkSession, d: String): DataFrame = {
+  /** The factor MART (r15 verdict ask #1 — the reference's actual
+    * architecture): alphas are computed ONCE per (session, dir) and
+    * STORED as partitioned sorted parquet; every consumer (q58/q90/
+    * q91) READS the mart. The reference's factor plane works exactly
+    * this way — the P1–P5 pipeline materializes factor/alpha tables
+    * (`database/ddl/factor_db_ddl.md:18-31`,
+    * `Project report.md:739-781`) and the app only ever SELECTs them;
+    * nobody re-derives 101 alphas per query session over the full
+    * panel. Layout mirrors the reference's year-partitioned
+    * cross-section sort (`Project report.md:415-422`): hive-style
+    * `yr=` partitions (244 trading days per year), range-split within
+    * a year and sorted `(day, stock)` inside every file — at 100 TB
+    * the year partitions prune time-scoped reads, the range split
+    * keeps file counts proportional to data (never one task per
+    * year), and the sort gives delta/dict encodings their bite.
+    *
+    * Losslessness: parquet stores doubles as raw IEEE-754 bits (the
+    * q148 sink-proof), so a consumer reading the mart is
+    * hash-identical to one reading the derive frame — pinned in
+    * FactorMartSpec (q90 mart vs scratch derive, bit for bit).
+    * Column pruning now reaches the SCAN: q58's 2-of-104-column read
+    * no longer drags the whole cached panel through memory.
+    *
+    * No one-shot codegen override in the derive (kept from r9–r15
+    * measurements: the batched-rank plan is ~30 operators; stock
+    * codegen beats NO_CODEGEN factories 41 s vs 49 s at sf0.1). */
+  private def buildFactorMart(ss: SparkSession, d: String): DataFrame = {
     // drop this session's entries when it stops: a long-lived JVM
-    // (test suites) otherwise pins persisted frames of dead
-    // sessions in the map forever
+    // (test suites) otherwise pins memo entries of dead sessions in
+    // the map forever
     ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onApplicationEnd(
           e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
         alphaFullCache.keySet.removeIf(_._1 eq ss)
     })
-    // No one-shot codegen override: the NO_CODEGEN factory swap was
-    // tuned for the pre-MultiRank plan (~450 projections / ~160
-    // window operators, where per-plan Janino compile dominated a
-    // run-once execution: 78 s vs 97 s codegen'd at sf0.1, round 9).
-    // The batched-rank plan is ~30 operators and flips the tradeoff:
-    // re-measured at sf0.1, cold derivation is 41 s codegen'd vs
-    // 49 s with NO_CODEGEN factories (interpreted per-row factory
-    // paths now cost more than the compile they avoid). Running
-    // stock-default codegen also removes the session-conf swap the
-    // round-9 advice flagged — nothing here touches the caller's
-    // conf at all.
     val full = Alpha101.compute(Quotes.panel(ss, d))
-    // persist only what the consumers read — keys, close (q91's
-    // forward return) and the alpha_* columns: the raw compute
-    // frame carries ~460 dead intermediate columns that would
-    // otherwise sit in the cache (~5x the memory) and be re-scanned
-    // by every consumer
+    // store only what consumers read — keys, close (q91's forward
+    // return) and the alpha_* columns: the raw compute frame carries
+    // ~460 dead intermediate columns
     val keep = Seq("stock", "day", "close") ++
       full.schema.fieldNames.filter(_.startsWith("alpha_"))
-    val f = full.select(keep.map(org.apache.spark.sql.functions.col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    f.count() // materialize eagerly: one derivation serves q58/q90/q91
-    f
+    val cols = keep.map(org.apache.spark.sql.functions.col)
+    val path = graft.TempDirs.scratch("graft_factor_mart")
+    full.select(cols: _*)
+      .withColumn("yr", ((col("day") - 1) / 244).cast("int"))
+      .repartitionByRange(col("yr"), col("day"), col("stock"))
+      .sortWithinPartitions("yr", "day", "stock")
+      .write.partitionBy("yr").mode("overwrite").parquet(path)
+    ss.read.parquet(path).select(cols: _*)
   }
 
   def columnDiscovery: Q = (s, dir) => {

@@ -56,20 +56,28 @@ class FactorPlanSpec extends SparkSpec {
     assert(ex.size <= 3, ex.mkString("\n"))
   }
 
-  test("q58/q90/q91 read ONE persisted full-panel alpha derivation") {
+  test("q58/q90/q91 read the factor MART, never re-deriving the alpha DAG") {
     val dir = "/root/testdata/sf0.001"
-    // first consumer triggers the derivation + persist ...
+    // first consumer triggers the one-time mart build (derive +
+    // year-partitioned sorted parquet write) ...
     FactorQueries.columnDiscovery(spark, dir).collect()
-    // ... and every consumer's plan then scans the cached frame
-    // instead of rebuilding the ~500-column DAG (the pre-r9 shape
-    // paid the planning+codegen constant once per consumer)
+    // ... and every consumer's plan is then a parquet SCAN of the
+    // mart — no window cascade, no alpha re-derivation (the r15
+    // in-memory cache couldn't column-prune; the mart read can,
+    // pinned in FactorMartSpec)
     Seq(FactorQueries.columnDiscovery(spark, dir),
-        FactorQueries.alphaAll(spark, dir),
-        FactorQueries.rankIcScan(spark, dir)).foreach { df =>
+        FactorQueries.alphaAll(spark, dir)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      assert(plan.contains("Scan parquet") && plan.contains("graft_factor_mart"),
         plan.linesIterator.take(30).mkString("\n"))
+      // the derive DAG's signature — a per-stock window cascade —
+      // must be ABSENT from a mart consumer
+      assert(!plan.contains("Window ["), plan.linesIterator.take(30).mkString("\n"))
     }
+    // q91 keeps its own melt/rank windows but its source is the mart
+    val q91 = FactorQueries.rankIcScan(spark, dir).queryExecution.executedPlan.toString
+    assert(q91.contains("Scan parquet") && q91.contains("graft_factor_mart"),
+      q91.linesIterator.take(30).mkString("\n"))
   }
 
   test("alpha mega-DAG: key-phase scheduling holds exchanges at the nesting bound") {
