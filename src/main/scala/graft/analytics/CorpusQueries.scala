@@ -686,6 +686,61 @@ object CorpusQueries {
       .orderBy("media_id")
   }
 
+  /** q165: FRAME SAMPLING over multi-frame payloads
+    * ([[graft.expressions.PpmFrameSample]]) — the 4th and last
+    * multimodal brief verb (decode / feature-extract / resize /
+    * frame-sample), explode-shaped: each document gets a CONSTRUCTED
+    * concatenated-P6 container of 2..6 frames whose every pixel is a
+    * closed-form function of (frame, x, y, channel, doc_id), and the
+    * generator walks the frame boundaries (re-using q163's header
+    * parser, comments included — every fifth document carries a
+    * per-frame `#` comment) and emits every SECOND frame as its
+    * exact original byte slice. The oracle re-derives the sampled
+    * frames' byte streams arithmetically, so the hash is bit-exact
+    * over the emitted FRAME BYTES, headers included. Garbage
+    * payloads (doc_id%4==3) exercise the zero-rows bucket: a
+    * malformed container contributes nothing, never a task retry.
+    * One Generate node, no object boundary (plan-golden gen=1). */
+  def ppmFrameSample: Q = (s, dir) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val d = loadSpread(s, dir, "documents", "doc_id")
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("doc_id") % 4 + 2).cast("int")
+    val nf = (col("doc_id") % 5 + 2).cast("int")
+    val n = (w * h * 3).cast("int")
+    // one frame's hex: ASCII header (per-frame comment for every
+    // fifth doc) + the closed-form pixel bytes (q163's formula plus a
+    // frame term)
+    def frameHex(f: Column): Column = {
+      val header = concat(lit("P6\n"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("# f"), f.cast("string"), lit("\n"))).otherwise(lit("")),
+        w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+      val pix = concat_ws("", transform(sequence(lit(0), n - 1), i => {
+        val c = i % 3
+        // integer division via truncating cast (q163's convention)
+        val p0 = (i / 3).cast("int")
+        val x = p0 % w
+        val y = (p0 / w).cast("int")
+        lpad(hex((x * 7 + y * 11 + f * 29 + col("doc_id") * 13 + c * 5) % 256), 2, "0")
+      }))
+      concat(hex(header), pix)
+    }
+    val allHex = concat_ws("",
+      transform(sequence(lit(0), nf - 1), f => frameHex(f.cast("int"))))
+    val payload = when(col("doc_id") % 4 === 3,
+        concat(lit("#"), col("text")).cast("binary"))
+      .otherwise(unhex(allHex))
+    val gen = ColumnBridge.column(graft.expressions.PpmFrameSample(
+      ColumnBridge.expression(col("payload")), every = 2))
+    d.select(col("doc_id").as("media_id"), payload.as("payload"))
+      .select(col("media_id"), gen.as(Seq("frame_idx", "n_frames", "frame")))
+      .select(col("media_id"), col("frame_idx"), col("n_frames"),
+        length(col("frame")).cast("long").as("frame_len"),
+        lower(hex(col("frame"))).as("frame_hex"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** q164: PII DETECTION + REDACTION — the privacy scrub every
     * released training corpus runs (C4/Dolma convention): emails,
     * phone numbers, IPv4 addresses and ID codes detected by the
@@ -931,6 +986,15 @@ object CorpusQueries {
     * [[FactorQueries.primeAlphaFull]]. */
   def primeClusterLabels(s: SparkSession, dir: String): Unit = {
     dupClusterLabels(s, dir).count(); ()
+  }
+
+  /** Rerun-armor hook (Bench): forget the memoized cluster derivation
+    * for (session, dir) so the next [[primeClusterLabels]] re-mines
+    * from scratch — a rerun of the `cluster_derive` line must time
+    * the derivation, not a warm memo (the checkpoint files of the
+    * superseded frame stay on disk until session cleanup; small). */
+  def dropClusterMemo(s: SparkSession, dir: String): Unit = {
+    clusterCache.remove((s, dir)); ()
   }
   private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val holder = clusterCache.computeIfAbsent((s, dir), { case (ss, d0) =>
@@ -1766,12 +1830,16 @@ object CorpusQueries {
   /** q157 train/update split, shared with the oracle literal. */
   private val kmeansSplitId = 400L
 
-  /** q157 internals, exposed for the mergeability pin: returns
-    * (report, updatedCentroids, scratchCentroids) where `scratch`
-    * recomputes the updated centroids from ONE pass over the full
-    * corpus — statistics additivity says updated == scratch. */
+  /** q157 internals, exposed for the mergeability pin and re-used by
+    * q166's fired retrain: returns (report, updatedCentroids,
+    * scratchCentroids, storedServingModel, updatedServingModel) where
+    * `scratch` recomputes the updated centroids from ONE pass over
+    * the full corpus — statistics additivity says updated == scratch —
+    * and the two serving models are the FULL 16-cell frames (quotient
+    * where the cell has members, the trained centroid otherwise). */
   private[analytics] def kmeansUpdateParts(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+      s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val emAll = quantizedEmbeddings(s, dir)
     val emTrain = emAll.filter(col("vec_id") < kmeansSplitId)
     val (_, cents) = kmeansRoundsOn(emTrain)
@@ -1819,7 +1887,11 @@ object CorpusQueries {
           coalesce(col("st.c"), col("t.c")),
           coalesce(col("up.c"), col("t.c"))).as("sq_shift"))
       .orderBy("cid")
-    (report, updated, quotient(stats(emAll)))
+    def servingModel(m: DataFrame): DataFrame = cents.as("t")
+      .join(m.as("m"), Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("m.c"), col("t.c")).as("c"))
+    (report, updated, quotient(stats(emAll)),
+      servingModel(stored), servingModel(updated))
   }
 
   /** q157: INCREMENTAL k-means maintenance — the "centroids retrained
@@ -1838,6 +1910,70 @@ object CorpusQueries {
     * oracle replays training, assignment, merge and drift value for
     * value. */
   def kmeansUpdate: Q = (s, dir) => kmeansUpdateParts(s, dir)._1
+
+  /** q166: the FIRED retrain loop (r15 verdict ask #7) — q157 stops
+    * at the drift SIGNAL; this entry acts on it. Trigger: cells whose
+    * statistics-merge update moved the serving centroid (sq_shift >
+    * 0 — the exactness threshold: a cell with zero shift has a
+    * BIT-IDENTICAL centroid, integer arithmetic; production raises
+    * the threshold and accepts approximation). Action: partition-wise
+    * reassignment of the MINIMAL exact set — a vector is re-argmin'd
+    * against the full updated model iff (a) its current cell drifted,
+    * or (b) some DRIFTED new centroid beats its current (distance,
+    * cid) key. For every other vector the old assignment is provably
+    * still the argmin (non-drifted centroids are bit-unchanged, so
+    * their distance order is unchanged), so its partition is never
+    * read for re-ranking and never rewritten — at 100 TB the loop
+    * costs one narrow scan against the |drifted| broadcast centroids
+    * plus a full k-argmin over the flagged subset only, and the
+    * rewrite lands as a q151-style generation append of just the
+    * touched partitions.
+    *
+    * THE PIN IS THE ORACLE: DuckDB computes the final `cell` as the
+    * SCRATCH full argmin of every vector against the updated model —
+    * the hash can only match if the selective rule equals a full
+    * retrain's assignment, vector for vector (the `reassigned` flag
+    * replays the rule itself). */
+  def kmeansDriftReassign: Q = (s, dir) => {
+    val parts = kmeansUpdateParts(s, dir)
+    val (report, storedM, updatedM) = (parts._1, parts._4, parts._5)
+    val em = quantizedEmbeddings(s, dir)
+    val driftedSet = report.filter(col("sq_shift") > 0L).select("cid")
+    // ONE broadcast row each: the two 16-cell serving models and the
+    // drifted subset of the updated one
+    val storedModel = storedM
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    val updatedModel = updatedM
+      .agg(collect_list(struct(col("cid"), col("c"))).as("us"))
+    val driftedModel = updatedM.join(driftedSet, Seq("cid"))
+      .agg(collect_list(struct(col("cid"), col("c"))).as("ds"))
+    def keyed(arr: Column, v: Column): Column =
+      transform(arr, cc => struct(
+        VectorFns.longSqDist(v, cc.getField("c")).as("d"),
+        cc.getField("cid").as("cid")))
+    val assigned = em.crossJoin(broadcast(storedModel))
+      .crossJoin(broadcast(updatedModel))
+      .crossJoin(broadcast(driftedModel))
+      .select(col("vec_id"), col("xm"), col("us"),
+        array_min(keyed(col("cs"), col("xm"))).as("ks"),
+        array_min(keyed(col("ds"), col("xm"))).as("kd"),
+        transform(col("ds"), x => x.getField("cid")).as("dcids"))
+    val cellS = col("ks").getField("cid")
+    // struct comparison is lexicographic, so kd < ks is exactly
+    // "strictly closer, or equal distance with the smaller cid" —
+    // the assignment tie-break
+    val reassign = array_contains(col("dcids"), cellS) ||
+      (col("kd").isNotNull && col("kd") < col("ks"))
+    assigned.select(col("vec_id"),
+        cellS.as("cell_stored"),
+        reassign.cast("int").as("reassigned"),
+        // CaseWhen short-circuits per row: the full-k argmin runs
+        // ONLY for flagged vectors — the selectivity the loop exists
+        // to buy
+        when(reassign, array_min(keyed(col("us"), col("xm"))).getField("cid"))
+          .otherwise(cellS).as("cell"))
+      .orderBy("vec_id")
+  }
 
   /** q138: SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's shape,
     * public method) — the modern embedding-space dedup pass, composed
@@ -3123,6 +3259,8 @@ object CorpusQueries {
     "q159_image_meta" -> imageMetaDecode,
     "q163_ppm_resize" -> ppmResizeImages,
     "q164_pii_scrub" -> piiScrubCorpus,
+    "q165_frame_sample" -> ppmFrameSample,
+    "q166_drift_reassign" -> kmeansDriftReassign,
     "q96_ann_search" -> annSearch,
     "q121_int8_ann" -> int8AnnSearch,
     "q122_ann_recall" -> annRecallAudit,
@@ -3356,6 +3494,94 @@ object CorpusQueries {
          |FROM c4 LEFT JOIN st USING (cid) LEFT JOIN up USING (cid)
          | LEFT JOIN nn USING (cid)
          |ORDER BY cid""".stripMargin
+    },
+    // q166: the training chain + statistics merge replay (the q157
+    // CTEs verbatim), then the serving models, the drifted set
+    // (sq_shift > 0), the stored-model assignment with its distance,
+    // the rule replay for the `reassigned` flag — and the final
+    // `cell` as the SCRATCH full argmin against the updated model,
+    // which the entry's SELECTIVE path must equal vector for vector
+    // (the exactness pin; see kmeansDriftReassign's scaladoc)
+    "q166_drift_reassign" -> {
+      val dim = kmeansDim
+      val split = kmeansSplitId
+      def sqd(a: String, b: String) =
+        s"""list_sum(list_transform(generate_series(1, $dim),
+           |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+      s"""WITH ${kmeansCtesSqlWhere(s"WHERE vec_id < $split")},
+         |$kmeansRoundCtesSql,
+         |a5 AS (
+         | SELECT vec_id, xq, cell FROM (
+         |  SELECT em.vec_id, em.xq, c.cid AS cell,
+         |   row_number() OVER (PARTITION BY em.vec_id ORDER BY
+         |    ${sqd("em.xm", "c.c")}, c.cid) AS rk
+         |  FROM em CROSS JOIN c4 c) WHERE rk = 1),
+         |s5 AS (
+         | SELECT cell, i AS pos, sum(xq[i]) AS sv, count(*) AS n
+         | FROM a5 CROSS JOIN generate_series(1, $dim) t(i)
+         | GROUP BY cell, i),
+         |st AS (
+         | SELECT cell AS cid,
+         |  list(CAST(floor(sv * 1000.0 / n) AS BIGINT) ORDER BY pos) AS c
+         | FROM s5 GROUP BY cell),
+         |emb AS (SELECT vec_id, xq, list_transform(xq, v -> v * 1000) AS xm
+         | FROM eall WHERE vec_id >= $split),
+         |ab AS (
+         | SELECT vec_id, xq, cell FROM (
+         |  SELECT emb.vec_id, emb.xq, c.cid AS cell,
+         |   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+         |    ${sqd("emb.xm", "c.c")}, c.cid) AS rk
+         |  FROM emb CROSS JOIN c4 c) WHERE rk = 1),
+         |sb AS (
+         | SELECT cell, i AS pos, sum(xq[i]) AS sv, count(*) AS n
+         | FROM ab CROSS JOIN generate_series(1, $dim) t(i)
+         | GROUP BY cell, i),
+         |m AS (
+         | SELECT coalesce(s5.cell, sb.cell) AS cell,
+         |  coalesce(s5.pos, sb.pos) AS pos,
+         |  coalesce(s5.sv, 0) + coalesce(sb.sv, 0) AS sv,
+         |  coalesce(s5.n, 0) + coalesce(sb.n, 0) AS n
+         | FROM s5 FULL OUTER JOIN sb
+         |  ON s5.cell = sb.cell AND s5.pos = sb.pos),
+         |up AS (
+         | SELECT cell AS cid,
+         |  list(CAST(floor(sv * 1000.0 / n) AS BIGINT) ORDER BY pos) AS c
+         | FROM m GROUP BY cell),
+         |cs AS (SELECT c4.cid, coalesce(st.c, c4.c) AS c
+         |  FROM c4 LEFT JOIN st USING (cid)),
+         |cu AS (SELECT c4.cid, coalesce(up.c, c4.c) AS c
+         |  FROM c4 LEFT JOIN up USING (cid)),
+         |dr AS (SELECT cs.cid FROM cs JOIN cu USING (cid)
+         |  WHERE ${sqd("cs.c", "cu.c")} > 0),
+         |emall AS (SELECT vec_id, list_transform(xq, v -> v * 1000) AS xm
+         | FROM eall),
+         |asg AS (
+         | SELECT vec_id, cell, d FROM (
+         |  SELECT emall.vec_id, cs.cid AS cell, ${sqd("emall.xm", "cs.c")} AS d,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    ${sqd("emall.xm", "cs.c")}, cs.cid) AS rk
+         |  FROM emall CROSS JOIN cs) WHERE rk = 1),
+         |bd AS (
+         | SELECT vec_id, bcell, bdist FROM (
+         |  SELECT emall.vec_id, cd.cid AS bcell, ${sqd("emall.xm", "cd.c")} AS bdist,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    ${sqd("emall.xm", "cd.c")}, cd.cid) AS rk
+         |  FROM emall CROSS JOIN (SELECT cu.* FROM cu JOIN dr USING (cid)) cd)
+         | WHERE rk = 1),
+         |scr AS (
+         | SELECT vec_id, cell FROM (
+         |  SELECT emall.vec_id, cu.cid AS cell,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    ${sqd("emall.xm", "cu.c")}, cu.cid) AS rk
+         |  FROM emall CROSS JOIN cu) WHERE rk = 1)
+         |SELECT asg.vec_id, asg.cell AS cell_stored,
+         | CAST(CASE WHEN asg.cell IN (SELECT cid FROM dr)
+         |   OR bd.bdist < asg.d
+         |   OR (bd.bdist = asg.d AND bd.bcell < asg.cell)
+         |  THEN 1 ELSE 0 END AS INT) AS reassigned,
+         | scr.cell AS cell
+         |FROM asg LEFT JOIN bd USING (vec_id) JOIN scr USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
     },
     // q155: bitmap, guard and join verdict replayed — h is
     // portableHash60 OF THE FP STRING (md5-of-md5), the k positions
@@ -4274,6 +4500,39 @@ object CorpusQueries {
          |FROM documents d LEFT JOIN px ON d.doc_id = px.doc_id
          |ORDER BY media_id""".stripMargin
     },
+    // q165: the sampled frames' byte streams re-derived arithmetically
+    // (q163's pattern, plus the frame axis): header string hex'd, the
+    // pixel bytes rebuilt from the closed form over constant-bounded
+    // series (w<=7, h<=5, nf<=6) filtered to the real dims — so the
+    // hash is bit-exact over the emitted frame bytes, headers included
+    "q165_frame_sample" ->
+      s"""WITH m AS (
+         | SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS w,
+         |   CAST(doc_id % 4 + 2 AS INT) AS h,
+         |   CAST(doc_id % 5 + 2 AS INT) AS nf
+         | FROM documents WHERE doc_id % 4 <> 3),
+         |fr AS (
+         | SELECT m.*, CAST(f AS INT) AS f,
+         |   'P6' || chr(10) ||
+         |   CASE WHEN doc_id % 5 = 0
+         |     THEN '# f' || CAST(f AS VARCHAR) || chr(10) ELSE '' END ||
+         |   CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR) ||
+         |   chr(10) || '255' || chr(10) AS hdr
+         | FROM m, generate_series(0, 5) g(f)
+         | WHERE f < nf AND f % 2 = 0),
+         |px AS (
+         | SELECT doc_id, f, string_agg(lpad(lower(to_hex(
+         |     (x * 7 + y * 11 + f * 29 + doc_id * 13 + c * 5) % 256)), 2, '0'), ''
+         |   ORDER BY y, x, c) AS phx
+         | FROM fr, generate_series(0, 4) gy(y), generate_series(0, 6) gx(x),
+         |   generate_series(0, 2) gc(c)
+         | WHERE y < h AND x < w
+         | GROUP BY doc_id, f)
+         |SELECT fr.doc_id AS media_id, fr.f AS frame_idx, fr.nf AS n_frames,
+         | CAST(length(fr.hdr) + w * h * 3 AS BIGINT) AS frame_len,
+         | lower(hex(fr.hdr)) || px.phx AS frame_hex
+         |FROM fr JOIN px ON fr.doc_id = px.doc_id AND fr.f = px.f
+         |ORDER BY media_id, frame_idx""".stripMargin,
     // q164: injection, per-kind counts and the redaction chain all
     // replayed with the IDENTICAL regex text (single-sourced from
     // TextFns.piiPatterns — common Java/RE2 subset, no dialect split)

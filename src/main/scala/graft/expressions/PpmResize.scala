@@ -64,12 +64,17 @@ object PpmResize {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
 
-  /** Called from both interpreted eval and generated code; null for
-    * anything that is not a complete, well-formed P6 image. */
-  def compute(b: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+  /** Parse one P6 header starting at `off`: magic, `#`-commented
+    * whitespace-separated width/height/maxval(=255), the single
+    * whitespace byte before pixel data, and the truncation/overflow
+    * guard on the pixel block. Returns `[w, h, dataStart]` or null
+    * for anything malformed — shared by [[compute]] and the
+    * multi-frame walker ([[PpmFrameSample]]), so the two multimodal
+    * ops cannot drift on netpbm edge cases. */
+  private[expressions] def parseP6Header(b: Array[Byte], off: Int): Array[Int] = {
     val n = b.length
-    if (n < 2 || b(0) != 'P' || b(1) != '6') return null
-    var p = 2
+    if (off < 0 || off + 2 > n || b(off) != 'P' || b(off + 1) != '6') return null
+    var p = off + 2
     // token separator: whitespace runs with '#' comments to end-of-line
     def skipWs(): Boolean = {
       val start = p
@@ -104,6 +109,15 @@ object PpmResize {
     // the naive `w*h*3 > avail` would itself overflow at 2^31-scale
     // dims and wrap the guard off
     if (w.toLong * h > ((n - p) / 3).toLong) return null
+    Array(w, h, p)
+  }
+
+  /** Called from both interpreted eval and generated code; null for
+    * anything that is not a complete, well-formed P6 image. */
+  def compute(b: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val hd = parseP6Header(b, 0)
+    if (hd == null) return null
+    val w = hd(0); val h = hd(1); val p = hd(2)
     val header = s"P6\n$tw $th\n255\n".getBytes(StandardCharsets.US_ASCII)
     val out = new Array[Byte](header.length + tw * th * 3)
     System.arraycopy(header, 0, out, 0, header.length)

@@ -181,7 +181,15 @@ object TextFns {
     * IP / id. */
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    // three phone shapes (extended in r16 after the PiiRecallSpec
+    // fixture embarrassed the dash-only form): bare E.164
+    // (+14155552671), parenthesized area code ((415) 555-2671), and
+    // separator-delimited triplets (415-555-2671 / 415.555.2671 /
+    // 415 555 2671). No leading \b on the first two branches — \b
+    // cannot assert between two non-word chars (space before '+' or
+    // '('), the classic boundary trap; the digit-led branch keeps it.
+    ("phone", "(\\+\\d{10,14}|\\(\\d{3}\\)[-. ]?\\d{3}[-. ]\\d{4}" +
+      "|\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4})\\b", "[PHONE]"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     ("id", "\\b[A-Z]{2}\\d{8}\\b", "[ID]"))
 

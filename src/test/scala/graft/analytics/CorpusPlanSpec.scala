@@ -283,7 +283,7 @@ class CorpusPlanSpec extends SparkSpec {
   }
 
   test("q157 incremental k-means: merged statistics == scratch recompute") {
-    val (report, updated, scratch) = CorpusQueries.kmeansUpdateParts(spark, sf)
+    val (report, updated, scratch, _, _) = CorpusQueries.kmeansUpdateParts(spark, sf)
     // ADDITIVITY, the whole point: centroids from stored-stats +
     // batch-stats cell-wise addition are bit-identical to centroids
     // from one scratch pass over the full corpus
