@@ -54,7 +54,7 @@ object ScaleAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val entries = PlanAudit.goldenEntries
-    val names = "alpha_derive" +: "cluster_derive" +: entries.map(_._1)
+    val names = "factor_mart" +: "cluster_derive" +: entries.map(_._1)
     val walls: Seq[Map[String, Double]] = sfs.map { dir =>
       // a failed priming must record the -1 sentinel, not its
       // time-to-failure — a fail-fast reading would otherwise feed
@@ -65,7 +65,7 @@ object ScaleAudit {
         catch { case _: Exception => -1.0 }
       }
       val derive = Seq(
-        "alpha_derive" -> timeDerive(
+        "factor_mart" -> timeDerive(
           graft.analytics.FactorQueries.primeAlphaFull(spark, dir)),
         "cluster_derive" -> timeDerive(
           graft.analytics.CorpusQueries.primeClusterLabels(spark, dir)))

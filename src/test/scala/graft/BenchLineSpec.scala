@@ -22,7 +22,7 @@ class BenchLineSpec extends AnyFunSuite {
   // seconds at sf0.1 (r12 judge sweep: slowest single entry 5.6 s);
   // every 9th entry simulates a pathological tens-of-seconds reading
   private def fakeEntries(n: Int): Seq[(String, Double, Double, Boolean)] =
-    ("alpha_derive", 28.876, 412.3, false) +:
+    ("factor_mart", 28.876, 412.3, false) +:
       ("cluster_derive", 9.134, 119.7, false) +:
       (1 to n).map { i =>
         val wall = if (i % 9 == 0) 40.0 + i / 10.0 else 2.345 + (i % 7)
@@ -34,7 +34,8 @@ class BenchLineSpec extends AnyFunSuite {
       hostLoad = """{"start":11.312,"end":13.897,"cores":32}""",
       failed = Seq("q999_failed_entry"),
       sf = "/root/testdata/sf0.1",
-      ingest = """{"rows":320000,"rps":3961234.5,"rps_disk":4112345.6,"bpr":6.2}""")
+      ingest = """{"rows":320000,"rps":3961234.5,"rps_disk":4112345.6,"bpr":6.2}""",
+      newKeys = Set("3", "7"))
 
   test("final line with 130 entries stays under the 1.9 KB tail budget") {
     val line = fakeLine(130)
@@ -87,12 +88,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
     val root = mapper.readTree(line)
     assert(root.get("metric").asText() == "total")
-    assert(root.get("queries").size() == 132) // 130 + alpha + cluster
+    assert(root.get("queries").size() == 132) // 130 + mart + cluster
     assert(root.get("queries").has("34"))
     assert(root.get("rerun").isArray)
     assert(root.get("host_load").get("cores").asInt() == 32)
     assert(root.get("ingest").get("rows").asLong() == 320000L)
-    assert(root.get("queries").get("alpha").asDouble() == 28.876)
+    assert(root.get("queries").get("mart").asDouble() == 28.876)
+    // the total decomposition: derive/build lines vs carried entries
+    // vs entries new this round (keys 3 and 7 in the fixture)
+    val parts = root.get("parts")
+    assert(math.abs(parts.get("derive").asDouble() - (28.876 + 9.134)) < 1e-6)
+    val newSum = entries.collect {
+      case (k, w, _, _) if Set("3", "7")(Bench.entryKey(k)) => w }.sum
+    assert(math.abs(parts.get("new").asDouble() - newSum) < 1e-6)
+    assert(math.abs(parts.get("derive").asDouble() + parts.get("entries").asDouble()
+      + parts.get("new").asDouble() - root.get("value").asDouble()) < 1e-6)
     // the CPU axis moved to the diag line — index-aligned with the
     // wall map's key order, absent from the final line
     assert(!root.has("cpu_by_query_order"))
@@ -124,7 +134,8 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.entryKey("q34_jaccard_pairs") == "34")
     assert(Bench.entryKey("q01_pricing_summary") == "01")
     assert(Bench.entryKey("q133_collocations") == "133")
-    assert(Bench.entryKey("alpha_derive") == "alpha")
+    assert(Bench.entryKey("factor_mart") == "mart")
+    assert(Bench.entryKey("alpha_derive") == "alpha") // pre-r16 artifacts
     assert(Bench.entryKey("cluster_derive") == "cluster")
   }
 }
