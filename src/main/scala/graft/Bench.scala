@@ -521,8 +521,12 @@ object Bench {
     // the wall map's key order (same convention as the CPU array):
     // the contention-forensics axis that makes a 1.5-2x band reading
     // self-explaining (r15 verdict ask #5)
+    // -1 sentinel for a missing key (unreachable today — every row
+    // passes through timeDerive/timeEntry which record load first —
+    // but NaN here would render the diag line unparseable if that
+    // invariant ever slips)
     val entryLoads = results.map { case (k, _, _, _) =>
-      r1(loadByName.getOrElse(k, Double.NaN)) }.mkString("[", ",", "]")
+      r1(loadByName.getOrElse(k, -1.0)) }.mkString("[", ",", "]")
     println(s"""{"metric":"diag","cpu_by_query_order":${cpuArrayJson(results)},"load_by_query_order":$entryLoads,"skew":$skewJson,"ingest_cpu":${r3(ingestCpu)},"ingest_cpu_disk":${r3(ingestCpuDisk)},"ingest_medium":"$ingestMedium","ingest_bytes_per_row":${r3(ingestBpr)},"ingest_tries":$triesJson,"ingest_load":$loadsJson}""")
     // compact ingest summary for the final line: rows/s is the
     // BASELINE.md comparison axis and must survive in the artifact

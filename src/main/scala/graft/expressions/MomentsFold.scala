@@ -51,10 +51,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType
   */
 case class MomentsFold(
     child: Expression,
+    needCentral: Boolean = true,
+    needCf: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MomentsFold.Buf]
   with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(needCentral || needCf, "moments_fold: at least one output family")
 
   override def inputTypes = Seq(DoubleType)
 
@@ -74,9 +78,16 @@ case class MomentsFold(
     buf
   }
 
-  override def eval(buf: MomentsFold.Buf): Any = MomentsFold.evalMoments(buf)
+  override def eval(buf: MomentsFold.Buf): Any =
+    MomentsFold.evalMoments(buf, needCentral, needCf)
 
   override def serialize(buf: MomentsFold.Buf): Array[Byte] = {
+    // loud failure instead of a wrapped-negative allocate: a grouping
+    // aggregate over ~2.7e8+ buffered values is past the point this
+    // buffer-everything kernel makes sense anyway (the window path —
+    // the intended use — never serializes)
+    require(buf.len <= (Int.MaxValue - 12) / 8,
+      s"moments_fold: buffer of ${buf.len} doubles exceeds the serializable bound")
     val bb = ByteBuffer.allocate(8 + 4 + 8 * buf.len)
     bb.putLong(buf.nTotal)
     bb.putInt(buf.len)
@@ -132,41 +143,48 @@ object MomentsFold {
 
   /** The staged fold's arithmetic, association for association (see
     * class doc). Kept on the companion so MomentsFoldSpec can drive
-    * it directly against the Column fold forms. */
-  def evalMoments(buf: Buf): InternalRow = {
+    * it directly against the Column fold forms. The need* flags skip
+    * whole per-element passes a caller never reads — tsStddevCf
+    * consumers (hot per-row-per-frame loops in the factor plane)
+    * don't pay the central-moment pass, withSkewKurt consumers don't
+    * pay the power-sum pass (r16 review finding). */
+  def evalMoments(buf: Buf, needCentral: Boolean, needCf: Boolean): InternalRow = {
     val out = new GenericInternalRow(4)
     out.setNullAt(0); out.setNullAt(1); out.setNullAt(2); out.setNullAt(3)
     val n = buf.len
     val vs = buf.vs
     if (n > 0) {
-      // pass 1: Σx as the left fold `aggregate(arr, 0.0, (a,v) => a+v)`
+      // pass 1 (both families): Σx as the left fold
+      // `aggregate(arr, 0.0, (a,v) => a+v)`
       var sx = 0.0
       var i = 0
       while (i < n) { sx += vs(i); i += 1 }
       val nd = n.toDouble
-      val mu = sx / nd
-      // pass 2: central sums, each power left-associated exactly as
-      // the staged `(v-mu)*(v-mu)*…` Catalyst tree multiplies
-      var c2 = 0.0; var c3 = 0.0; var c4 = 0.0
-      i = 0
-      while (i < n) {
-        val d = vs(i) - mu
-        val d2 = d * d      // (v-mu)*(v-mu)
-        val d3 = d2 * d     // ((v-mu)*(v-mu))*(v-mu)
-        c2 += d2
-        c3 += d3
-        c4 += d3 * d        // (((v-mu)*(v-mu))*(v-mu))*(v-mu)
-        i += 1
+      if (needCentral) {
+        val mu = sx / nd
+        // pass 2: central sums, each power left-associated exactly as
+        // the staged `(v-mu)*(v-mu)*…` Catalyst tree multiplies
+        var c2 = 0.0; var c3 = 0.0; var c4 = 0.0
+        i = 0
+        while (i < n) {
+          val d = vs(i) - mu
+          val d2 = d * d      // (v-mu)*(v-mu)
+          val d3 = d2 * d     // ((v-mu)*(v-mu))*(v-mu)
+          c2 += d2
+          c3 += d3
+          c4 += d3 * d        // (((v-mu)*(v-mu))*(v-mu))*(v-mu)
+          i += 1
+        }
+        if (c2 != 0.0) {
+          out.setDouble(0, math.sqrt(nd) * c3 / math.sqrt(c2 * c2 * c2))
+          out.setDouble(1, nd * c4 / (c2 * c2) - 3.0)
+        }
+        if (n > 1) out.setDouble(2, math.sqrt(c2 / (nd - 1.0)))
       }
-      if (c2 != 0.0) {
-        out.setDouble(0, math.sqrt(nd) * c3 / math.sqrt(c2 * c2 * c2))
-        out.setDouble(1, nd * c4 / (c2 * c2) - 3.0)
-      }
-      if (n > 1) out.setDouble(2, math.sqrt(c2 / (nd - 1.0)))
       // closed-form power sums over the same sequential order; exact
       // for exact-grain inputs, so == the window-sum replay bitwise
-      val nt = buf.nTotal.toDouble
-      if (buf.nTotal > 1) {
+      if (needCf && buf.nTotal > 1) {
+        val nt = buf.nTotal.toDouble
         var sxx = 0.0
         i = 0
         while (i < n) { sxx += vs(i) * vs(i); i += 1 }

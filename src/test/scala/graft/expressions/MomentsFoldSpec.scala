@@ -126,6 +126,28 @@ class MomentsFoldSpec extends SparkSpec {
     assert(out(3).getDouble(5) == 0.0 && out(3).getDouble(6) == 0.0)
   }
 
+  test("serialize/deserialize round-trips the buffer exactly") {
+    val agg = MomentsFold(org.apache.spark.sql.graftbridge.ColumnBridge
+      .expression(col("v")))
+    val buf = agg.createAggregationBuffer()
+    buf.nTotal = 7
+    Seq(1.5, -2.25, math.Pi, 0.0).foreach(buf.append)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.nTotal == 7 && back.len == buf.len)
+    (0 until buf.len).foreach(i =>
+      assert(java.lang.Double.doubleToLongBits(back.vs(i))
+        == java.lang.Double.doubleToLongBits(buf.vs(i))))
+    // merge concatenates in argument order (the window path never
+    // merges; a groupBy use would see partition-order-dependent folds
+    // — the class doc's documented restriction)
+    val other = agg.createAggregationBuffer()
+    other.nTotal = 2
+    Seq(9.0, 10.0).foreach(other.append)
+    val merged = agg.merge(buf, other)
+    assert(merged.nTotal == 9 && merged.len == 6)
+    assert(merged.vs(4) == 9.0 && merged.vs(5) == 10.0)
+  }
+
   test("all-null window yields nulls, never a throw (ANSI)") {
     import spark.implicits._
     val nn = Seq((0, 0, null: java.lang.Double), (0, 1, null: java.lang.Double))
