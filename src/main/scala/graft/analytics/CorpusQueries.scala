@@ -1839,9 +1839,18 @@ object CorpusQueries {
     * where the cell has members, the trained centroid otherwise). */
   private[analytics] def kmeansUpdateParts(
       s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    kmeansUpdatePartsOn(quantizedEmbeddings(s, dir),
+      col("vec_id") >= kmeansSplitId)
+
+  /** [[kmeansUpdateParts]] over an arbitrary quantized frame and
+    * train/batch split predicate — q157 uses the fixed id split, q166
+    * a max-derived last-5 batch (a BROAD batch drifts every cell and
+    * makes a selective-reassignment demonstration vacuous). */
+  private[analytics] def kmeansUpdatePartsOn(
+      emAll: DataFrame, isBatch: Column)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val emAll = quantizedEmbeddings(s, dir)
-    val emTrain = emAll.filter(col("vec_id") < kmeansSplitId)
+    val emTrain = emAll.filter(!isBatch)
     val (_, cents) = kmeansRoundsOn(emTrain)
     val model = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
     def assign(e: DataFrame): DataFrame = e.crossJoin(broadcast(model))
@@ -1863,7 +1872,7 @@ object CorpusQueries {
     // their quotient — one bonus Lloyd step at store time, so a cell
     // untouched by new data has shift EXACTLY 0)
     val trainStats = stats(emTrain).localCheckpoint()
-    val batchStats = stats(emAll.filter(col("vec_id") >= kmeansSplitId))
+    val batchStats = stats(emAll.filter(isBatch))
       .withColumnRenamed("sv", "sv_b").withColumnRenamed("n", "n_b")
       .localCheckpoint()
     // THE UPDATE: statistics merge by ADDITION — no re-scan of the
@@ -1935,9 +1944,18 @@ object CorpusQueries {
     * retrain's assignment, vector for vector (the `reassigned` flag
     * replays the rule itself). */
   def kmeansDriftReassign: Q = (s, dir) => {
-    val parts = kmeansUpdateParts(s, dir)
+    // q166's OWN split — the newest 5 vectors (max-derived, so it
+    // scales across SFs), NOT q157's broad fixed split: a batch that
+    // touches every cell drifts every centroid and flags every
+    // vector, making the selective demonstration vacuous (both paths
+    // would full-argmin everything and the scratch-equality pin
+    // would have no teeth). With 5 arrivals, at most 5 of 16 cells
+    // drift and the unflagged majority exercises the keep-assignment
+    // branch the pin exists to prove.
+    val em0 = quantizedEmbeddings(s, dir)
+    val em = em0.crossJoin(broadcast(em0.agg(max(col("vec_id")).as("mx"))))
+    val parts = kmeansUpdatePartsOn(em, col("vec_id") > col("mx") - 5)
     val (report, storedM, updatedM) = (parts._1, parts._4, parts._5)
-    val em = quantizedEmbeddings(s, dir)
     val driftedSet = report.filter(col("sq_shift") > 0L).select("cid")
     // ONE broadcast row each: the two 16-cell serving models and the
     // drifted subset of the updated one
@@ -3504,11 +3522,13 @@ object CorpusQueries {
     // (the exactness pin; see kmeansDriftReassign's scaladoc)
     "q166_drift_reassign" -> {
       val dim = kmeansDim
-      val split = kmeansSplitId
+      // q166's own split (see kmeansDriftReassign): the newest 5
+      // vectors are the batch, everything else trains
+      val trainPred = "WHERE vec_id <= (SELECT max(vec_id) FROM eall) - 5"
       def sqd(a: String, b: String) =
         s"""list_sum(list_transform(generate_series(1, $dim),
            |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
-      s"""WITH ${kmeansCtesSqlWhere(s"WHERE vec_id < $split")},
+      s"""WITH ${kmeansCtesSqlWhere(trainPred)},
          |$kmeansRoundCtesSql,
          |a5 AS (
          | SELECT vec_id, xq, cell FROM (
@@ -3525,7 +3545,7 @@ object CorpusQueries {
          |  list(CAST(floor(sv * 1000.0 / n) AS BIGINT) ORDER BY pos) AS c
          | FROM s5 GROUP BY cell),
          |emb AS (SELECT vec_id, xq, list_transform(xq, v -> v * 1000) AS xm
-         | FROM eall WHERE vec_id >= $split),
+         | FROM eall WHERE vec_id > (SELECT max(vec_id) FROM eall) - 5),
          |ab AS (
          | SELECT vec_id, xq, cell FROM (
          |  SELECT emb.vec_id, emb.xq, c.cid AS cell,

@@ -620,6 +620,20 @@ class CorpusPlanSpec extends SparkSpec {
     assert(!plan.contains("SerializeFromObject") && !plan.contains("BatchEvalPython"), plan)
   }
 
+  test("q166 drift reassign: the selective path is exercised BOTH ways") {
+    // the scratch-equality oracle pin only has teeth when a majority
+    // of vectors take the keep-assignment branch (an all-flagged
+    // fixture would full-argmin everything on both sides and prove
+    // nothing) — and it only demonstrates the trigger when at least
+    // one cell actually drifts
+    val rows = CorpusQueries.kmeansDriftReassign(spark, sf).collect()
+    val flagged = rows.count(_.getInt(2) == 1)
+    assert(flagged > 0, "no vector flagged — the drift trigger never fired")
+    assert(flagged * 2 < rows.length,
+      s"$flagged of ${rows.length} flagged — the keep-assignment branch " +
+        "(the pin's teeth) is under-exercised; narrow the batch split")
+  }
+
   test("loadSpread: parallelizes the tiny scan without changing content") {
     val plain = graft.Tables.load(spark, sf, "documents")
     val spread = CorpusQueries.loadSpread(spark, sf, "documents", "doc_id")
