@@ -52,6 +52,29 @@ class FactorMartSpec extends SparkSpec {
     }
   }
 
+  test("persistent mart root: second session-build REUSES the completed write") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_root").toString
+    FactorQueries.martRootOverride = Some(root)
+    try {
+      FactorQueries.dropAlphaMemo(spark, dir)
+      val first = FactorQueries.alphaFull(spark, dir).count()
+      val martDir = new java.io.File(s"$root/${new java.io.File(dir).getName}")
+      assert(new java.io.File(martDir, "_SUCCESS").isFile)
+      val stamps = martDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      // drop the memo (a "new session" for the cache) and rebuild:
+      // the completed mart must be REUSED — same files, untouched
+      FactorQueries.dropAlphaMemo(spark, dir)
+      val second = FactorQueries.alphaFull(spark, dir).count()
+      assert(first == second)
+      val after = martDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      assert(after == stamps, "persistent mart was rewritten instead of reused")
+    } finally {
+      FactorQueries.martRootOverride = None
+      FactorQueries.dropAlphaMemo(spark, dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("mart scan prunes columns at the parquet reader") {
     val mart = FactorQueries.alphaFull(spark, dir)
     val two = mart.select("stock", "alpha_001")
