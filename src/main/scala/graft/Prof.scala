@@ -41,19 +41,43 @@ object Prof {
       t = now
     }
     // PROF_QUERY=<entry name>: time (or with PROF_EXPLAIN=1, explain)
-    // any SparkEntry query and exit
-    sys.env.get("PROF_QUERY").foreach { name =>
-      if (sys.env.contains("PROF_EXPLAIN"))
-        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-      else {
-        // time build + write, matching Bench.scala's measured window
-        // (entry builders may do eager work, e.g. the alphaFull
-        // materialization)
-        val t0 = System.nanoTime()
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        println(f"PROF $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
-          s"partitions=${df.rdd.getNumPartitions}")
+    // any SparkEntry query and exit.
+    // PROF_PRIME=1 (r16 verdict ask #4): build the factor marts and
+    // cluster labels IN-JVM first, each on its own PROF line, so the
+    // timed entry number is the ENTRY alone — a cold Prof of q91
+    // otherwise reads ~45 s of which ~40 is the mart build, and
+    // neither builder nor judge can isolate the entry from its
+    // one-time derivations. PROF_WARM=1 additionally runs the entry
+    // once untimed first (codegen/JIT steady state — the condition a
+    // mid-sweep Bench entry actually runs under).
+    sys.env.get("PROF_QUERY").foreach { names =>
+      if (sys.env.contains("PROF_PRIME")) {
+        var t0 = System.nanoTime()
+        graft.analytics.FactorQueries.primeFactorMarts(spark, sfDir)
+        println(f"PROF prime factor marts: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        t0 = System.nanoTime()
+        graft.analytics.CorpusQueries.primeClusterLabels(spark, sfDir)
+        println(f"PROF prime cluster labels: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      // comma-list: several entries timed in ONE primed JVM (the
+      // shared derivations amortize across the batch, like Bench)
+      names.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
+        if (sys.env.contains("PROF_WARM"))
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        if (sys.env.contains("PROF_EXPLAIN"))
+          SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        else {
+          // time build + write, matching Bench.scala's measured window
+          // (entry builders may do eager work, e.g. the alphaFull
+          // materialization)
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          println(f"PROF $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+            s"load1=${scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0)}, " +
+            s"partitions=${df.rdd.getNumPartitions}")
+        }
       }
       spark.stop()
       return

@@ -24,8 +24,6 @@ import org.apache.spark.sql.functions._
 object FactorQueries {
   private type Q = (SparkSession, String) => DataFrame
 
-  private def factors(s: SparkSession, dir: String): DataFrame =
-    Technical.compute(Quotes.panel(s, dir))
 
   // floor-based 6-dp quantization, NOT engine round(): Spark rounds
   // HALF_UP on the shortest decimal repr while DuckDB scales by 1e6
@@ -37,55 +35,56 @@ object FactorQueries {
   private def r6(name: String) =
     (floor(col(name) * 1e6 + lit(0.5)) / 1e6).as(name)
 
-  /** q40: trend block — ma / bias / boll / rsi / atr. */
-  def technicalTrend: Q = (s, dir) =>
-    factors(s, dir).select(
-      Seq(col("stock"), col("day")) ++
-        Seq("ma_5", "ma_20", "ma_60", "bias_20", "bias_60",
-          "boll_upper", "boll_lower", "rsi_14", "atr_14").map(r6): _*)
+  /** The six basic-factor entries (q40–q45) read their FAMILY MARTS
+    * (r16 verdict ask #2): the reference materializes the technical/
+    * momentum/value/sentiment factor tables
+    * (`database/ddl/factor_db_ddl.md:86-132`, sizes at
+    * `database/database_schema.md:272-275`) exactly like the alpha
+    * wide table — nobody re-derives 21 technical factors per
+    * screener query at 100 TB. Each family is computed ONCE per
+    * (session, dir) by [[martFrame]] and stored year-partitioned /
+    * range-split / (day, stock)-sorted; the entry is a pruned mart
+    * SCAN + the 6-dp floor quantization + output sort. Bit-identity
+    * mart-vs-derive is pinned per family in FactorMartSpec (parquet
+    * stores doubles as raw IEEE-754 bits), so the DuckDB oracles are
+    * unchanged. */
+  private def familyEntry(ds: MartDataset, cols: Seq[String]): Q = (s, dir) =>
+    martFrame(s, dir, ds).select(
+      Seq(col("stock"), col("day")) ++ cols.map(r6): _*)
       .orderBy("stock", "day")
+
+  /** q40: trend block — ma / bias / boll / rsi / atr. */
+  def technicalTrend: Q = familyEntry(technicalDataset,
+    Seq("ma_5", "ma_20", "ma_60", "bias_20", "bias_60",
+      "boll_upper", "boll_lower", "rsi_14", "atr_14"))
 
   /** q41: oscillator block — cci / wr / mfi / vroc / obv_slope /
     * vwap_bias. */
-  def technicalOsc: Q = (s, dir) =>
-    factors(s, dir).select(
-      Seq(col("stock"), col("day")) ++
-        Seq("cci_14", "wr_14", "mfi_14", "vroc_20", "obv_slope_20",
-          "vwap_bias_20").map(r6): _*)
-      .orderBy("stock", "day")
+  def technicalOsc: Q = familyEntry(technicalDataset,
+    Seq("cci_14", "wr_14", "mfi_14", "vroc_20", "obv_slope_20",
+      "vwap_bias_20"))
 
   /** q42: risk block — psy / ui / amihud / aroon / chop /
     * turnover_std. */
-  def technicalRisk: Q = (s, dir) =>
-    factors(s, dir).select(
-      Seq(col("stock"), col("day")) ++
-        Seq("psy_12", "ui_14", "amihud_20", "aroon_osc_25", "chop_14",
-          "turnover_std_20").map(r6): _*)
-      .orderBy("stock", "day")
+  def technicalRisk: Q = familyEntry(technicalDataset,
+    Seq("psy_12", "ui_14", "amihud_20", "aroon_osc_25", "chop_14",
+      "turnover_std_20"))
 
   /** q43: the recursive EMA family — macd / kdj / trix / force /
-    * mass via [[graft.factors.EmaFamily]]'s single-pass kernel. The
-    * oracle replays every chain stepwise with a recursive CTE in the
+    * mass via [[graft.factors.EmaFamily]]'s single-pass kernel (the
+    * mart build runs it; this entry reads the mart). The oracle
+    * replays every chain stepwise with a recursive CTE in the
     * kernel's association order (see the oracle's comment) — the
     * closed-form b^t·cumsum replay it replaces was round-boundary
     * fragile under testdata regeneration. */
-  def emaFamilyEntry: Q = (s, dir) =>
-    EmaFamily.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ EmaFamily.columns.map(r6): _*)
-      .orderBy("stock", "day")
+  def emaFamilyEntry: Q = familyEntry(emaDataset, EmaFamily.columns)
 
   /** q44: momentum block — roc / volatility / means / position /
     * acceleration / OLS slope / volume ratio / skew / kurt. */
-  def momentumEntry: Q = (s, dir) =>
-    Momentum.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ Momentum.columns.map(r6): _*)
-      .orderBy("stock", "day")
+  def momentumEntry: Q = familyEntry(momentumDataset, Momentum.columns)
 
   /** q45: value block — size, yields, valuation z-scores. */
-  def valueEntry: Q = (s, dir) =>
-    Value.compute(Quotes.panel(s, dir)).select(
-      Seq(col("stock"), col("day")) ++ Value.columns.map(r6): _*)
-      .orderBy("stock", "day")
+  def valueEntry: Q = familyEntry(valueDataset, Value.columns)
 
   /** Floor-based 6-dp rounding: floor(x*1e6 + 0.5)/1e6 — every step
     * is a single correctly-rounded IEEE op, so Spark and DuckDB
@@ -350,6 +349,101 @@ object FactorQueries {
       .orderBy("stock", "day")
   }
 
+  /** q167: STREAMING factor-mart maintenance — q129's nightly
+    * incremental factor job rewired onto q156's foreachBatch pattern
+    * (r16 verdict stretch #8): the factor plane's trailing days
+    * arrive as micro-batches of bars (three 5-day replay files,
+    * oldest-first), and each batch, inside ONE foreachBatch
+    * transaction, (1) reads the 25-day tail it needs from the
+    * day-partitioned BARS store — which already includes every
+    * previous batch's append, (2) computes the batch days' factor
+    * rows with the same tail-restricted Technical DAG q129 runs
+    * (exact by frame containment: rsi_14/cci_14 look back 13 rows +
+    * one lag, bias_20 19 rows; the tail supplies 24 prior days), and
+    * (3) appends the new day partitions to BOTH stores with dynamic
+    * partition overwrite — a foreachBatch retry replaces its own
+    * partitions, never duplicates them (q156's idempotence recipe,
+    * achieved here by layout instead of by probe). The entry returns
+    * the WHOLE mart after the stream drains: historical + streamed
+    * days, value-identical to a scratch full-panel derive (pinned in
+    * StreamMartSpec) — and the oracle replays the EXACT per-batch
+    * restricted computation, so the gate never leans on the
+    * containment argument (q129's convention).
+    *
+    * At 100 TB: a day's bars cost one window-depth partition-pruned
+    * tail read + one day-partition write; the mart stays readable
+    * mid-maintenance (readers list committed partitions), history is
+    * never rewritten (q151's generation-append for the factor
+    * plane), and the 5-day catch-up window absorbs restatements. */
+  def streamMartAppend: Q = (s, dir) =>
+    streamMartAppendRun(s, dir, graft.TempDirs.scratch("graft_stream_mart",
+      preferShm = true))
+
+  /** The q167 pipeline with the scratch root exposed (spec hook —
+    * StreamMartSpec snapshots the historical mart files between the
+    * batch build and the stream to prove the append never rewrites
+    * them). `afterHistorical` runs after the historical mart lands,
+    * before the stream starts. */
+  private[analytics] def streamMartAppendRun(s: SparkSession, dir: String,
+      root: String, afterHistorical: () => Unit = () => ()): DataFrame = {
+    val panel = Quotes.panel(s, dir)
+    val maxDay = panel.agg(max("day")).head().getLong(0)
+    val cut = maxDay - 15
+    // the bars store: historical days, day-partitioned (q129's layout)
+    panel.filter(col("day") <= cut)
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/bars")
+    // the historical factor mart over the stored bars
+    Technical.compute(
+        s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
+      .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
+        col("cci_14"))
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+    afterHistorical()
+    // three 5-day replay files: sequential writes → increasing mod
+    // times → replayed oldest-first, one micro-batch each (the q95+
+    // convention; batch order is what makes the oracle deterministic)
+    val schema = (0 until 3).map { i =>
+      val b = panel.filter(col("day") > cut + 5 * i && col("day") <= cut + 5 * (i + 1))
+      b.coalesce(1).write.parquet(s"$root/in/b$i")
+      b.schema
+    }.head
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val days = batch.agg(min("day"), max("day")).head()
+        val d1 = days.getLong(0)
+        // tail read: the 25-day context window BELOW the batch —
+        // filter on the partition column BEFORE the cast so pruning
+        // reaches the file listing (q129's pattern)
+        val tail = s.read.parquet(s"$root/bars")
+          .filter(col("day") > d1 - 25)
+          .withColumn("day", col("day").cast("long"))
+          .select(batch.schema.fieldNames.map(col): _*)
+        val f = Technical.compute(tail.unionByName(batch))
+          .filter(col("day") >= d1)
+          .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
+            col("cci_14"))
+        f.repartition(col("day")).write.partitionBy("day").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").parquet(s"$root/mart")
+        batch.repartition(col("day")).write.partitionBy("day").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").parquet(s"$root/bars")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/mart")
+      .select(col("stock"), col("day").cast("long").as("day"),
+        round(col("rsi_14"), 6).as("rsi_14"),
+        round(col("bias_20"), 6).as("bias_20"),
+        round(col("cci_14"), 6).as("cci_14"))
+      .orderBy("stock", "day")
+  }
+
   /** q49: kline replay around an anchor day
     * (`app/Quantlib/QuantDB.py:207-224`): day-offset re-index in
     * [-10, +20] around day 30 per stock, close normalized to the
@@ -454,7 +548,12 @@ object FactorQueries {
     * one pass over the stock shuffle, no recursion. The synthetic
     * limit threshold is ret ≥ 0.30 (pinned; the panel's pseudo-random
     * closes need a wide band to produce streaks). */
-  def sentimentFactors: Q = (s, dir) => {
+  def sentimentFactors: Q = (s, dir) =>
+    martFrame(s, dir, sentimentDataset).orderBy("stock", "day")
+
+  /** The sentiment derive DAG ([[sentimentDataset]]'s build): the
+    * mart stores its output; [[sentimentFactors]] reads the mart. */
+  private def sentimentDerive(s: SparkSession, dir: String): DataFrame = {
     val q = Quotes.panel(s, dir)
     val W = Window.partitionBy("stock").orderBy("day")
     val cum = W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -478,9 +577,6 @@ object FactorQueries {
       .withColumn("limit_up_streak",
         when(col("is_limit_up") === 1,
           col("day") - coalesce(col("last_flat"), lit(0L))).otherwise(0L))
-      .select(col("stock"), col("day"), col("is_limit_up"),
-        col("is_limit_broken"), col("limit_up_streak"), col("money_flow_main"))
-      .orderBy("stock", "day")
   }
 
   /** q58: alpha_* column discovery (X7, `QuantDB.py:226-233`): the
@@ -504,34 +600,101 @@ object FactorQueries {
     * at sf0.1 — the raw compute frame's ~460 intermediates stay out
     * of the cache), comfortable for MEMORY_AND_DISK; values are
     * deterministic, so consumers are unchanged across re-reads. */
-  /** Bench hook: build the factor MART for (session, dir) NOW so its
-    * one-time cost appears as its own `factor_mart` bench line
-    * instead of inflating whichever alpha consumer happens to run
-    * first (q58 under name-sorted execution — the r9 bench
-    * misattributed ~26% of total wall to it). */
+  /** Bench hook: build ALL factor marts for (session, dir) NOW —
+    * the alpha panel plus the five basic-factor families — so the
+    * one-time build cost appears as the `factor_mart` bench line
+    * instead of inflating whichever consumer happens to run first
+    * (q58 under name-sorted execution — the r9 bench misattributed
+    * ~26% of total wall to it; q40 would have inherited the same
+    * problem for the family marts). */
+  def primeFactorMarts(s: SparkSession, dir: String): Unit =
+    martDatasets.foreach(ds => martFrame(s, dir, ds))
+
+  /** Alpha mart only — the sf2 diagnostics sweep's prime (its entry
+    * list consumes no family mart, so building them there would be
+    * dead work on the diag line). */
   def primeAlphaFull(s: SparkSession, dir: String): Unit = { alphaFull(s, dir); () }
 
-  /** Rerun-armor hook (Bench): forget the memoized mart for
-    * (session, dir) so the next [[primeAlphaFull]] re-derives and
+  /** Rerun-armor hook (Bench): forget every memoized mart for
+    * (session, dir) so the next [[primeFactorMarts]] re-derives and
     * re-writes from scratch — without this, a bench rerun of the
     * `factor_mart` line would time a warm memo (a ~0.1 s map lookup)
     * and report it as the build (the exact mislabeling the derive
     * lines' missing armor caused in r15). The superseded mart files
     * stay in scratch until JVM exit (TempDirs hook) — ≤ ~85 MB each
     * at sf0.1, never re-read. */
+  def dropFactorMartMemos(s: SparkSession, dir: String): Unit =
+    martDatasets.foreach(ds => martCache.remove((s, dir, ds.name)))
+
+  /** Alpha-mart memo drop (test seam; [[dropFactorMartMemos]] is the
+    * bench's armor hook). */
   def dropAlphaMemo(s: SparkSession, dir: String): Unit = {
-    alphaFullCache.remove((s, dir)); ()
+    martCache.remove((s, dir, alphaDataset.name)); ()
   }
 
-  private val alphaFullCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => DataFrame]()
-  private[analytics] def alphaFull(s: SparkSession, dir: String): DataFrame = {
+  /** One materialized factor dataset: its mart name, a CODE VERSION
+    * (part of the staleness manifest — bump it whenever the deriving
+    * formulas change, so a persistent mart built by older code is
+    * rebuilt instead of silently served), the derive DAG, and the
+    * stored-column selection over the derive frame (derive frames
+    * carry dead intermediates the mart must not store). */
+  private[analytics] final case class MartDataset(
+      name: String, version: String,
+      derive: (SparkSession, String) => DataFrame,
+      keep: DataFrame => Seq[String])
+
+  private def keyedCols(cols: Seq[String]): DataFrame => Seq[String] =
+    _ => Seq("stock", "day") ++ cols
+
+  private[analytics] val alphaDataset = MartDataset("alphas", "v1",
+    (ss, d) => Alpha101.compute(Quotes.panel(ss, d)),
+    // keys + close (q91's forward return) + the alpha_* columns: the
+    // raw compute frame carries ~460 dead intermediate columns
+    f => Seq("stock", "day", "close") ++
+      f.schema.fieldNames.filter(_.startsWith("alpha_")))
+
+  /** The basic-factor family marts (r16 verdict ask #2): the
+    * reference materializes these as first-class factor tables
+    * (`factor_db_ddl.md:86-132`), one per family. One generic build
+    * path ([[buildFactorMart]]) serves all of them plus the alphas. */
+  private[analytics] val technicalDataset = MartDataset("technical", "v1",
+    (ss, d) => Technical.compute(Quotes.panel(ss, d)),
+    keyedCols(Technical.columns))
+  private[analytics] val emaDataset = MartDataset("ema", "v1",
+    (ss, d) => EmaFamily.compute(Quotes.panel(ss, d)),
+    keyedCols(EmaFamily.columns))
+  private[analytics] val momentumDataset = MartDataset("momentum", "v1",
+    (ss, d) => Momentum.compute(Quotes.panel(ss, d)),
+    keyedCols(Momentum.columns))
+  private[analytics] val valueDataset = MartDataset("value", "v1",
+    (ss, d) => Value.compute(Quotes.panel(ss, d)),
+    keyedCols(Value.columns))
+  private[analytics] val sentimentDataset = MartDataset("sentiment", "v1",
+    (ss, d) => sentimentDerive(ss, d),
+    keyedCols(Seq("is_limit_up", "is_limit_broken", "limit_up_streak",
+      "money_flow_main")))
+
+  private[analytics] val martDatasets: Seq[MartDataset] = Seq(
+    alphaDataset, technicalDataset, emaDataset, momentumDataset,
+    valueDataset, sentimentDataset)
+
+  private val martCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), () => DataFrame]()
+
+  private[analytics] def alphaFull(s: SparkSession, dir: String): DataFrame =
+    martFrame(s, dir, alphaDataset)
+
+  /** The memoized mart frame for (session, dir, dataset): first call
+    * builds (or validates-and-reuses a persistent mart), later calls
+    * return the same parquet-backed frame. */
+  private[analytics] def martFrame(s: SparkSession, dir: String,
+      ds: MartDataset): DataFrame = {
     // computeIfAbsent only allocates a memoizing holder (cheap): the
     // multi-second build runs OUTSIDE the map's bin lock, under
     // the holder's own per-key lazy-val lock, so a concurrent first
-    // call for a DIFFERENT (session, dir) key never blocks behind it
-    val holder = alphaFullCache.computeIfAbsent((s, dir), { case (ss, d) =>
-      lazy val frame = buildFactorMart(ss, d)
+    // call for a DIFFERENT key never blocks behind it
+    val holder = martCache.computeIfAbsent((s, dir, ds.name), { case (ss, d, _) =>
+      lazy val frame = buildFactorMart(ss, d, ds)
       () => frame
     })
     holder()
@@ -563,54 +726,188 @@ object FactorQueries {
     * No one-shot codegen override in the derive (kept from r9–r15
     * measurements: the batched-rank plan is ~30 operators; stock
     * codegen beats NO_CODEGEN factories 41 s vs 49 s at sf0.1). */
-  private def buildFactorMart(ss: SparkSession, d: String): DataFrame = {
+  private def buildFactorMart(ss: SparkSession, d: String,
+      ds: MartDataset): DataFrame = {
     // drop this session's entries when it stops: a long-lived JVM
     // (test suites) otherwise pins memo entries of dead sessions in
     // the map forever
     ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onApplicationEnd(
           e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-        alphaFullCache.keySet.removeIf(_._1 eq ss)
+        martCache.keySet.removeIf(_._1 eq ss)
     })
     // Deployment seam: SPARK_GRAFT_MART_DIR makes the mart a REAL
-    // persistent mart — written once under <root>/<dataset-dir-name>,
-    // REUSED by every later session that finds the completed write
-    // (_SUCCESS). The deployment owns invalidation (delete the mart
-    // when the factor code or the source data changes) — exactly the
-    // reference's operational contract, where the P1-P5 pipeline owns
-    // the factor tables' lifecycle. Default (unset): session-scoped
-    // scratch, self-deleting at JVM exit — a stale mart can never
-    // poison the correctness gate.
-    val explicit = martRootOverride.orElse(sys.env.get("SPARK_GRAFT_MART_DIR"))
-      .map(r => s"$r/${new java.io.File(d).getName}")
-    val reusable = explicit.filter(p => new java.io.File(p, "_SUCCESS").isFile)
-    val path = reusable.getOrElse {
-      val p = explicit.getOrElse(graft.TempDirs.scratch("graft_factor_mart"))
-      val full = Alpha101.compute(Quotes.panel(ss, d))
-      // store only what consumers read — keys, close (q91's forward
-      // return) and the alpha_* columns: the raw compute frame
-      // carries ~460 dead intermediate columns
-      val keep = Seq("stock", "day", "close") ++
-        full.schema.fieldNames.filter(_.startsWith("alpha_"))
-      full.select(keep.map(org.apache.spark.sql.functions.col): _*)
-        .withColumn("yr", ((col("day") - 1) / 244).cast("int"))
-        .repartitionByRange(col("yr"), col("day"), col("stock"))
-        .sortWithinPartitions("yr", "day", "stock")
-        .write.partitionBy("yr").mode("overwrite").parquet(p)
-      p
-    }
-    // column order from the STORED schema (stock, day, close,
-    // alpha_*; the yr partition column appends last and is dropped) —
-    // identical to the derive order on both the fresh and reuse paths
+    // persistent mart — written once, REUSED by every later session
+    // whose staleness manifest matches (see [[buildMartAt]]).
+    // Default (unset): session-scoped scratch, self-deleting at JVM
+    // exit — a stale mart can never poison the correctness gate.
+    // Bench disables the root ([[ignorePersistentMartRoot]]) so its
+    // `factor_mart` line always times a true build, never a reuse.
+    val root =
+      if (persistentRootIgnored) None else sys.env.get("SPARK_GRAFT_MART_DIR")
+    val path = buildMartAt(ss, d, ds, root)
+    // column order from the STORED schema (keys, then the dataset's
+    // kept columns; the yr partition column appends last and is
+    // dropped) — identical to the derive order on both the fresh and
+    // reuse paths
     val mart = ss.read.parquet(path)
     val cols = mart.schema.fieldNames.filterNot(_ == "yr")
       .map(org.apache.spark.sql.functions.col)
     mart.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
   }
 
-  /** Test seam for the persistent-mart path ([[buildFactorMart]]) —
-    * spec-settable where the env var is not. */
-  private[analytics] var martRootOverride: Option[String] = None
+  /** Bench hook: never consult SPARK_GRAFT_MART_DIR in this JVM. A
+    * persistent mart short-circuits the build, so with the root in
+    * play the `factor_mart` bench line would time a _SUCCESS-gated
+    * READ and the rerun armor's forced recompute (memo drop) would be
+    * defeated by the on-disk copy — the exact warm-cache mislabeling
+    * the armor exists to prevent (r16 ADVICE item 2). Irreversible by
+    * design; only Bench.main calls it, before any build. */
+  def ignorePersistentMartRoot(): Unit = { persistentRootIgnored = true }
+  @volatile private var persistentRootIgnored = false
+
+  private[analytics] val martManifestName = "_GRAFT_MANIFEST.properties"
+
+  /** The persistent location of one dataset's mart under a root. The
+    * directory name carries a digest of the CANONICAL source path:
+    * two dataset roots with the same basename (/a/sf0.1 vs /b/sf0.1)
+    * must never share a mart (r16 ADVICE item 1) — the manifest
+    * re-checks the full path at reuse time as the second lock. */
+  private[analytics] def martPathFor(root: String, d: String,
+      ds: MartDataset): String = {
+    val canon = new java.io.File(d).getCanonicalPath
+    s"$root/${ds.name}-${new java.io.File(d).getName}-${md5Hex(canon).take(8)}"
+  }
+
+  /** Build (or validate-and-reuse) dataset `ds`'s mart for source
+    * dir `d`, returning the parquet path to read.
+    *
+    * Persistent root set → the mart is REUSED only when its
+    * staleness manifest matches (r16 verdict ask #3): factor code
+    * version, canonical source path, source-dir fingerprint (file
+    * names + sizes) and stored schema must all equal the current
+    * values — a factor-code change, a regenerated source dir, or a
+    * half-written/corrupt mart all trigger a rebuild instead of
+    * silently serving stale alphas. Fresh writes go to a temp
+    * sibling and are ATOMICALLY renamed into place (r16 ADVICE item
+    * 3): a concurrent session never observes a partially written
+    * mart, and two racing builders resolve to one winner whose
+    * output is validated like any other reuse. */
+  private[analytics] def buildMartAt(ss: SparkSession, d: String,
+      ds: MartDataset, root: Option[String]): String = {
+    val persistent = root.map(r => martPathFor(r, d, ds))
+    persistent.filter(p => martValid(ss, p, ds, d)).getOrElse {
+      def write(p: String): Unit = {
+        val full = ds.derive(ss, d)
+        val keep = ds.keep(full)
+        full.select(keep.map(org.apache.spark.sql.functions.col): _*)
+          .withColumn("yr", ((col("day") - 1) / 244).cast("int"))
+          .repartitionByRange(col("yr"), col("day"), col("stock"))
+          .sortWithinPartitions("yr", "day", "stock")
+          .write.partitionBy("yr").mode("overwrite").parquet(p)
+        writeManifest(ss, p, ds, d)
+      }
+      persistent match {
+        case None =>
+          val p = graft.TempDirs.scratch(s"graft_factor_mart_${ds.name}")
+          write(p); p
+        case Some(p) =>
+          val tmp = s"$p.tmp-${ProcessHandle.current.pid}-${System.nanoTime}"
+          write(tmp)
+          val src = java.nio.file.Paths.get(tmp)
+          val dst = java.nio.file.Paths.get(p)
+          // a stale mart at the destination (manifest mismatch — the
+          // validate above already said so) is replaced; a VALID one
+          // that appeared since (concurrent builder won the race) is
+          // reused and our duplicate discarded
+          try java.nio.file.Files.move(src, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException =>
+              if (martValid(ss, p, ds, d)) deleteRecursively(src)
+              else { deleteRecursively(dst); java.nio.file.Files.move(src, dst,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE) }
+          }
+          p
+      }
+    }
+  }
+
+  /** True iff the mart at `p` is a COMPLETED write whose manifest
+    * matches the current code + source state and whose stored parquet
+    * schema matches what the manifest recorded. */
+  private[analytics] def martValid(ss: SparkSession, p: String,
+      ds: MartDataset, d: String): Boolean = try {
+    val dir = new java.io.File(p)
+    if (!new java.io.File(dir, "_SUCCESS").isFile) false
+    else {
+      val mf = new java.io.File(dir, martManifestName)
+      if (!mf.isFile) false
+      else {
+        val props = new java.util.Properties()
+        val in = new java.io.FileInputStream(mf)
+        try props.load(in) finally in.close()
+        props.getProperty("dataset") == ds.name &&
+          props.getProperty("version") == ds.version &&
+          props.getProperty("source") == new java.io.File(d).getCanonicalPath &&
+          props.getProperty("fingerprint") == dirFingerprint(d) &&
+          props.getProperty("schema") == storedSchemaString(ss, p)
+      }
+    }
+  } catch { case _: Exception => false } // unreadable mart = invalid mart
+
+  private def writeManifest(ss: SparkSession, p: String, ds: MartDataset,
+      d: String): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("dataset", ds.name)
+    props.setProperty("version", ds.version)
+    props.setProperty("source", new java.io.File(d).getCanonicalPath)
+    props.setProperty("fingerprint", dirFingerprint(d))
+    props.setProperty("schema", storedSchemaString(ss, p))
+    val out = new java.io.FileOutputStream(
+      new java.io.File(p, martManifestName))
+    try props.store(out, "graft factor mart staleness manifest")
+    finally out.close()
+  }
+
+  /** The stored frame's data schema as `name:type` pairs (partition
+    * column excluded) — reading it also proves the footers parse, so
+    * a torn or truncated mart fails validation here. */
+  private def storedSchemaString(ss: SparkSession, p: String): String =
+    ss.read.parquet(p).schema.fields
+      .filterNot(_.name == "yr")
+      .map(f => s"${f.name}:${f.dataType.simpleString}")
+      .mkString(",")
+
+  /** Source-dir fingerprint: MD5 over the sorted (relative path,
+    * size) listing of every regular file under the dataset dir. File
+    * listing only — no data reads — so validation stays cheap at any
+    * scale; a regenerated or extended source dir changes it. */
+  private[analytics] def dirFingerprint(d: String): String = {
+    val base = java.nio.file.Paths.get(d)
+    val st = java.nio.file.Files.walk(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      val items = st.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => s"${base.relativize(f)}:${java.nio.file.Files.size(f)}")
+        .toSeq.sorted
+      md5Hex(items.mkString("\n"))
+    } finally st.close()
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { val _ = f.toFile.delete() })
+      finally st.close()
+    }
+  }
 
   def columnDiscovery: Q = (s, dir) => {
     val a = alphaFull(s, dir)
@@ -844,6 +1141,7 @@ object FactorQueries {
     "q136_similarity_ivf_part" -> similaritySearchIvfPartitioned,
     "q151_ivf_append" -> ivfAppend,
     "q129_incremental_factors" -> incrementalFactors,
+    "q167_stream_mart_append" -> streamMartAppend,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
     "q56_factor_snapshot" -> factorSnapshot,
@@ -2205,6 +2503,51 @@ object FactorQueries {
          |SELECT stock, day, round(rsi, 6) + 0.0 AS rsi_14,
          | round(bias, 6) + 0.0 AS bias_20, round(cci, 6) + 0.0 AS cci_14
          |FROM f3, mx WHERE day > maxday - 5 ORDER BY stock, day""".stripMargin
+    },
+    // q167 replays the streamed maintenance EXACTLY: the historical
+    // chain over day <= cut plus one tail-restricted chain per
+    // micro-batch (the same restriction the foreachBatch tail read
+    // applies: context from cut+5i-24, batch days (cut+5i, cut+5i+5]),
+    // each chain a suffixed clone of q129's rsi/bias/cci SQL — the
+    // hash therefore never leans on the frame-containment argument
+    "q167_stream_mart_append" -> {
+      val bodyStart = baseCte.indexOf("base AS (")
+      val head = baseCte.substring(0, bodyStart) // "WITH quotes...,\n"
+      val body = baseCte.substring(bodyStart)    // base AS (...), b2 AS (...)
+      def chain(sfx: String): String =
+        body.replace("base AS (", s"base_$sfx AS (")
+          .replace("FROM quotes\n", s"FROM qr_$sfx\n")
+          .replace("b2 AS (", s"b2_$sfx AS (")
+          .replace("FROM base\n", s"FROM base_$sfx\n") + ",\n" +
+          s"""f2_$sfx AS (
+             |  SELECT stock, day, close, tp,
+             |    100.0 * sum(up_move) OVER f14
+             |      / nullif(sum(up_move) OVER f14 + sum(dn_move) OVER f14, 0) AS rsi,
+             |    (close - avg(close) OVER f20) / nullif(avg(close) OVER f20, 0) AS bias,
+             |    avg(tp) OVER f14 AS tp_m,
+             |    list(tp) OVER f14 AS tp_l
+             |  FROM b2_$sfx
+             |  WINDOW $frames),
+             |f3_$sfx AS (
+             |  SELECT stock, day, rsi, bias,
+             |    (tp - tp_m) / nullif(0.015 *
+             |      (list_sum(list_transform(tp_l, x -> abs(x - tp_m))) / len(tp_l)), 0) AS cci
+             |  FROM f2_$sfx)""".stripMargin
+      head +
+        "mx AS (SELECT max(day) - 15 AS cut FROM quotes),\n" +
+        "qr_h AS (SELECT quotes.* FROM quotes, mx WHERE day <= cut),\n" +
+        "qr_0 AS (SELECT quotes.* FROM quotes, mx WHERE day > cut - 24 AND day <= cut + 5),\n" +
+        "qr_1 AS (SELECT quotes.* FROM quotes, mx WHERE day > cut - 19 AND day <= cut + 10),\n" +
+        "qr_2 AS (SELECT quotes.* FROM quotes, mx WHERE day > cut - 14 AND day <= cut + 15),\n" +
+        chain("h") + ",\n" + chain("0") + ",\n" + chain("1") + ",\n" + chain("2") + "\n" +
+        """SELECT stock, day, round(rsi, 6) + 0.0 AS rsi_14,
+          | round(bias, 6) + 0.0 AS bias_20, round(cci, 6) + 0.0 AS cci_14
+          |FROM (
+          |  SELECT f.* FROM f3_h f
+          |  UNION ALL SELECT f.* FROM f3_0 f, mx WHERE f.day > cut
+          |  UNION ALL SELECT f.* FROM f3_1 f, mx WHERE f.day > cut + 5
+          |  UNION ALL SELECT f.* FROM f3_2 f, mx WHERE f.day > cut + 10
+          |) ORDER BY stock, day""".stripMargin
     },
     // q125 replays the full IVF pipeline: the same f3 factor CTE as
     // q48, centroid selection (16 lowest-id stocks at day 39), 6-dp-

@@ -53,7 +53,13 @@ object ScaleAudit {
     val spark = LocalSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_AUDIT_ONLY=q02,q34,...: restrict to a subset — the
+    // second-decade audit (SynthScale's sf1 dir) measures only the
+    // steepest entries rather than paying the full corpus at 10x rows
+    val only = sys.env.get("SPARK_GRAFT_AUDIT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val entries = PlanAudit.goldenEntries
+      .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
     val names = "factor_mart" +: "cluster_derive" +: entries.map(_._1)
     val walls: Seq[Map[String, Double]] = sfs.map { dir =>
       // a failed priming must record the -1 sentinel, not its
@@ -66,7 +72,7 @@ object ScaleAudit {
       }
       val derive = Seq(
         "factor_mart" -> timeDerive(
-          graft.analytics.FactorQueries.primeAlphaFull(spark, dir)),
+          graft.analytics.FactorQueries.primeFactorMarts(spark, dir)),
         "cluster_derive" -> timeDerive(
           graft.analytics.CorpusQueries.primeClusterLabels(spark, dir)))
       val qs = entries.map { case (name, fn) =>

@@ -3,38 +3,29 @@ package graft.analytics
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Pins the factor MART lossless (r16: the alpha panel is computed
-  * once and STORED as year-partitioned sorted parquet; q58/q90/q91
-  * read the mart — the reference's materialized factor-plane shape).
-  * The pin the r15 verdict asked for: a consumer reading the mart
-  * must be HASH-IDENTICAL to one reading the derive frame. Parquet
-  * stores doubles as raw IEEE-754 bits (the q148 sink-proof), so the
-  * comparison is bit-for-bit over every (stock, day) row and every
-  * one of the 104 columns — which subsumes q90 and q91 at once: both
-  * are deterministic functions of exactly this frame. */
+/** Pins the factor MARTS lossless (r16: the alpha panel AND the five
+  * basic-factor families are computed once and STORED as
+  * year-partitioned sorted parquet; consumers read the marts — the
+  * reference's materialized factor-plane shape, `factor_db_ddl.md`).
+  * The pin the r15 verdict asked for, extended per-family by the r16
+  * verdict: a consumer reading a mart must be HASH-IDENTICAL to one
+  * reading the derive frame. Parquet stores doubles as raw IEEE-754
+  * bits (the q148 sink-proof), so the comparison is bit-for-bit over
+  * every (stock, day) row and every stored column — which subsumes
+  * the consuming entries at once: each is a deterministic function of
+  * exactly its mart frame. */
 class FactorMartSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("mart read is bit-identical to a scratch derive, all columns") {
-    val mart = FactorQueries.alphaFull(spark, dir)
-    // the scratch derive: the same DAG the mart build ran, minus the
-    // parquet sink — a fresh plan, no memo in the way
-    val full = graft.factors.Alpha101.compute(
-      graft.sources.Quotes.panel(spark, dir))
-    val keep = Seq("stock", "day", "close") ++
-      full.schema.fieldNames.filter(_.startsWith("alpha_"))
-    assert(mart.schema.fieldNames.toSeq == keep,
-      "mart schema must be (stock, day, close, alpha_*) in derive order")
-    val derive = full.select(keep.map(col): _*)
-
+  private def assertBitIdentical(mart: org.apache.spark.sql.DataFrame,
+      derive: org.apache.spark.sql.DataFrame, cols: Seq[String]): Unit = {
     val a = mart.orderBy("stock", "day").collect()
     val b = derive.orderBy("stock", "day").collect()
     assert(a.length == b.length && a.nonEmpty)
-    val nCols = keep.length
     a.zip(b).foreach { case (ra, rb) =>
       var i = 0
-      while (i < nCols) {
+      while (i < cols.length) {
         val bitsA = if (ra.isNullAt(i)) null
           else ra.get(i) match {
             case d: Double => java.lang.Double.doubleToLongBits(d)
@@ -46,32 +37,127 @@ class FactorMartSpec extends SparkSpec {
             case v => v
           }
         assert(bitsA == bitsB,
-          s"mart/derive divergence at stock=${ra.get(0)} day=${ra.get(1)} col=${keep(i)}")
+          s"mart/derive divergence at stock=${ra.get(0)} day=${ra.get(1)} col=${cols(i)}")
         i += 1
       }
     }
   }
 
-  test("persistent mart root: second session-build REUSES the completed write") {
+  test("alpha mart read is bit-identical to a scratch derive, all columns") {
+    val mart = FactorQueries.alphaFull(spark, dir)
+    // the scratch derive: the same DAG the mart build ran, minus the
+    // parquet sink — a fresh plan, no memo in the way
+    val full = graft.factors.Alpha101.compute(
+      graft.sources.Quotes.panel(spark, dir))
+    val keep = Seq("stock", "day", "close") ++
+      full.schema.fieldNames.filter(_.startsWith("alpha_"))
+    assert(mart.schema.fieldNames.toSeq == keep,
+      "mart schema must be (stock, day, close, alpha_*) in derive order")
+    assertBitIdentical(mart, full.select(keep.map(col): _*), keep)
+  }
+
+  test("every family mart is bit-identical to its scratch derive") {
+    // the r16 verdict's per-family pin: technical / ema / momentum /
+    // value / sentiment marts each equal their derive frame bit for
+    // bit over every stored column
+    val families = Seq(FactorQueries.technicalDataset,
+      FactorQueries.emaDataset, FactorQueries.momentumDataset,
+      FactorQueries.valueDataset, FactorQueries.sentimentDataset)
+    families.foreach { ds =>
+      val mart = FactorQueries.martFrame(spark, dir, ds)
+      val full = ds.derive(spark, dir)
+      val keep = ds.keep(full)
+      assert(mart.schema.fieldNames.toSeq == keep,
+        s"${ds.name} mart schema must be the kept derive columns in order")
+      assertBitIdentical(mart, full.select(keep.map(col): _*), keep)
+    }
+  }
+
+  test("persistent mart root: second build REUSES the completed write") {
     val root = java.nio.file.Files.createTempDirectory("graft_mart_root").toString
-    FactorQueries.martRootOverride = Some(root)
     try {
-      FactorQueries.dropAlphaMemo(spark, dir)
-      val first = FactorQueries.alphaFull(spark, dir).count()
-      val martDir = new java.io.File(s"$root/${new java.io.File(dir).getName}")
+      val ds = FactorQueries.valueDataset // cheapest derive
+      val p1 = FactorQueries.buildMartAt(spark, dir, ds, Some(root))
+      val martDir = new java.io.File(p1)
       assert(new java.io.File(martDir, "_SUCCESS").isFile)
+      assert(new java.io.File(martDir, FactorQueries.martManifestName).isFile)
       val stamps = martDir.listFiles().map(f => f.getName -> f.lastModified).toMap
-      // drop the memo (a "new session" for the cache) and rebuild:
-      // the completed mart must be REUSED — same files, untouched
-      FactorQueries.dropAlphaMemo(spark, dir)
-      val second = FactorQueries.alphaFull(spark, dir).count()
-      assert(first == second)
+      // a second build (a "new session") must validate the manifest
+      // and REUSE the completed mart — same files, untouched
+      val p2 = FactorQueries.buildMartAt(spark, dir, ds, Some(root))
+      assert(p1 == p2)
       val after = martDir.listFiles().map(f => f.getName -> f.lastModified).toMap
       assert(after == stamps, "persistent mart was rewritten instead of reused")
     } finally {
-      FactorQueries.martRootOverride = None
-      FactorQueries.dropAlphaMemo(spark, dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("poisoned persistent mart (stale code version) is REBUILT, not served") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_root").toString
+    try {
+      val ds = FactorQueries.valueDataset
+      val p = FactorQueries.buildMartAt(spark, dir, ds, Some(root))
+      val mf = new java.io.File(p, FactorQueries.martManifestName)
+      // poison: rewrite the manifest as if an OLDER factor-code
+      // version had produced this mart (the r16 verdict's staleness
+      // scenario — a factor-code change with a stale persistent mart
+      // must rebuild, never silently serve old values)
+      val props = new java.util.Properties()
+      val in = new java.io.FileInputStream(mf)
+      try props.load(in) finally in.close()
+      props.setProperty("version", "v0-stale")
+      val out = new java.io.FileOutputStream(mf)
+      try props.store(out, null) finally out.close()
+      assert(!FactorQueries.martValid(spark, p, ds, dir))
+      val dataFile = new java.io.File(p).listFiles()
+        .filter(f => f.getName.startsWith("yr=")).head
+      val before = dataFile.lastModified
+      Thread.sleep(5) // mtime resolution
+      val p2 = FactorQueries.buildMartAt(spark, dir, ds, Some(root))
+      assert(p2 == p)
+      assert(FactorQueries.martValid(spark, p2, ds, dir),
+        "rebuild must restore a valid manifest")
+      val afterFile = new java.io.File(p).listFiles()
+        .filter(f => f.getName.startsWith("yr=")).head
+      assert(afterFile.lastModified > before || afterFile != dataFile,
+        "poisoned mart was served instead of rebuilt")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("corrupt manifest / missing manifest invalidate the mart") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_root").toString
+    try {
+      val ds = FactorQueries.valueDataset
+      val p = FactorQueries.buildMartAt(spark, dir, ds, Some(root))
+      val mf = new java.io.File(p, FactorQueries.martManifestName)
+      assert(FactorQueries.martValid(spark, p, ds, dir))
+      assert(mf.delete())
+      // pre-manifest marts (r16 layout trusted _SUCCESS alone) and
+      // manifest-less directories are treated as stale
+      assert(!FactorQueries.martValid(spark, p, ds, dir))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("same-basename source dirs get DISTINCT persistent mart paths") {
+    // r16 ADVICE item 1: /a/sf0.1 and /b/sf0.1 must never share a
+    // mart — the path carries a canonical-path digest (and the
+    // manifest re-checks the full source path at reuse time)
+    val t = java.nio.file.Files.createTempDirectory("graft_mart_bn")
+    val a = java.nio.file.Files.createDirectories(t.resolve("a/data"))
+    val b = java.nio.file.Files.createDirectories(t.resolve("b/data"))
+    try {
+      val ds = FactorQueries.valueDataset
+      val pa = FactorQueries.martPathFor("/mnt/marts", a.toString, ds)
+      val pb = FactorQueries.martPathFor("/mnt/marts", b.toString, ds)
+      assert(pa != pb, s"basename collision: $pa")
+      assert(pa.contains("value-data-") && pb.contains("value-data-"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(t.toFile)
     }
   }
 

@@ -17,21 +17,52 @@ class FactorPlanSpec extends SparkSpec {
       .toSeq
   }
 
-  test("technical factors: one stock-hash exchange feeds all 21 windows") {
-    val ex = exchanges(FactorQueries.technicalTrend(spark, "/root/testdata/sf0.001"))
-    val dataEx = ex.filterNot(_.contains("SinglePartition")) // final tiny sort
+  test("technical DERIVE: one stock-hash exchange feeds all 21 windows") {
+    // the mart BUILD's plan shape (entries now read the mart — their
+    // pin is below): every rolling factor shares one stock shuffle
+    val ex = exchanges(graft.factors.Technical.compute(
+      graft.sources.Quotes.panel(spark, "/root/testdata/sf0.001")))
+    val dataEx = ex.filterNot(_.contains("SinglePartition"))
     assert(dataEx.count(_.contains("hashpartitioning(stock")) <= 1, ex.mkString("\n"))
   }
 
-  test("ema family: exactly one exchange for all recursive chains") {
-    val ex = exchanges(FactorQueries.emaFamilyEntry(spark, "/root/testdata/sf0.001"))
+  test("ema DERIVE: exactly one exchange for all recursive chains") {
+    val ex = exchanges(graft.factors.EmaFamily.compute(
+      graft.sources.Quotes.panel(spark, "/root/testdata/sf0.001")))
     val dataEx = ex.filter(_.contains("hashpartitioning(stock"))
     assert(dataEx.size <= 1, ex.mkString("\n"))
   }
 
-  test("momentum factors: one stock-hash exchange") {
-    val ex = exchanges(FactorQueries.momentumEntry(spark, "/root/testdata/sf0.001"))
+  test("momentum DERIVE: one stock-hash exchange") {
+    val ex = exchanges(graft.factors.Momentum.compute(
+      graft.sources.Quotes.panel(spark, "/root/testdata/sf0.001")))
     assert(ex.count(_.contains("hashpartitioning(stock")) <= 1, ex.mkString("\n"))
+  }
+
+  test("q40-q45/q61 read their FAMILY MARTS, never re-deriving") {
+    val dir = "/root/testdata/sf0.001"
+    // first consumer per family triggers the one-time mart build ...
+    FactorQueries.primeFactorMarts(spark, dir)
+    // ... and every family entry's plan is then a parquet SCAN of its
+    // mart — no window cascade, no mapPartitions kernel (q43), no
+    // re-derivation (r16 verdict ask #2's plan-golden delta)
+    val entries = Seq(
+      "q40" -> FactorQueries.technicalTrend,
+      "q41" -> FactorQueries.technicalOsc,
+      "q42" -> FactorQueries.technicalRisk,
+      "q43" -> FactorQueries.emaFamilyEntry,
+      "q44" -> FactorQueries.momentumEntry,
+      "q45" -> FactorQueries.valueEntry,
+      "q61" -> FactorQueries.sentimentFactors)
+    entries.foreach { case (name, q) =>
+      val plan = q(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("Scan parquet") && plan.contains("graft_factor_mart"),
+        s"$name does not scan a mart:\n${plan.linesIterator.take(25).mkString("\n")}")
+      assert(!plan.contains("Window ["),
+        s"$name still carries a derive window:\n${plan.linesIterator.take(25).mkString("\n")}")
+      assert(!plan.contains("MapPartitions"),
+        s"$name still carries a derive kernel:\n${plan.linesIterator.take(25).mkString("\n")}")
+    }
   }
 
   test("screener mask: factor sides broadcast, no residual shuffle joins") {

@@ -1,0 +1,64 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins q167 (streaming factor-mart maintenance): the verdict's done
+  * condition is "a green entry with the mart-read hash unchanged
+  * after the streamed append" — i.e. the mart assembled by
+  * historical-build + three foreachBatch day-appends must be
+  * VALUE-IDENTICAL to a scratch full-panel derive, and the append
+  * must never rewrite history (q151's generation-append contract,
+  * here for the factor plane). */
+class StreamMartSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed mart equals the scratch full-panel derive, row for row") {
+    val streamed = FactorQueries.streamMartAppend(spark, dir)
+      .collect().map(_.toSeq.toVector).toVector
+    val expected = graft.factors.Technical.compute(
+        graft.sources.Quotes.panel(spark, dir))
+      .select(col("stock"), col("day"),
+        round(col("rsi_14"), 6).as("rsi_14"),
+        round(col("bias_20"), 6).as("bias_20"),
+        round(col("cci_14"), 6).as("cci_14"))
+      .orderBy("stock", "day")
+      .collect().map(_.toSeq.toVector).toVector
+    assert(streamed.nonEmpty && streamed.size == expected.size)
+    assert(streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
+  test("the append writes NEW day partitions only; history untouched") {
+    val root = graft.TempDirs.scratch("graft_q167_spec")
+    def snapshot(): Map[String, Long] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/mart"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      } finally st.close()
+    }
+    var hist = Map.empty[String, Long]
+    val out = FactorQueries.streamMartAppendRun(spark, dir, root,
+      afterHistorical = () => hist = snapshot())
+    out.collect()
+    val after = snapshot()
+    assert(hist.nonEmpty && after.size > hist.size)
+    // every historical file survives at its original size — dynamic
+    // partition overwrite touched only the streamed day partitions
+    hist.foreach { case (path, size) =>
+      assert(after.get(path).contains(size), s"historical file rewritten: $path")
+    }
+    // and the new files live in day partitions ABOVE the cut only
+    val maxDay = graft.sources.Quotes.panel(spark, dir)
+      .agg(max("day")).head().getLong(0)
+    val newFiles = after.keySet.diff(hist.keySet)
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { p =>
+      val day = p.split("/day=")(1).split("/")(0).toLong
+      assert(day > maxDay - 15, s"append touched a historical partition: $p")
+    }
+  }
+}
