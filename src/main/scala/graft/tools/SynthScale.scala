@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   * rows 10×: MORE entities, not longer series).
   *
   * Replicas must not be mutual near-duplicates, or the dedup/pair
-  * entries (q34 minhash bands, q152 band compaction) would see every
-  * document in 10 near-identical copies and their PAIR OUTPUT would
-  * grow quadratically by construction — a fixture artifact, not an
-  * engine property. Hence per-replica decorrelation:
-  *  - documents: every token gets a replica suffix (disjoint shingle
-  *    sets across replicas; within-replica similarity structure is
-  *    preserved exactly), n_chars recomputed;
+  * entries (q34 prefix-filtered Jaccard, q152 band compaction) would
+  * see every document in 10 near-identical copies and their PAIR
+  * OUTPUT would grow quadratically by construction — a fixture
+  * artifact, not an engine property. Hence per-replica decorrelation:
+  *  - documents: a per-replica SUBSTITUTION CIPHER over letters and
+  *    digits (`translate`) — bijective, so within-replica similarity
+  *    structure (token lengths, shingle equality/distinctness,
+  *    fingerprints) is preserved EXACTLY while every character
+  *    n-gram differs across replicas. A token-suffix scheme was
+  *    measured insufficient here: q34 shingles on CHAR trigrams, and
+  *    suffixed tokens share all interior trigrams, so each rare
+  *    prefix shingle's posting list grew 10 deep and the candidate
+  *    join went C(10,2)-quadratic — 2.26 s → 47 s at sf1, a pure
+  *    fixture artifact the cipher eliminates;
   *  - embeddings: the vector is rotated by k positions (norms and
   *    pairwise within-replica geometry preserved; cross-replica
   *    cosine decorrelated);
@@ -69,10 +76,15 @@ object SynthScale {
 
     val docs = Tables.load(spark, src, "documents")
     val dSpan = span(docs, "doc_id")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
     replicate(docs, (t, i) => {
       val txt =
         if (i == 0) col("text")
-        else regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$i")
+        else translate(col("text"), lower + upper + digits,
+          rot(lower, i * 7) + rot(upper, i * 7) + rot(digits, i))
       t.withColumn("doc_id", col("doc_id") + lit(i * dSpan))
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")).cast("long"))
