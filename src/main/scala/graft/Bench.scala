@@ -24,10 +24,14 @@ object Bench {
     * bean is unavailable — per-entry cpu then reports -1 too). */
   private def cpuSecs: Double =
     osBean.map(_.getProcessCpuTime / 1e9).getOrElse(Double.NaN)
-  private def load1: Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-      .split("\\s+")(0).toDouble
-    catch { case _: Exception => -1.0 }
+  private[graft] def load1: Double = {
+    var src: scala.io.Source = null
+    try {
+      src = scala.io.Source.fromFile("/proc/loadavg")
+      src.mkString.trim.split("\\s+")(0).toDouble
+    } catch { case _: Exception => -1.0 }
+    finally if (src != null) src.close()
+  }
   /** 3-decimal JSON number: keeps the final line compact enough to
     * survive the driver's log-tail capture (the r10 sf0.1 map was
     * truncated out of the artifact). */
@@ -520,9 +524,15 @@ object Bench {
     // count of entries started under load > 8 make a +37%-style
     // carried-entry swing adjudicable from the artifact alone
     val entryStartLoads = loadByName.values.filter(_ >= 0).toSeq.sorted
+    // true median (even sizes average the middle pair): the upper-
+    // middle element would overstate the median by the full inter-
+    // mode gap on a bimodal (idle-then-contended) run — exactly the
+    // profile this field exists to adjudicate
     val loadMedian =
       if (entryStartLoads.isEmpty) -1.0
-      else entryStartLoads(entryStartLoads.size / 2)
+      else if (entryStartLoads.size % 2 == 1) entryStartLoads(entryStartLoads.size / 2)
+      else (entryStartLoads(entryStartLoads.size / 2 - 1)
+        + entryStartLoads(entryStartLoads.size / 2)) / 2.0
     val loadGt8 = entryStartLoads.count(_ > 8)
     val hostLoad = s"""{"start":${r3(loadStart)},"end":${r3(load1)},"cores":${Runtime.getRuntime.availableProcessors},"median":${r1(loadMedian)},"gt8":$loadGt8}"""
     Thread.sleep(1500) // drain async listener delivery for the skew map

@@ -75,7 +75,7 @@ object Prof {
           val df = SparkEntry.queries(name)(spark, sfDir)
           df.write.format("noop").mode("overwrite").save()
           println(f"PROF $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
-            s"load1=${scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0)}, " +
+            s"load1=${Bench.load1}, " +
             s"partitions=${df.rdd.getNumPartitions}")
         }
       }

@@ -386,6 +386,26 @@ object FactorQueries {
     * before the stream starts. */
   private[analytics] def streamMartAppendRun(s: SparkSession, dir: String,
       root: String, afterHistorical: () => Unit = () => ()): DataFrame = {
+    val start = streamMartHarness(s, dir, root, afterHistorical)
+    start(None)
+    s.read.parquet(s"$root/mart")
+      .select(col("stock"), col("day").cast("long").as("day"),
+        round(col("rsi_14"), 6).as("rsi_14"),
+        round(col("bias_20"), 6).as("bias_20"),
+        round(col("cci_14"), 6).as("cci_14"))
+      .orderBy("stock", "day")
+  }
+
+  /** q167 harness: builds the scaffolding ONCE under `root` and
+    * returns a start function; each invocation runs one
+    * `Trigger.AvailableNow` pass against the SAME checkpoint, so the
+    * restart-recovery pin can kill a run mid-stream and resume it
+    * (q156's harness shape). `failAfterWritesOf` injects a crash
+    * AFTER that batch's two store writes land but BEFORE its
+    * checkpoint commit — the widest at-least-once retry window. */
+  private[analytics] def streamMartHarness(s: SparkSession, dir: String,
+      root: String, afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit = {
     val panel = Quotes.panel(s, dir)
     val maxDay = panel.agg(max("day")).head().getLong(0)
     val cut = maxDay - 15
@@ -411,37 +431,51 @@ object FactorQueries {
     }.head
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
-    val q = stream.writeStream
-      .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val days = batch.agg(min("day"), max("day")).head()
-        val d1 = days.getLong(0)
-        // tail read: the 25-day context window BELOW the batch —
-        // filter on the partition column BEFORE the cast so pruning
-        // reaches the file listing (q129's pattern)
-        val tail = s.read.parquet(s"$root/bars")
-          .filter(col("day") > d1 - 25)
-          .withColumn("day", col("day").cast("long"))
-          .select(batch.schema.fieldNames.map(col): _*)
-        val f = Technical.compute(tail.unionByName(batch))
-          .filter(col("day") >= d1)
-          .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
-            col("cci_14"))
-        f.repartition(col("day")).write.partitionBy("day").mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic").parquet(s"$root/mart")
-        batch.repartition(col("day")).write.partitionBy("day").mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic").parquet(s"$root/bars")
-        ()
+    (failAfterWritesOf: Option[Long]) => {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val days = batch.agg(min("day"), max("day")).head()
+          val d1 = days.getLong(0)
+          // tail read: the 25-day context window STRICTLY BELOW the
+          // batch — filter on the partition column BEFORE the cast so
+          // pruning reaches the file listing (q129's pattern). The
+          // upper bound is the RETRY guard: foreachBatch is
+          // at-least-once, and a re-executed batch finds its own
+          // previous append already in the bars store — without
+          // `day < d1` the union would duplicate every batch row and
+          // the row-frame windows would compute corrupted factors
+          // that dynamic overwrite then writes over the mart.
+          val tail = s.read.parquet(s"$root/bars")
+            .filter(col("day") > d1 - 25 && col("day") < d1)
+            .withColumn("day", col("day").cast("long"))
+            .select(batch.schema.fieldNames.map(col): _*)
+          val f = Technical.compute(tail.unionByName(batch))
+            .filter(col("day") >= d1)
+            .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
+              col("cci_14"))
+          f.repartition(col("day")).write.partitionBy("day").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/mart")
+          batch.repartition(col("day")).write.partitionBy("day").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/bars")
+          if (failAfterWritesOf.contains(batchId))
+            throw new RuntimeException(
+              s"injected crash: batch $batchId wrote, not yet committed")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        // the injected crash surfaces as a query failure — exactly a
+        // driver death between the two store writes and the commit
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if failAfterWritesOf.isDefined &&
+              (Option(e.getMessage).exists(_.contains("injected crash")) ||
+                Option(e.getCause).flatMap(c => Option(c.getMessage))
+                  .exists(_.contains("injected crash"))) => ()
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.read.parquet(s"$root/mart")
-      .select(col("stock"), col("day").cast("long").as("day"),
-        round(col("rsi_14"), 6).as("rsi_14"),
-        round(col("bias_20"), 6).as("bias_20"),
-        round(col("cci_14"), 6).as("cci_14"))
-      .orderBy("stock", "day")
+    }
   }
 
   /** q49: kline replay around an anchor day
@@ -726,16 +760,27 @@ object FactorQueries {
     * No one-shot codegen override in the derive (kept from r9–r15
     * measurements: the batched-rank plan is ~30 operators; stock
     * codegen beats NO_CODEGEN factories 41 s vs 49 s at sf0.1). */
+  /** Sessions whose cache-cleanup listener is already registered —
+    * one listener per session, not one per (dataset, rebuild): the
+    * six-dataset split would otherwise stack 6+ identical listeners
+    * per session on the bus (more under bench rerun armor). */
+  private val cleanupHooked: java.util.Set[SparkSession] =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   private def buildFactorMart(ss: SparkSession, d: String,
       ds: MartDataset): DataFrame = {
     // drop this session's entries when it stops: a long-lived JVM
     // (test suites) otherwise pins memo entries of dead sessions in
     // the map forever
-    ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onApplicationEnd(
-          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-        martCache.keySet.removeIf(_._1 eq ss)
-    })
+    if (cleanupHooked.add(ss))
+      ss.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          martCache.keySet.removeIf(_._1 eq ss)
+          cleanupHooked.remove(ss)
+        }
+      })
     // Deployment seam: SPARK_GRAFT_MART_DIR makes the mart a REAL
     // persistent mart — written once, REUSED by every later session
     // whose staleness manifest matches (see [[buildMartAt]]).

@@ -187,19 +187,23 @@ object TextFns {
     // separated national (+1 415-555-2671 — the r16 verdict's partial
     // redaction: \+\d{10,14} needs contiguous digits, so the old
     // match started at the area code and left "+1 " standing),
-    // parenthesized area code ((415) 555-2671), dash/dot triplets
-    // (415-555-2671 / 415.555.2671), and space-separated triplets
+    // parenthesized area code ((415) 555-2671), separator triplets
+    // with AT LEAST ONE dash/dot gap (415-555-2671 / 415.555.2671 /
+    // 415 555-2671 / 415.555 2671 — two branches, one per anchored
+    // gap, so mixed separators stay detected), and ALL-SPACE triplets
     // RESTRICTED to NANP-shaped heads ([2-9] area/exchange) — bare
     // "ddd ddd dddd" digit runs in prose (counts, coordinates) were
     // an untested precision hole (r16 ADVICE item 5); real-world
-    // phone area codes and exchanges never start with 0/1. No
-    // leading \b on the '+'/'(' branches — \b cannot assert between
-    // two non-word chars (space before '+' or '('), the classic
-    // boundary trap; the digit-led branches keep it.
+    // phone area codes and exchanges never start with 0/1, and a
+    // dash or dot gap is already strong phone signal. No leading \b
+    // on the '+'/'(' branches — \b cannot assert between two
+    // non-word chars (space before '+' or '('), the classic boundary
+    // trap; the digit-led branches keep it.
     ("phone", "(\\+\\d{10,14}" +
       "|\\+\\d{1,3}[-. ]\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]\\d{4}" +
       "|\\(\\d{3}\\)[-. ]?\\d{3}[-. ]\\d{4}" +
-      "|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}" +
+      "|\\b\\d{3}[-.]\\d{3}[-. ]\\d{4}" +
+      "|\\b\\d{3}[-. ]\\d{3}[-.]\\d{4}" +
       "|\\b[2-9]\\d{2} [2-9]\\d{2} \\d{4})\\b", "[PHONE]"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     ("id", "\\b[A-Z]{2}\\d{8}\\b", "[ID]"))

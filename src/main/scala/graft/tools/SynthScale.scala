@@ -68,11 +68,21 @@ object SynthScale {
       .withColumn("event_id", col("event_id") + lit(i * eSpan)))
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // lineitem and orders share the orderkey space: replicate BOTH
+    // with ONE span (max over both tables) or the lineitem⋈orders
+    // entries would join only replica 0 — 90% dangling foreign keys
+    // reading as spuriously sub-linear join slopes. Customers are
+    // copied verbatim, so replicated orders fan their o_custkey onto
+    // the same customer set (10x orders per customer — a valid shape)
     val li = Tables.load(spark, src, "lineitem")
-    val oSpan = span(li, "l_orderkey")
+    val ord = Tables.load(spark, src, "orders")
+    val oSpan = math.max(span(li, "l_orderkey"), span(ord, "o_orderkey"))
     replicate(li, (t, i) => t
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan)))
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    replicate(ord, (t, i) => t
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * oSpan)))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     val docs = Tables.load(spark, src, "documents")
     val dSpan = span(docs, "doc_id")
@@ -102,7 +112,7 @@ object SynthScale {
     }).repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // small dims copied verbatim (scale-invariant by design)
-    Seq("region", "nation", "customer", "supplier", "part", "orders")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { name =>
         if (new java.io.File(s"$src/$name.parquet").exists())
           Tables.load(spark, src, name)

@@ -10,6 +10,14 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // the suite must be hermetic to ambient deployment config: with
+    // SPARK_GRAFT_MART_DIR exported, mart consumers would scan under
+    // the persistent root and every plan pin on the scratch path
+    // ('graft_factor_mart...') would go red — the same
+    // mutable-environment fragility the BENCH-artifact tests had.
+    // Specs that test the persistent path pass an explicit root to
+    // buildMartAt, which this switch does not affect.
+    graft.analytics.FactorQueries.ignorePersistentMartRoot()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

@@ -30,6 +30,39 @@ class StreamMartSpec extends SparkSpec {
       streamed.zip(expected).find { case (a, b) => a != b }.toString)
   }
 
+  test("crash after a batch's writes, restart: mart identical to uninterrupted") {
+    // foreachBatch is at-least-once — the widest retry window is a
+    // death AFTER a batch's mart+bars writes land but BEFORE its
+    // checkpoint commit. On restart that batch re-executes: the
+    // tail read's `day < d1` upper bound keeps its own previous
+    // bars append out of the union (without it the batch rows
+    // duplicate and the row-frame windows compute corrupted factors
+    // that dynamic overwrite then serves), and dynamic partition
+    // overwrite replaces the batch's own partitions. Final mart
+    // must equal the scratch full-panel derive, value for value.
+    val root = graft.TempDirs.scratch("graft_q167_retry")
+    val start = FactorQueries.streamMartHarness(spark, dir, root)
+    start(Some(0L)) // dies after batch 0's two writes, before commit
+    start(None)     // resume on the same checkpoint: batch 0 retries
+    val streamed = spark.read.parquet(s"$root/mart")
+      .select(col("stock"), col("day").cast("long").as("day"),
+        round(col("rsi_14"), 6).as("rsi_14"),
+        round(col("bias_20"), 6).as("bias_20"),
+        round(col("cci_14"), 6).as("cci_14"))
+      .orderBy("stock", "day")
+      .collect().map(_.toSeq.toVector).toVector
+    val expected = graft.factors.Technical.compute(
+        graft.sources.Quotes.panel(spark, dir))
+      .select(col("stock"), col("day"),
+        round(col("rsi_14"), 6).as("rsi_14"),
+        round(col("bias_20"), 6).as("bias_20"),
+        round(col("cci_14"), 6).as("cci_14"))
+      .orderBy("stock", "day")
+      .collect().map(_.toSeq.toVector).toVector
+    assert(streamed.nonEmpty && streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
   test("the append writes NEW day partitions only; history untouched") {
     val root = graft.TempDirs.scratch("graft_q167_spec")
     def snapshot(): Map[String, Long] = {

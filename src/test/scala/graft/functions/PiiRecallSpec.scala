@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * real PII in the repo.
   *
   * Scored result (asserted below, updated when patterns change):
-  * recall 14/14 on the positive fixture after the r16 phone-pattern
+  * recall 16/16 on the positive fixture after the r16/r17 phone-pattern
   * extension (the dash-only r15 form scored 9/14 — parenthesized,
   * dotted, spaced and E.164 numbers all slipped through), precision
   * 12/12 clean on the negative fixture (versions, dates, ISBNs,
@@ -36,6 +36,8 @@ class PiiRecallSpec extends SparkSpec {
     ("intl format +14155550145 works too", Set("phone")),
     ("or +1 415-555-0146 with the country code", Set("phone")),
     ("digits 415 555 0147 scribbled on the napkin", Set("phone")),
+    ("mixed 415 555-0148 on the voicemail", Set("phone")),
+    ("also 415.555 0149 from the directory", Set("phone")),
     ("gateway sits at 192.0.2.44 in the lab", Set("ip")),
     ("traffic from 203.0.113.7 spiked", Set("ip")),
     ("peer 198.51.100.250 timed out", Set("ip")),
@@ -74,7 +76,7 @@ class PiiRecallSpec extends SparkSpec {
       .map { case (k, i) => k -> row.getLong(i).toInt }.toMap
   }
 
-  test("recall: every positive seed fires its kind (14/14)") {
+  test("recall: every positive seed fires its kind (16/16)") {
     val misses = positives.filter { case (text, kinds) =>
       val d = detections(text)
       !kinds.forall(k => d(k) > 0)
