@@ -641,8 +641,24 @@ object FactorQueries {
     * (q58 under name-sorted execution — the r9 bench misattributed
     * ~26% of total wall to it; q40 would have inherited the same
     * problem for the family marts). */
-  def primeFactorMarts(s: SparkSession, dir: String): Unit =
-    martDatasets.foreach(ds => martFrame(s, dir, ds))
+  def primeFactorMarts(s: SparkSession, dir: String): Unit = {
+    // builds are independent (six distinct memo keys, six scratch
+    // dirs) — run them CONCURRENTLY so the five small family builds
+    // execute under the alpha DAG's multi-second driver-side
+    // planning window instead of after it. Spark job submission is
+    // thread-safe; each holder's lazy-val lock serializes per key
+    // only. Daemon threads: a hung build must not block JVM exit.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      martDatasets.size, r => {
+        val t = new Thread(r, "graft-mart-prime"); t.setDaemon(true); t
+      })
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val builds = martDatasets.map(ds => Future { martFrame(s, dir, ds) })
+      builds.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
 
   /** Alpha mart only — the sf2 diagnostics sweep's prime (its entry
     * list consumes no family mart, so building them there would be
