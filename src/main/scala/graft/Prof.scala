@@ -13,6 +13,9 @@ object Prof {
         val Array(k, v) = kv.split("=", 2)
         System.setProperty(k, v)
       })
+    // a persistent mart root would make PROF_PRIME's "prime factor
+    // marts" line time a manifest-gated READ — same guard as Bench
+    graft.analytics.FactorQueries.ignorePersistentMartRoot()
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = LocalSession.builder(cpus)
@@ -70,12 +73,16 @@ object Prof {
         else {
           // time build + write, matching Bench.scala's measured window
           // (entry builders may do eager work, e.g. the alphaFull
-          // materialization)
+          // materialization). Load is sampled BEFORE the timed run —
+          // a 32-core entry inflates the 1-min average by its own
+          // work, so an after-sample would overstate ambient load on
+          // exactly the line used to adjudicate contention
+          val loadAtStart = Bench.load1
           val t0 = System.nanoTime()
           val df = SparkEntry.queries(name)(spark, sfDir)
           df.write.format("noop").mode("overwrite").save()
           println(f"PROF $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
-            s"load1=${Bench.load1}, " +
+            s"load1=$loadAtStart, " +
             s"partitions=${df.rdd.getNumPartitions}")
         }
       }

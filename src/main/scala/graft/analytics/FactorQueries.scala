@@ -435,8 +435,7 @@ object FactorQueries {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val days = batch.agg(min("day"), max("day")).head()
-          val d1 = days.getLong(0)
+          val d1 = batch.agg(min("day")).head().getLong(0)
           // tail read: the 25-day context window STRICTLY BELOW the
           // batch — filter on the partition column BEFORE the cast so
           // pruning reaches the file listing (q129's pattern). The
@@ -587,7 +586,7 @@ object FactorQueries {
 
   /** The sentiment derive DAG ([[sentimentDataset]]'s build): the
     * mart stores its output; [[sentimentFactors]] reads the mart. */
-  private def sentimentDerive(s: SparkSession, dir: String): DataFrame = {
+  private[analytics] def sentimentDerive(s: SparkSession, dir: String): DataFrame = {
     val q = Quotes.panel(s, dir)
     val W = Window.partitionBy("stock").orderBy("day")
     val cum = W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -684,24 +683,27 @@ object FactorQueries {
 
   /** One materialized factor dataset: its mart name, a CODE VERSION
     * (part of the staleness manifest — bump it whenever the deriving
-    * formulas change, so a persistent mart built by older code is
-    * rebuilt instead of silently served), the derive DAG, and the
-    * stored-column selection over the derive frame (derive frames
-    * carry dead intermediates the mart must not store). */
+    * FORMULAS change value without changing shape; a persistent mart
+    * built by older code is then rebuilt instead of silently served),
+    * the derive DAG, and the STATIC stored-column list (derive frames
+    * carry dead intermediates the mart must not store). `cols` being
+    * declared — not read back from the derive frame — is what lets
+    * [[martValid]] detect a column add/remove/rename against a stale
+    * persistent mart without paying the derive DAG's planning cost
+    * on the reuse path. */
   private[analytics] final case class MartDataset(
       name: String, version: String,
       derive: (SparkSession, String) => DataFrame,
-      keep: DataFrame => Seq[String])
+      cols: Seq[String])
 
-  private def keyedCols(cols: Seq[String]): DataFrame => Seq[String] =
-    _ => Seq("stock", "day") ++ cols
+  private def keyedCols(cols: Seq[String]): Seq[String] =
+    Seq("stock", "day") ++ cols
 
   private[analytics] val alphaDataset = MartDataset("alphas", "v1",
     (ss, d) => Alpha101.compute(Quotes.panel(ss, d)),
     // keys + close (q91's forward return) + the alpha_* columns: the
     // raw compute frame carries ~460 dead intermediate columns
-    f => Seq("stock", "day", "close") ++
-      f.schema.fieldNames.filter(_.startsWith("alpha_")))
+    Seq("stock", "day", "close") ++ Alpha101.columns)
 
   /** The basic-factor family marts (r16 verdict ask #2): the
     * reference materializes these as first-class factor tables
@@ -859,9 +861,8 @@ object FactorQueries {
     val persistent = root.map(r => martPathFor(r, d, ds))
     persistent.filter(p => martValid(ss, p, ds, d)).getOrElse {
       def write(p: String): Unit = {
-        val full = ds.derive(ss, d)
-        val keep = ds.keep(full)
-        full.select(keep.map(org.apache.spark.sql.functions.col): _*)
+        ds.derive(ss, d)
+          .select(ds.cols.map(org.apache.spark.sql.functions.col): _*)
           .withColumn("yr", ((col("day") - 1) / 244).cast("int"))
           .repartitionByRange(col("yr"), col("day"), col("stock"))
           .sortWithinPartitions("yr", "day", "stock")
@@ -874,7 +875,13 @@ object FactorQueries {
           write(p); p
         case Some(p) =>
           val tmp = s"$p.tmp-${ProcessHandle.current.pid}-${System.nanoTime}"
-          write(tmp)
+          // a failed multi-ten-second derive/write must not orphan a
+          // full-size temp mart under the persistent root (a retry
+          // loop would fill the volume — each attempt is uniquely
+          // named)
+          try write(tmp)
+          catch { case e: Throwable =>
+            deleteRecursively(java.nio.file.Paths.get(tmp)); throw e }
           val src = java.nio.file.Paths.get(tmp)
           val dst = java.nio.file.Paths.get(p)
           // a stale mart at the destination (manifest mismatch — the
@@ -895,8 +902,15 @@ object FactorQueries {
   }
 
   /** True iff the mart at `p` is a COMPLETED write whose manifest
-    * matches the current code + source state and whose stored parquet
-    * schema matches what the manifest recorded. */
+    * matches the current code + source state, whose stored parquet
+    * schema matches what the manifest recorded (write integrity: a
+    * torn/truncated mart fails here), and whose stored COLUMN LIST
+    * equals the dataset's declared `cols` — the code-change axis the
+    * manifest-vs-stored comparison alone cannot see (both describe
+    * the same old files, so they always agree with each other; a
+    * column added/removed/renamed in the factor code invalidates the
+    * mart HERE, with no version bump needed — value-only formula
+    * changes still require the version bump). */
   private[analytics] def martValid(ss: SparkSession, p: String,
       ds: MartDataset, d: String): Boolean = try {
     val dir = new java.io.File(p)
@@ -908,11 +922,13 @@ object FactorQueries {
         val props = new java.util.Properties()
         val in = new java.io.FileInputStream(mf)
         try props.load(in) finally in.close()
+        lazy val stored = storedSchemaString(ss, p)
         props.getProperty("dataset") == ds.name &&
           props.getProperty("version") == ds.version &&
           props.getProperty("source") == new java.io.File(d).getCanonicalPath &&
           props.getProperty("fingerprint") == dirFingerprint(d) &&
-          props.getProperty("schema") == storedSchemaString(ss, p)
+          props.getProperty("schema") == stored &&
+          stored.split(",").map(_.takeWhile(_ != ':')).toSeq == ds.cols
       }
     }
   } catch { case _: Exception => false } // unreadable mart = invalid mart

@@ -48,6 +48,9 @@ object ScaleAudit {
     val sfVals = sfs.map(_.split('/').last.stripPrefix("sf").toDouble)
     require(sfVals.zip(sfVals.tail).forall { case (a, b) => a < b },
       s"SF dirs must be strictly increasing by scale factor, got $sfVals")
+    // a persistent mart root would make the factor_mart derive rows
+    // time a manifest-gated READ, not the build — same guard as Bench
+    graft.analytics.FactorQueries.ignorePersistentMartRoot()
     val minWall = sys.env.getOrElse("SPARK_GRAFT_AUDIT_MIN_WALL", "0.5").toDouble
     val rerunWall = sys.env.getOrElse("SPARK_GRAFT_RERUN_WALL", "2.5").toDouble
     val spark = LocalSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -58,8 +61,11 @@ object ScaleAudit {
     // steepest entries rather than paying the full corpus at 10x rows
     val only = sys.env.get("SPARK_GRAFT_AUDIT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // exact name or "qNN" prefix up to the underscore — a bare
+    // startsWith would let q16 silently select q160..q167 too
     val entries = PlanAudit.goldenEntries
-      .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+      .filter { case (n, _) =>
+        only.forall(o => o.exists(x => n == x || n.startsWith(x + "_"))) }
     val names = "factor_mart" +: "cluster_derive" +: entries.map(_._1)
     val walls: Seq[Map[String, Double]] = sfs.map { dir =>
       // a failed priming must record the -1 sentinel, not its

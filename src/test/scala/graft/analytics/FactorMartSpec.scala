@@ -46,13 +46,16 @@ class FactorMartSpec extends SparkSpec {
   test("alpha mart read is bit-identical to a scratch derive, all columns") {
     val mart = FactorQueries.alphaFull(spark, dir)
     // the scratch derive: the same DAG the mart build ran, minus the
-    // parquet sink — a fresh plan, no memo in the way
+    // parquet sink — a fresh plan, no memo in the way. Stored order
+    // is the DECLARED list (alphaDataset.cols = keys + close +
+    // Alpha101.columns — the staleness check's code-change axis);
+    // consumers select by name, so order is presentation only.
+    val keep = FactorQueries.alphaDataset.cols
+    assert(mart.schema.fieldNames.toSeq == keep,
+      "mart schema must be the declared (stock, day, close, alpha_*) list")
+    assert(keep.count(_.startsWith("alpha_")) == 101)
     val full = graft.factors.Alpha101.compute(
       graft.sources.Quotes.panel(spark, dir))
-    val keep = Seq("stock", "day", "close") ++
-      full.schema.fieldNames.filter(_.startsWith("alpha_"))
-    assert(mart.schema.fieldNames.toSeq == keep,
-      "mart schema must be (stock, day, close, alpha_*) in derive order")
     assertBitIdentical(mart, full.select(keep.map(col): _*), keep)
   }
 
@@ -65,11 +68,10 @@ class FactorMartSpec extends SparkSpec {
       FactorQueries.valueDataset, FactorQueries.sentimentDataset)
     families.foreach { ds =>
       val mart = FactorQueries.martFrame(spark, dir, ds)
-      val full = ds.derive(spark, dir)
-      val keep = ds.keep(full)
-      assert(mart.schema.fieldNames.toSeq == keep,
-        s"${ds.name} mart schema must be the kept derive columns in order")
-      assertBitIdentical(mart, full.select(keep.map(col): _*), keep)
+      assert(mart.schema.fieldNames.toSeq == ds.cols,
+        s"${ds.name} mart schema must be the declared column list in order")
+      assertBitIdentical(mart,
+        ds.derive(spark, dir).select(ds.cols.map(col): _*), ds.cols)
     }
   }
 
@@ -122,6 +124,29 @@ class FactorMartSpec extends SparkSpec {
         .filter(f => f.getName.startsWith("yr=")).head
       assert(afterFile.lastModified > before || afterFile != dataFile,
         "poisoned mart was served instead of rebuilt")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("a column change in the factor code invalidates a stale mart, version bump or not") {
+    // the self-referential trap: the manifest's schema and the stored
+    // files always agree with EACH OTHER (both describe the old
+    // layout) — the validity check must compare against the CURRENT
+    // code's declared column list, or a column added/removed/renamed
+    // in the factor code would serve the stale mart forever (crashing
+    // every consumer select, with nothing ever rebuilding it)
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_root").toString
+    try {
+      val ds = FactorQueries.valueDataset
+      val p = FactorQueries.buildMartAt(spark, dir, ds, Some(root))
+      assert(FactorQueries.martValid(spark, p, ds, dir))
+      val widened = ds.copy(cols = ds.cols :+ "brand_new_factor")
+      assert(!FactorQueries.martValid(spark, p, widened, dir),
+        "a mart missing a newly declared column must be invalid")
+      val narrowed = ds.copy(cols = ds.cols.dropRight(1))
+      assert(!FactorQueries.martValid(spark, p, narrowed, dir),
+        "a mart carrying a dropped column must be invalid")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }

@@ -39,6 +39,20 @@ class FactorPlanSpec extends SparkSpec {
     assert(ex.count(_.contains("hashpartitioning(stock")) <= 1, ex.mkString("\n"))
   }
 
+  test("value DERIVE: one stock-hash exchange") {
+    // the mart build pays these derive plans (entries read the mart),
+    // so the derive-side shape pins must cover every family — q45/q61
+    // plan-goldens now pin only the mart READ
+    val ex = exchanges(graft.factors.Value.compute(
+      graft.sources.Quotes.panel(spark, "/root/testdata/sf0.001")))
+    assert(ex.count(_.contains("hashpartitioning(stock")) <= 1, ex.mkString("\n"))
+  }
+
+  test("sentiment DERIVE: one stock-hash exchange") {
+    val ex = exchanges(FactorQueries.sentimentDerive(spark, "/root/testdata/sf0.001"))
+    assert(ex.count(_.contains("hashpartitioning(stock")) <= 1, ex.mkString("\n"))
+  }
+
   test("q40-q45/q61 read their FAMILY MARTS, never re-deriving") {
     val dir = "/root/testdata/sf0.001"
     // first consumer per family triggers the one-time mart build ...
