@@ -6,13 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * log-tail capture. Rounds 9–12 all shipped a final line that
   * overflowed the capture (r11: 5,874 bytes; r12: ~2.1 KB against a
   * window the artifact itself measured at ~2.2 KB INCLUDING the sbt
-  * `[success]` line — the JSON head with the q01–q09 walls was lost
-  * all four rounds). The budget is therefore 1,900 bytes, enforced at
-  * 130 fake entries — more than the current corpus — with realistic
-  * magnitudes. Any field added to [[Bench.finalLine]] that
-  * re-overflows the capture fails this spec before it can cost
-  * another round's artifact; the bulky per-entry CPU array lives on
-  * the diag line ([[Bench.cpuArrayJson]]) for exactly this reason.
+  * `[success]` line), and round 17 re-overflowed it by ~5 bytes
+  * (q167's wall + the median/gt8 fields) — `BENCH_r17.json` carries
+  * `parsed: null`. The budget is therefore enforced BY finalLine
+  * itself ([[Bench.lineBudget]], with a 1-dp degrade tier) and
+  * pinned here at 145 fake entries — ~10 more than the current
+  * corpus, the r17 verdict's headroom ask — with realistic
+  * magnitudes. The armor baseline is likewise pinned: a broken
+  * newest artifact must FALL BACK to the next parseable one, and a
+  * committed BENCH_SELF.json sidecar is preferred over both.
   */
 class BenchLineSpec extends AnyFunSuite {
 
@@ -29,21 +31,39 @@ class BenchLineSpec extends AnyFunSuite {
         (f"q$i%d_some_entry_name_here", wall, 123.4 + i, i % 7 == 0)
       }
 
+  private val fakeIngest =
+    """{"rows":320000,"rps":3961234.5,"rpsd":4112345.6,"bpr":6.2,"iload":{"t":8.2,"d":14.0}}"""
+
   private def fakeLine(n: Int): String =
     Bench.finalLine(fakeEntries(n),
-      hostLoad = """{"start":11.312,"end":13.897,"cores":32,"median":12.3,"gt8":128}""",
+      hostLoad = """{"start":11.3,"end":13.9,"cores":32,"median":12.3,"gt8":128}""",
       failed = Seq("q999_failed_entry"),
       sf = "/root/testdata/sf0.1",
-      ingest = """{"rows":320000,"rps":3961234.5,"rps_disk":4112345.6,"bpr":6.2}""",
+      ingest = fakeIngest,
       newKeys = Set("3", "7"))
 
-  test("final line with 130 entries stays under the 1.9 KB tail budget") {
-    val line = fakeLine(130)
-    assert(line.length < 1900, s"final bench line is ${line.length} bytes: $line")
+  test("final line with 145 entries stays under the 1.9 KB tail budget") {
+    // 145 = current corpus + ~10 headroom entries (r17 verdict ask
+    // #1's done condition). The emit-time guard inside finalLine may
+    // degrade walls to 1 dp to hold the budget — parseability over
+    // precision; the full 3-dp walls live in the sidecar.
+    val line = fakeLine(145)
+    assert(line.length <= 1900, s"final bench line is ${line.length} bytes: $line")
+    assert(mapper.readTree(line).get("queries").size() == 147)
+  }
+
+  test("emit-time guard: an oversized corpus degrades precision, not parseability") {
+    // far beyond any realistic corpus: the guard's 1-dp tier must
+    // still produce one parseable line (growth can cost decimals,
+    // never the artifact)
+    val line = fakeLine(180)
+    val root = mapper.readTree(line)
+    assert(root.get("queries").size() == 182)
+    assert(line.length <= 1900, s"${line.length} bytes at 180 entries: $line")
   }
 
   test("mass failure keeps the line under budget (failed list is capped)") {
-    val entries = (1 to 130).map { i =>
+    val entries = (1 to 145).map { i =>
       // a failed entry records a -1 wall sentinel, so mass failure
       // SHRINKS the wall map; the failed list is the growth risk
       val failed = i <= 60
@@ -51,11 +71,11 @@ class BenchLineSpec extends AnyFunSuite {
         123.4 + i, false)
     }
     val line = Bench.finalLine(entries,
-      hostLoad = """{"start":11.312,"end":13.897,"cores":32,"median":12.3,"gt8":128}""",
+      hostLoad = """{"start":11.3,"end":13.9,"cores":32,"median":12.3,"gt8":128}""",
       failed = (1 to 60).map(i => f"q$i%d_some_entry_name_here"),
       sf = "/root/testdata/sf0.1",
-      ingest = """{"rows":320000,"rps":3961234.5,"rps_disk":4112345.6,"bpr":6.2}""")
-    assert(line.length < 1900, s"mass-failure line is ${line.length} bytes: $line")
+      ingest = fakeIngest)
+    assert(line.length <= 1900, s"mass-failure line is ${line.length} bytes: $line")
     val f = mapper.readTree(line).get("failed")
     assert(f.get(0).asText() == "1")
     // capped at 12 keys + a "+N" count marker; the full set stays
@@ -68,18 +88,18 @@ class BenchLineSpec extends AnyFunSuite {
     // a contended host pushes MOST entries over the rerun threshold
     // at once — exactly the round whose artifact must survive the
     // tail capture to explain itself
-    val entries = (1 to 130).map { i =>
+    val entries = (1 to 145).map { i =>
       (f"q$i%d_some_entry_name_here", 4.345 + (i % 7), 123.4 + i, true)
     }
     val line = Bench.finalLine(entries,
-      hostLoad = """{"start":24.312,"end":27.897,"cores":32,"median":25.7,"gt8":130}""",
+      hostLoad = """{"start":24.3,"end":27.9,"cores":32,"median":25.7,"gt8":145}""",
       failed = Nil,
       sf = "/root/testdata/sf0.1",
-      ingest = """{"rows":320000,"rps":3961234.5,"rps_disk":4112345.6,"bpr":6.2}""")
-    assert(line.length < 1900, s"mass-rerun line is ${line.length} bytes: $line")
+      ingest = fakeIngest)
+    assert(line.length <= 1900, s"mass-rerun line is ${line.length} bytes: $line")
     val r = mapper.readTree(line).get("rerun")
     assert(r.size() == 13, r.toString)
-    assert(r.get(12).asText() == "+118", r.toString)
+    assert(r.get(12).asText() == "+133", r.toString)
   }
 
   test("final line is one parseable JSON object; cpu array on the diag side") {
@@ -93,16 +113,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(root.get("rerun").isArray)
     assert(root.get("host_load").get("cores").asInt() == 32)
     assert(root.get("ingest").get("rows").asLong() == 320000L)
-    assert(root.get("queries").get("mart").asDouble() == 28.876)
-    // the total decomposition: derive/build lines vs carried entries
-    // vs entries new this round (keys 3 and 7 in the fixture)
+    // the kept ingest attempt's start load rides the final line
+    // (r17 verdict ask #4) so a below-band rps self-adjudicates
+    assert(root.get("ingest").get("iload").get("t").asDouble() == 8.2)
+    // walls at 2 dp (budget trim, r17 verdict ask #1); fixed-value
+    // fields ("unit":"sec") are gone
+    assert(root.get("queries").get("mart").asDouble() == 28.88)
+    assert(!root.has("unit"))
+    // the total decomposition: derive/build lines (d) vs carried
+    // entries (e) vs entries new this round (n — keys 3 and 7 here)
     val parts = root.get("parts")
-    assert(math.abs(parts.get("derive").asDouble() - (28.876 + 9.134)) < 1e-6)
+    assert(math.abs(parts.get("d").asDouble() - (28.876 + 9.134)) < 5e-3)
     val newSum = entries.collect {
       case (k, w, _, _) if Set("3", "7")(Bench.entryKey(k)) => w }.sum
-    assert(math.abs(parts.get("new").asDouble() - newSum) < 1e-6)
-    assert(math.abs(parts.get("derive").asDouble() + parts.get("entries").asDouble()
-      + parts.get("new").asDouble() - root.get("value").asDouble()) < 1e-6)
+    assert(math.abs(parts.get("n").asDouble() - newSum) < 5e-3)
+    assert(math.abs(parts.get("d").asDouble() + parts.get("e").asDouble()
+      + parts.get("n").asDouble() - root.get("value").asDouble()) < 3e-2)
     // the CPU axis moved to the diag line — index-aligned with the
     // wall map's key order, absent from the final line
     assert(!root.has("cpu_by_query_order"))
@@ -140,11 +166,68 @@ class BenchLineSpec extends AnyFunSuite {
       Some(new java.io.File("BENCH_r16.json"))).isEmpty)
   }
 
+  test("fallback: a broken newest artifact resolves to the next parseable one") {
+    // the r17 failure mode exactly: the newest BENCH_r*.json lost its
+    // line head to the tail window (parsed: null) — the armor must
+    // walk newest → oldest instead of silently running baseline-less
+    // (r17 verdict ask #2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_fb").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      new java.io.File("BENCH_r16.json").toPath,
+      new java.io.File(dir, "BENCH_r16.json").toPath)
+    // a head-truncated r17-style wrapper: raw tail cut mid-line, no
+    // parsed section — the real BENCH_r17.json's shape
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_r17.json").toPath,
+      """{"n": 17, "rc": 0, "tail": "41\":0.33,\"sf\":\"trunc", "parsed": null}""")
+    val walls = Bench.previousArtifactWalls("/root/testdata/sf0.1",
+      searchDir = dir.getAbsolutePath)
+    assert(walls.get("mart").contains(57.927), walls.get("mart").toString)
+    assert(walls.get("01").contains(0.659))
+  }
+
+  test("sidecar: preferred over driver artifacts, sf-keyed, bad file degrades") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_sc").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      new java.io.File("BENCH_r16.json").toPath,
+      new java.io.File(dir, "BENCH_r16.json").toPath)
+    // merge-write two sf records; the second write must not clobber
+    // the first (a local sf0.01 iteration run vs the committed sf0.1)
+    Bench.writeSelfBench("/root/testdata/sf0.1",
+      """{"sf":"/root/testdata/sf0.1","queries":{"q01_pricing_summary":{"w":0.712,"c":3.1,"l":2.0,"r":false},"factor_mart":{"w":31.5,"c":410.0,"l":2.1,"r":false}}}""",
+      dir = dir.getAbsolutePath)
+    Bench.writeSelfBench("/root/testdata/sf0.01",
+      """{"sf":"/root/testdata/sf0.01","queries":{"q01_pricing_summary":{"w":0.101,"c":0.5,"l":2.0,"r":false}}}""",
+      dir = dir.getAbsolutePath)
+    // sidecar wins over the r16 artifact in the same dir, per sf
+    val w1 = Bench.previousArtifactWalls("/root/testdata/sf0.1",
+      searchDir = dir.getAbsolutePath)
+    assert(w1.get("01").contains(0.712), w1.toString) // sidecar, not r16's 0.659
+    assert(w1.get("mart").contains(31.5))
+    val w2 = Bench.previousArtifactWalls("/root/testdata/sf0.01",
+      searchDir = dir.getAbsolutePath)
+    assert(w2.get("01").contains(0.101))
+    // unknown sf: sidecar misses → artifact scan; r16 is sf0.1-only
+    // so an sf0.001 lookup finds nothing
+    assert(Bench.previousArtifactWalls("/root/testdata/sf0.001",
+      searchDir = dir.getAbsolutePath).isEmpty)
+    // a corrupt sidecar degrades to the artifact scan, never throws
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, Bench.selfBenchName).toPath, "{not json")
+    val w3 = Bench.previousArtifactWalls("/root/testdata/sf0.1",
+      searchDir = dir.getAbsolutePath)
+    assert(w3.get("01").contains(0.659), w3.toString)
+  }
+
   test("previousArtifactWalls live smoke: newest artifact parses, key-agnostic") {
     // the one assertion allowed to touch the mutable artifact series:
-    // the NEWEST BENCH_r*.json must yield a wall map with SOME derive
-    // key (whatever this round calls its build line) and the q01 wall.
-    // No exact keys/values — those live in the fixture test above.
+    // the repo root must yield a baseline with SOME derive key
+    // (whatever this round calls its build line) and the q01 wall —
+    // via the sidecar if committed, else the newest PARSEABLE
+    // BENCH_r*.json (r17's own artifact is head-truncated; the
+    // fallback is what keeps this green and the armor armed).
     val walls = Bench.previousArtifactWalls("/root/testdata/sf0.1")
     assert(walls.nonEmpty, "no artifact parsed from the repo root")
     assert(walls.keySet.exists(Set("alpha", "mart")), walls.keySet.toString)
