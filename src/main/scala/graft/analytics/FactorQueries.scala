@@ -477,6 +477,175 @@ object FactorQueries {
     }
   }
 
+  /** q168: STREAMING maintenance of the RECURSIVE factor family —
+    * q167's foreachBatch day-append pattern extended to the EMA
+    * family (r17 verdict ask #6), whose registers look back over the
+    * ENTIRE history: the bounded-tail containment argument that
+    * makes q167's technical slice exact does NOT hold for
+    * `ewm(adjust=False)` chains, so each batch SEEDS the recursion
+    * from a stored per-stock [[graft.factors.EmaFamily.EmaState]]
+    * snapshot instead — the production feature-store problem
+    * (resuming recursive factors without replaying history, the
+    * reference's `factor_ema_daily` nightly job at
+    * `factor_db_ddl.md:96-107` scale).
+    *
+    * Per batch, inside one foreachBatch transaction: (1) read the
+    * latest state snapshot STRICTLY BELOW the batch (`day < d1` — a
+    * retried batch must never seed from its own previous end-day
+    * snapshot), (2) read the 8-day bar tail below the batch for the
+    * WINDOW inputs only (kdj-rsv's 9-day frame, force-fin's 1-day
+    * lag — bounded lookbacks, unlike the recursions), (3) run
+    * [[graft.factors.EmaFamily.computeSeeded]] — which advances the
+    * SAME `EmaState.step` as the scratch kernel — over tail ∪ batch
+    * from the seed, and (4) write the new day partitions to mart +
+    * bars AND the batch-end state snapshot, all with dynamic
+    * partition overwrite: a retry replaces its own partitions and
+    * its own snapshot, idempotent by layout (q167's recipe).
+    *
+    * SEEDING RULE (the `require` in the harness pins it): a batch
+    * starting at day d1 consumes the snapshot at day d1-1 — the
+    * historical build writes the day-`cut` snapshot, every batch
+    * writes its end-day snapshot, and the `day < d1` bound makes a
+    * crash-retry fall back to exactly the snapshot it consumed the
+    * first time. Exactness is by construction: parquet stores the
+    * registers as raw IEEE-754 bits, the ring re-sum order is
+    * preserved oldest-first, and both paths run one `step`
+    * definition — so the streamed mart is BIT-identical to a scratch
+    * full-history derive (StreamMartSpec), and the oracle replays
+    * the full recursion from day 1 (q43's recursive CTE), never
+    * leaning on the seeding argument it verifies.
+    *
+    * At 100 TB: a day's maintenance costs one 8-day partition-pruned
+    * tail read, one entity-sized state read (broadcast), and one
+    * day-partition write per store — independent of history depth.
+    * The scratch alternative replays every bar ever ingested to
+    * rebuild the unbounded registers; this is the difference between
+    * a nightly job bounded by the day's data and one bounded by the
+    * archive. */
+  def streamEmaMartAppend: Q = (s, dir) =>
+    streamEmaMartAppendRun(s, dir,
+      graft.TempDirs.scratch("graft_stream_ema_mart", preferShm = true))
+
+  /** The q168 pipeline with the scratch root exposed (spec hook —
+    * same shape as [[streamMartAppendRun]]). */
+  private[analytics] def streamEmaMartAppendRun(s: SparkSession, dir: String,
+      root: String, afterHistorical: () => Unit = () => ()): DataFrame = {
+    val start = streamEmaMartHarness(s, dir, root, afterHistorical)
+    start(None)
+    s.read.parquet(s"$root/mart")
+      .select(Seq(col("stock"), col("day").cast("long").as("day")) ++
+        EmaFamily.columns.map(r6): _*)
+      .orderBy("stock", "day")
+  }
+
+  /** q168 harness: scaffolding once, one `Trigger.AvailableNow` pass
+    * per invocation against the same checkpoint (the q167/q156
+    * restart shape); `failAfterWritesOf` injects a crash AFTER a
+    * batch's three store writes (mart, state, bars) land but BEFORE
+    * its checkpoint commit — the widest at-least-once retry window,
+    * which for THIS operator also covers the state-store axis: the
+    * retry must re-seed from day d1-1, not from the snapshot its
+    * first execution already wrote. */
+  private[analytics] def streamEmaMartHarness(s: SparkSession, dir: String,
+      root: String, afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit = {
+    val panel = Quotes.panel(s, dir)
+    val maxDay = panel.agg(max("day")).head().getLong(0)
+    val cut = maxDay - 15
+    panel.filter(col("day") <= cut)
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/bars")
+    // historical factors AND the day-`cut` register snapshot in ONE
+    // seeded pass (state = None: a from-scratch run that also
+    // exposes the state axis); the mart write materializes the
+    // persisted frame, the snapshot write reads it back from cache
+    val hist = EmaFamily.computeSeeded(
+      s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")),
+      state = None)
+    hist.persist()
+    try {
+      hist.select(Seq(col("stock"), col("day")) ++
+          EmaFamily.columns.map(col): _*)
+        .repartition(col("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+      // the snapshot is entity-sized (one row per stock with ≥ cut
+      // days) — a single file per snapshot day
+      hist.filter(col("day") === cut)
+        .select(Seq(col("stock"), col("day")) ++
+          EmaFamily.stateColumns.map(col): _*)
+        .coalesce(1)
+        .write.partitionBy("day").mode("overwrite").parquet(s"$root/state")
+    } finally { hist.unpersist(); () }
+    afterHistorical()
+    // three 5-day replay files, oldest-first (q167's convention)
+    val schema = (0 until 3).map { i =>
+      val b = panel.filter(col("day") > cut + 5 * i && col("day") <= cut + 5 * (i + 1))
+      b.coalesce(1).write.parquet(s"$root/in/b$i")
+      b.schema
+    }.head
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+    (failAfterWritesOf: Option[Long]) => {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val bounds = batch.agg(min("day"), max("day")).head()
+          val d1 = bounds.getLong(0); val dEnd = bounds.getLong(1)
+          // window-input tail: 8 days strictly below the batch; the
+          // `day < d1` bound doubles as the retry guard (a retried
+          // batch finds its own append in the bars store)
+          val tail = s.read.parquet(s"$root/bars")
+            .filter(col("day") > d1 - 9 && col("day") < d1)
+            .withColumn("day", col("day").cast("long"))
+            .select(batch.schema.fieldNames.map(col): _*)
+          // latest snapshot strictly below the batch — the seeding
+          // rule: sd must be the eve of the batch start
+          val snaps = s.read.parquet(s"$root/state")
+            .withColumn("day", col("day").cast("long"))
+            .filter(col("day") < d1)
+          val sd = snaps.agg(max("day")).head().getLong(0)
+          require(sd == d1 - 1,
+            s"seed snapshot at day $sd must be the eve of batch start $d1")
+          val st = snaps.filter(col("day") === sd).drop("day")
+          val f = EmaFamily.computeSeeded(tail.unionByName(batch), Some(st),
+            fromDay = Some(d1))
+          f.persist()
+          try {
+            f.select(Seq(col("stock"), col("day")) ++
+                EmaFamily.columns.map(col): _*)
+              .repartition(col("day"))
+              .write.partitionBy("day").mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic").parquet(s"$root/mart")
+            // stocks whose history ends mid-batch drop out of the
+            // snapshot — correct: they have no rows in later batches
+            f.filter(col("day") === dEnd)
+              .select(Seq(col("stock"), col("day")) ++
+                EmaFamily.stateColumns.map(col): _*)
+              .coalesce(1)
+              .write.partitionBy("day").mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic").parquet(s"$root/state")
+            batch.repartition(col("day"))
+              .write.partitionBy("day").mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic").parquet(s"$root/bars")
+          } finally { f.unpersist(); () }
+          if (failAfterWritesOf.contains(batchId))
+            throw new RuntimeException(
+              s"injected crash: batch $batchId wrote, not yet committed")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if failAfterWritesOf.isDefined &&
+              (Option(e.getMessage).exists(_.contains("injected crash")) ||
+                Option(e.getCause).flatMap(c => Option(c.getMessage))
+                  .exists(_.contains("injected crash"))) => ()
+      }
+    }
+  }
+
   /** q49: kline replay around an anchor day
     * (`app/Quantlib/QuantDB.py:207-224`): day-offset re-index in
     * [-10, +20] around day 30 per stock, close normalized to the
@@ -691,7 +860,7 @@ object FactorQueries {
     * [[martValid]] detect a column add/remove/rename against a stale
     * persistent mart without paying the derive DAG's planning cost
     * on the reuse path. */
-  private[analytics] final case class MartDataset(
+  private[graft] final case class MartDataset(
       name: String, version: String,
       derive: (SparkSession, String) => DataFrame,
       cols: Seq[String])
@@ -718,7 +887,7 @@ object FactorQueries {
   private[analytics] val momentumDataset = MartDataset("momentum", "v1",
     (ss, d) => Momentum.compute(Quotes.panel(ss, d)),
     keyedCols(Momentum.columns))
-  private[analytics] val valueDataset = MartDataset("value", "v1",
+  private[graft] val valueDataset = MartDataset("value", "v1",
     (ss, d) => Value.compute(Quotes.panel(ss, d)),
     keyedCols(Value.columns))
   private[analytics] val sentimentDataset = MartDataset("sentiment", "v1",
@@ -829,14 +998,14 @@ object FactorQueries {
   def ignorePersistentMartRoot(): Unit = { persistentRootIgnored = true }
   @volatile private var persistentRootIgnored = false
 
-  private[analytics] val martManifestName = "_GRAFT_MANIFEST.properties"
+  private[graft] val martManifestName = "_GRAFT_MANIFEST.properties"
 
   /** The persistent location of one dataset's mart under a root. The
     * directory name carries a digest of the CANONICAL source path:
     * two dataset roots with the same basename (/a/sf0.1 vs /b/sf0.1)
     * must never share a mart (r16 ADVICE item 1) — the manifest
     * re-checks the full path at reuse time as the second lock. */
-  private[analytics] def martPathFor(root: String, d: String,
+  private[graft] def martPathFor(root: String, d: String,
       ds: MartDataset): String = {
     val canon = new java.io.File(d).getCanonicalPath
     s"$root/${ds.name}-${new java.io.File(d).getName}-${md5Hex(canon).take(8)}"
@@ -856,7 +1025,7 @@ object FactorQueries {
     * 3): a concurrent session never observes a partially written
     * mart, and two racing builders resolve to one winner whose
     * output is validated like any other reuse. */
-  private[analytics] def buildMartAt(ss: SparkSession, d: String,
+  private[graft] def buildMartAt(ss: SparkSession, d: String,
       ds: MartDataset, root: Option[String]): String = {
     val persistent = root.map(r => martPathFor(r, d, ds))
     persistent.filter(p => martValid(ss, p, ds, d)).getOrElse {
@@ -887,14 +1056,28 @@ object FactorQueries {
           // a stale mart at the destination (manifest mismatch — the
           // validate above already said so) is replaced; a VALID one
           // that appeared since (concurrent builder won the race) is
-          // reused and our duplicate discarded
-          try java.nio.file.Files.move(src, dst,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileSystemException =>
-              if (martValid(ss, p, ds, d)) deleteRecursively(src)
-              else { deleteRecursively(dst); java.nio.file.Files.move(src, dst,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE) }
+          // reused and our duplicate discarded. Bounded retry loop
+          // (r17 ADVICE 4): a third builder can install dst between
+          // our delete and our move — every collision re-validates
+          // dst (reuse a valid winner, replace another stale loser)
+          // instead of failing a build that has a usable mart in hand
+          var attempts = 0
+          var installed = false
+          while (!installed) {
+            try {
+              java.nio.file.Files.move(src, dst,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              installed = true
+            } catch {
+              case e: java.nio.file.FileSystemException =>
+                if (martValid(ss, p, ds, d)) {
+                  deleteRecursively(src); installed = true
+                } else {
+                  attempts += 1
+                  if (attempts >= 3) throw e
+                  deleteRecursively(dst)
+                }
+            }
           }
           p
       }
@@ -911,7 +1094,7 @@ object FactorQueries {
     * column added/removed/renamed in the factor code invalidates the
     * mart HERE, with no version bump needed — value-only formula
     * changes still require the version bump). */
-  private[analytics] def martValid(ss: SparkSession, p: String,
+  private[graft] def martValid(ss: SparkSession, p: String,
       ds: MartDataset, d: String): Boolean = try {
     val dir = new java.io.File(p)
     if (!new java.io.File(dir, "_SUCCESS").isFile) false
@@ -922,13 +1105,18 @@ object FactorQueries {
         val props = new java.util.Properties()
         val in = new java.io.FileInputStream(mf)
         try props.load(in) finally in.close()
-        lazy val stored = storedSchemaString(ss, p)
+        // compare the column list on PARSED StructType field names,
+        // never by re-splitting the serialized name:type string — a
+        // type whose simpleString contains a comma (decimal(p,s),
+        // array<>, struct<>) would mis-split and fail validation
+        // forever, silently rebuilding every session (r17 ADVICE 2)
+        lazy val storedFields = storedSchemaFields(ss, p)
         props.getProperty("dataset") == ds.name &&
           props.getProperty("version") == ds.version &&
           props.getProperty("source") == new java.io.File(d).getCanonicalPath &&
           props.getProperty("fingerprint") == dirFingerprint(d) &&
-          props.getProperty("schema") == stored &&
-          stored.split(",").map(_.takeWhile(_ != ':')).toSeq == ds.cols
+          props.getProperty("schema") == schemaString(storedFields) &&
+          storedFields.map(_.name).toSeq == ds.cols
       }
     }
   } catch { case _: Exception => false } // unreadable mart = invalid mart
@@ -940,34 +1128,44 @@ object FactorQueries {
     props.setProperty("version", ds.version)
     props.setProperty("source", new java.io.File(d).getCanonicalPath)
     props.setProperty("fingerprint", dirFingerprint(d))
-    props.setProperty("schema", storedSchemaString(ss, p))
+    props.setProperty("schema", schemaString(storedSchemaFields(ss, p)))
     val out = new java.io.FileOutputStream(
       new java.io.File(p, martManifestName))
     try props.store(out, "graft factor mart staleness manifest")
     finally out.close()
   }
 
-  /** The stored frame's data schema as `name:type` pairs (partition
-    * column excluded) — reading it also proves the footers parse, so
-    * a torn or truncated mart fails validation here. */
-  private def storedSchemaString(ss: SparkSession, p: String): String =
-    ss.read.parquet(p).schema.fields
-      .filterNot(_.name == "yr")
-      .map(f => s"${f.name}:${f.dataType.simpleString}")
-      .mkString(",")
+  /** The stored frame's DATA fields (partition column excluded) —
+    * reading them also proves the footers parse, so a torn or
+    * truncated mart fails validation here. */
+  private def storedSchemaFields(ss: SparkSession,
+      p: String): Array[org.apache.spark.sql.types.StructField] =
+    ss.read.parquet(p).schema.fields.filterNot(_.name == "yr")
+
+  /** Fields serialized as `name:type` pairs for the manifest. Write-
+    * side only for equality against the manifest's stored copy; the
+    * column-list check above parses fields, never this string. */
+  private def schemaString(
+      fields: Array[org.apache.spark.sql.types.StructField]): String =
+    fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
 
   /** Source-dir fingerprint: MD5 over the sorted (relative path,
-    * size) listing of every regular file under the dataset dir. File
-    * listing only — no data reads — so validation stays cheap at any
-    * scale; a regenerated or extended source dir changes it. */
-  private[analytics] def dirFingerprint(d: String): String = {
+    * size, mtime) listing of every regular file under the dataset
+    * dir. File listing only — no data reads — so validation stays
+    * cheap at any scale; a regenerated or extended source dir changes
+    * it. mtime is included (r17 ADVICE 3): a regenerated source with
+    * identical file names AND byte sizes but different content must
+    * not validate a stale mart as fresh — the cost is a spurious
+    * rebuild on a byte-identical re-copy, the safe direction. */
+  private[graft] def dirFingerprint(d: String): String = {
     val base = java.nio.file.Paths.get(d)
     val st = java.nio.file.Files.walk(base)
     try {
       import scala.jdk.CollectionConverters._
       val items = st.iterator().asScala
         .filter(java.nio.file.Files.isRegularFile(_))
-        .map(f => s"${base.relativize(f)}:${java.nio.file.Files.size(f)}")
+        .map(f => s"${base.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)
         .toSeq.sorted
       md5Hex(items.mkString("\n"))
     } finally st.close()
@@ -1219,6 +1417,7 @@ object FactorQueries {
     "q151_ivf_append" -> ivfAppend,
     "q129_incremental_factors" -> incrementalFactors,
     "q167_stream_mart_append" -> streamMartAppend,
+    "q168_stream_ema_append" -> streamEmaMartAppend,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
     "q56_factor_snapshot" -> factorSnapshot,
@@ -2738,5 +2937,12 @@ object FactorQueries {
     * (for q151 the hash-match IS the lossless-append proof). */
   val oracles: Map[String, String] = oraclesBase +
     ("q136_similarity_ivf_part" -> oraclesBase("q125_similarity_ivf")) +
-    ("q151_ivf_append" -> oraclesBase("q125_similarity_ivf"))
+    ("q151_ivf_append" -> oraclesBase("q125_similarity_ivf")) +
+    // q168 streams the EMA mart via state-seeded micro-batches; its
+    // output is the FULL family panel (historical + streamed days),
+    // so q43's recursive-CTE oracle — the whole recursion replayed
+    // from day 1 — is the gate: a hash match directly proves the
+    // seeded stream equals the scratch derive, with no containment
+    // or seeding assumption on the oracle side
+    ("q168_stream_ema_append" -> oraclesBase("q43_factor_ema"))
 }

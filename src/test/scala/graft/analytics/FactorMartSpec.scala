@@ -168,6 +168,61 @@ class FactorMartSpec extends SparkSpec {
     }
   }
 
+  test("a mart with comma-carrying column types validates and is reused") {
+    // r17 ADVICE 2 regression: validation used to re-split the
+    // serialized name:type string on ',' — a decimal(p,s) (or
+    // array<>/struct<>) column mis-parsed and the mart failed
+    // validation FOREVER, silently rebuilding every session. The
+    // column check now compares parsed StructType field names.
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_root").toString
+    try {
+      val ds = FactorQueries.MartDataset("dectest", "v1",
+        (ss, d) => graft.sources.Quotes.panel(ss, d)
+          .select(col("stock"), col("day"),
+            col("close").cast("decimal(12,4)").as("px_dec")),
+        Seq("stock", "day", "px_dec"))
+      val p = FactorQueries.buildMartAt(spark, dir, ds, Some(root))
+      assert(FactorQueries.martValid(spark, p, ds, dir),
+        "decimal-typed mart must validate (comma in simpleString)")
+      val martDir = new java.io.File(p)
+      val stamps = martDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      val p2 = FactorQueries.buildMartAt(spark, dir, ds, Some(root))
+      assert(p2 == p)
+      val after = martDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      assert(after == stamps, "decimal-typed mart was rebuilt instead of reused")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("a regenerated source file (same name+size, new mtime) invalidates the mart") {
+    // r17 ADVICE 3: size-only fingerprints validate a stale mart as
+    // fresh when a source dir is regenerated with identical file
+    // names and byte sizes but different content — mtime is the
+    // listing-only signal that catches it
+    val t = java.nio.file.Files.createTempDirectory("graft_mart_src")
+    val root = java.nio.file.Files.createTempDirectory("graft_mart_root").toString
+    try {
+      val srcDir = java.nio.file.Files.createDirectories(t.resolve("data"))
+      val ev = srcDir.resolve("events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"), ev)
+      val ds = FactorQueries.valueDataset
+      val p = FactorQueries.buildMartAt(spark, srcDir.toString, ds, Some(root))
+      assert(FactorQueries.martValid(spark, p, ds, srcDir.toString))
+      // "regenerate" the source: same bytes, same size — only the
+      // write time moves (the adversarial same-size case)
+      java.nio.file.Files.setLastModifiedTime(ev,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(ev).toMillis + 60000))
+      assert(!FactorQueries.martValid(spark, p, ds, srcDir.toString),
+        "same-size regenerated source must invalidate the mart")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(t.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("same-basename source dirs get DISTINCT persistent mart paths") {
     // r16 ADVICE item 1: /a/sf0.1 and /b/sf0.1 must never share a
     // mart — the path carries a canonical-path digest (and the

@@ -63,6 +63,95 @@ class StreamMartSpec extends SparkSpec {
       streamed.zip(expected).find { case (a, b) => a != b }.toString)
   }
 
+  // ---- q168: the EMA family (recursive state — r17 verdict ask #6).
+  // Technical factors are exact under a bounded tail by frame
+  // containment; EMA registers look back over the ENTIRE history, so
+  // q168 seeds each batch from a stored per-stock register snapshot.
+  // These pins are the seeding rule's proof obligations.
+
+  private def scratchEma = {
+    import org.apache.spark.sql.Row
+    graft.factors.EmaFamily.compute(graft.sources.Quotes.panel(spark, dir))
+      .select((Seq(col("stock"), col("day")) ++
+        graft.factors.EmaFamily.columns.map(col)): _*)
+      .orderBy("stock", "day")
+      .collect().map((r: Row) => r.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }.toVector).toVector
+  }
+
+  private def martBits(root: String) = {
+    import org.apache.spark.sql.Row
+    spark.read.parquet(s"$root/mart")
+      .select((Seq(col("stock"), col("day").cast("long").as("day")) ++
+        graft.factors.EmaFamily.columns.map(col)): _*)
+      .orderBy("stock", "day")
+      .collect().map((r: Row) => r.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }.toVector).toVector
+  }
+
+  test("q168: state-seeded streamed EMA mart is BIT-identical to the scratch recursion") {
+    // no rounding on either side: the seed stores raw IEEE-754
+    // registers and both paths advance the same EmaState.step, so
+    // every streamed double must match the full-history recursion to
+    // the last bit — the strongest form of the seeding-rule claim
+    val root = graft.TempDirs.scratch("graft_q168_spec")
+    val out = FactorQueries.streamEmaMartAppendRun(spark, dir, root)
+    assert(out.count() > 0)
+    val streamed = martBits(root)
+    val expected = scratchEma
+    assert(streamed.nonEmpty && streamed.size == expected.size)
+    assert(streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
+  test("q168 crash after a mid-stream batch's writes, restart: mart and state recover") {
+    // the widest at-least-once window, on the operator where a retry
+    // has a NEW corruption axis: batch 1's first execution already
+    // wrote its end-day state snapshot — the retry must seed from
+    // day d1-1 (the `day < d1` bound), not from its own snapshot,
+    // or every register would advance twice
+    val root = graft.TempDirs.scratch("graft_q168_retry")
+    val start = FactorQueries.streamEmaMartHarness(spark, dir, root)
+    start(Some(1L)) // dies after batch 1's three writes, before commit
+    start(None)     // resume on the same checkpoint: batch 1 retries
+    assert(martBits(root) == scratchEma)
+  }
+
+  test("q168 appends new day/state partitions only; history and old snapshots untouched") {
+    val root = graft.TempDirs.scratch("graft_q168_hist")
+    def snapshot(sub: String): Map[String, Long] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/$sub"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      } finally st.close()
+    }
+    var hist = Map.empty[String, Long]
+    var histState = Map.empty[String, Long]
+    FactorQueries.streamEmaMartAppendRun(spark, dir, root,
+      afterHistorical = () => { hist = snapshot("mart"); histState = snapshot("state") })
+      .collect()
+    val after = snapshot("mart")
+    assert(hist.nonEmpty && after.size > hist.size)
+    hist.foreach { case (path, size) =>
+      assert(after.get(path).contains(size), s"historical file rewritten: $path")
+    }
+    // the state store accretes one snapshot per batch; the historical
+    // day-`cut` snapshot (the one every retry of batch 0 re-seeds
+    // from) is never rewritten
+    val stateAfter = snapshot("state")
+    assert(histState.nonEmpty && stateAfter.size == histState.size + 3,
+      s"expected 3 new snapshots, got ${stateAfter.size - histState.size}")
+    histState.foreach { case (path, size) =>
+      assert(stateAfter.get(path).contains(size), s"seed snapshot rewritten: $path")
+    }
+  }
+
   test("the append writes NEW day partitions only; history untouched") {
     val root = graft.TempDirs.scratch("graft_q167_spec")
     def snapshot(): Map[String, Long] = {
