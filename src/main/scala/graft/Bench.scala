@@ -32,17 +32,16 @@ object Bench {
     } catch { case _: Exception => -1.0 }
     finally if (src != null) src.close()
   }
-  /** 3-decimal JSON number: keeps the final line compact enough to
-    * survive the driver's log-tail capture (the r10 sf0.1 map was
-    * truncated out of the artifact). */
-  private def r3(d: Double): String =
-    if (d.isNaN) "-1" else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-  private def r2(d: Double): String =
-    if (d.isNaN) "-1" else BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-  private def r1(d: Double): String =
-    if (d.isNaN) "-1" else BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-  private def r0(d: Double): String =
-    if (d.isNaN) "-1" else BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
+  /** Fixed-scale JSON number with the -1 NaN sentinel: keeps the
+    * final line compact enough to survive the driver's log-tail
+    * capture (the r10 sf0.1 map was truncated out of the artifact). */
+  private def rScale(d: Double, scale: Int): String =
+    if (d.isNaN) "-1"
+    else BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+  private def r3(d: Double): String = rScale(d, 3)
+  private def r2(d: Double): String = rScale(d, 2)
+  private def r1(d: Double): String = rScale(d, 1)
+  private def r0(d: Double): String = rScale(d, 0)
 
   private val EntryNum = "^q(\\d+)_.*".r
   /** Compact artifact key: `q34_jaccard_pairs` → `34` (entry numbers
@@ -249,21 +248,34 @@ object Bench {
   /** Merge-write this run's record under its sf key; other sf keys
     * in an existing sidecar are preserved. `record` is a complete
     * JSON object (built by [[Bench.main]] with full-name per-entry
-    * walls/cpu/load detail — no byte ceiling applies here). */
+    * walls/cpu/load detail — no byte ceiling applies here).
+    * Publication is temp-file + ATOMIC_MOVE so a crash mid-write can
+    * never leave a torn sidecar whose next merge-read silently drops
+    * the other sf records; an existing-but-unparseable file (an
+    * external tear) is preserved as `.corrupt` instead of clobbered. */
   private[graft] def writeSelfBench(sfDir: String, record: String,
       dir: String = "."): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val f = new java.io.File(dir, selfBenchName)
-    val root: com.fasterxml.jackson.databind.node.ObjectNode =
-      (if (f.isFile)
-         try mapper.readTree(f) match {
-           case o: com.fasterxml.jackson.databind.node.ObjectNode => Some(o)
-           case _ => None
-         } catch { case _: Exception => None }
-       else None).getOrElse(mapper.createObjectNode())
+    val existing: Option[com.fasterxml.jackson.databind.node.ObjectNode] =
+      if (!f.isFile) None
+      else try mapper.readTree(f) match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => Some(o)
+        case _ => None
+      } catch { case _: Exception => None }
+    if (f.isFile && existing.isEmpty)
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(dir, selfBenchName + ".corrupt").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val root = existing.getOrElse(mapper.createObjectNode())
     root.set[com.fasterxml.jackson.databind.JsonNode](
       sfDir, mapper.readTree(record))
-    java.nio.file.Files.writeString(f.toPath, root.toString + "\n")
+    val tmp = new java.io.File(dir,
+      s"$selfBenchName.tmp-${ProcessHandle.current.pid}")
+    java.nio.file.Files.writeString(tmp.toPath, root.toString + "\n")
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -615,7 +627,8 @@ object Bench {
           "q125_similarity_ivf", "q127_incremental_dedup",
           "q134_index_writeback", "q137_kmeans_train",
           "q148_curation_pipeline", "q150_index_compaction",
-          "q151_ivf_append", "q167_stream_mart_append")
+          "q151_ivf_append", "q167_stream_mart_append",
+          "q168_stream_ema_append")
         def once(n: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
           val t = System.nanoTime()
           try { fn(spark, sf2Dir).write.format("noop").mode("overwrite").save()

@@ -435,7 +435,13 @@ object FactorQueries {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val d1 = batch.agg(min("day")).head().getLong(0)
+          val mb = batch.agg(min("day")).head()
+          // an EMPTY micro-batch (no stock traded in the replay
+          // window) maintains nothing — commit and move on (q168's
+          // guard; the tail-restricted DAG is day-stateless so no
+          // seeding rule is affected here)
+          if (!mb.isNullAt(0)) {
+          val d1 = mb.getLong(0)
           // tail read: the 25-day context window STRICTLY BELOW the
           // batch — filter on the partition column BEFORE the cast so
           // pruning reaches the file listing (q129's pattern). The
@@ -457,6 +463,7 @@ object FactorQueries {
             .option("partitionOverwriteMode", "dynamic").parquet(s"$root/mart")
           batch.repartition(col("day")).write.partitionBy("day").mode("overwrite")
             .option("partitionOverwriteMode", "dynamic").parquet(s"$root/bars")
+          } // end non-empty-batch body
           if (failAfterWritesOf.contains(batchId))
             throw new RuntimeException(
               s"injected crash: batch $batchId wrote, not yet committed")
@@ -548,8 +555,18 @@ object FactorQueries {
     * first execution already wrote. */
   private[analytics] def streamEmaMartHarness(s: SparkSession, dir: String,
       root: String, afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit =
+    streamEmaMartHarnessPanel(s, Quotes.panel(s, dir), root, afterHistorical)
+
+  /** Panel-injectable q168 harness (spec hook): StreamMartSpec feeds
+    * a panel with a mid-stream PER-STOCK trading gap to pin the two
+    * suspension axes — the batch-end snapshot must stay TOTAL over
+    * known stocks, and the window-input tail must be row-depth, not
+    * day-depth. */
+  private[analytics] def streamEmaMartHarnessPanel(s: SparkSession,
+      panel: DataFrame, root: String,
+      afterHistorical: () => Unit = () => ())
       : Option[Long] => Unit = {
-    val panel = Quotes.panel(s, dir)
     val maxDay = panel.agg(max("day")).head().getLong(0)
     val cut = maxDay - 15
     panel.filter(col("day") <= cut)
@@ -568,11 +585,16 @@ object FactorQueries {
           EmaFamily.columns.map(col): _*)
         .repartition(col("day"))
         .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
-      // the snapshot is entity-sized (one row per stock with ≥ cut
-      // days) — a single file per snapshot day
-      hist.filter(col("day") === cut)
-        .select(Seq(col("stock"), col("day")) ++
-          EmaFamily.stateColumns.map(col): _*)
+      // the snapshot is entity-sized and TOTAL: each stock's LAST
+      // historical state (not just rows landing exactly on day
+      // `cut`) — a stock whose bars pause before the cut must still
+      // carry registers into the stream, or its EMA chains restart
+      // from scratch when it resumes (the register-reset divergence)
+      val wHist = Window.partitionBy("stock").orderBy(col("day").desc)
+      hist.withColumn("rn", row_number().over(wHist))
+        .filter(col("rn") === 1)
+        .select(Seq(col("stock")) ++ EmaFamily.stateColumns.map(col): _*)
+        .withColumn("day", lit(cut))
         .coalesce(1)
         .write.partitionBy("day").mode("overwrite").parquet(s"$root/state")
     } finally { hist.unpersist(); () }
@@ -590,22 +612,44 @@ object FactorQueries {
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val bounds = batch.agg(min("day"), max("day")).head()
+          // an EMPTY micro-batch (a replay window in which no stock
+          // traded) maintains nothing: commit it and move on — the
+          // next batch's seeding rule below spans the barless days
+          if (!bounds.isNullAt(0)) {
           val d1 = bounds.getLong(0); val dEnd = bounds.getLong(1)
-          // window-input tail: 8 days strictly below the batch; the
-          // `day < d1` bound doubles as the retry guard (a retried
-          // batch finds its own append in the bars store)
+          // window-input tail: the kernel's lookbacks are ROW frames
+          // (kdj-rsv = 9 rows, force-fin lag = 1 row), so under a
+          // per-stock trading gap "8 days" ≠ "8 rows" — read a
+          // 25-day partition-pruned horizon, then keep the last 8
+          // ROWS per stock strictly below the batch. The `day < d1`
+          // bound doubles as the retry guard (a retried batch finds
+          // its own append in the bars store); the fixed horizon is
+          // what bounds the scan at 100 TB and absorbs suspensions
+          // up to 16 trading days — a longer one needs a wider
+          // horizon, not a different mechanism
+          val wTail = Window.partitionBy("stock").orderBy(col("day").desc)
           val tail = s.read.parquet(s"$root/bars")
-            .filter(col("day") > d1 - 9 && col("day") < d1)
+            .filter(col("day") > d1 - 25 && col("day") < d1)
             .withColumn("day", col("day").cast("long"))
             .select(batch.schema.fieldNames.map(col): _*)
-          // latest snapshot strictly below the batch — the seeding
-          // rule: sd must be the eve of the batch start
+            .withColumn("rn", row_number().over(wTail))
+            .filter(col("rn") <= 8).drop("rn")
+          // latest snapshot strictly below the batch. SEEDING RULE:
+          // the snapshot must cover every STORED BAR below the batch
+          // — registers only advance on bars, so a snapshot older
+          // than d1-1 is still exact across barless days (an empty
+          // replay window), but a bar NEWER than the snapshot would
+          // mean unsnapshotted recursion steps (every non-empty
+          // batch snapshots its end day, so this can only trip on
+          // external store surgery — fail loudly, don't corrupt)
           val snaps = s.read.parquet(s"$root/state")
             .withColumn("day", col("day").cast("long"))
             .filter(col("day") < d1)
           val sd = snaps.agg(max("day")).head().getLong(0)
-          require(sd == d1 - 1,
-            s"seed snapshot at day $sd must be the eve of batch start $d1")
+          val lastBar = tail.agg(max("day")).head()
+          require(lastBar.isNullAt(0) || sd >= lastBar.getLong(0),
+            s"seed snapshot at day $sd misses bars up to ${lastBar.get(0)} " +
+              s"below batch start $d1")
           val st = snaps.filter(col("day") === sd).drop("day")
           val f = EmaFamily.computeSeeded(tail.unionByName(batch), Some(st),
             fromDay = Some(d1))
@@ -616,11 +660,22 @@ object FactorQueries {
               .repartition(col("day"))
               .write.partitionBy("day").mode("overwrite")
               .option("partitionOverwriteMode", "dynamic").parquet(s"$root/mart")
-            // stocks whose history ends mid-batch drop out of the
-            // snapshot — correct: they have no rows in later batches
-            f.filter(col("day") === dEnd)
-              .select(Seq(col("stock"), col("day")) ++
-                EmaFamily.stateColumns.map(col): _*)
+            // batch-end snapshot stays TOTAL over known stocks: each
+            // batch stock's LAST state (a stock halting mid-batch
+            // keeps its registers) unioned with the PRIOR snapshot's
+            // rows for stocks absent from this batch — a suspended
+            // stock re-seeds from where it paused when it resumes,
+            // never from scratch (dEnd-only snapshots would reset
+            // its chains and break bit-identity with the scratch
+            // derive; pinned by the gapped-panel StreamMartSpec case)
+            val wLast = Window.partitionBy("stock").orderBy(col("day").desc)
+            val lastPer = f.withColumn("rn", row_number().over(wLast))
+              .filter(col("rn") === 1)
+              .select(Seq(col("stock")) ++ EmaFamily.stateColumns.map(col): _*)
+            val carried = st.join(lastPer.select("stock"), Seq("stock"), "left_anti")
+              .select(Seq(col("stock")) ++ EmaFamily.stateColumns.map(col): _*)
+            lastPer.unionByName(carried)
+              .withColumn("day", lit(dEnd))
               .coalesce(1)
               .write.partitionBy("day").mode("overwrite")
               .option("partitionOverwriteMode", "dynamic").parquet(s"$root/state")
@@ -628,6 +683,7 @@ object FactorQueries {
               .write.partitionBy("day").mode("overwrite")
               .option("partitionOverwriteMode", "dynamic").parquet(s"$root/bars")
           } finally { f.unpersist(); () }
+          } // end non-empty-batch body
           if (failAfterWritesOf.contains(batchId))
             throw new RuntimeException(
               s"injected crash: batch $batchId wrote, not yet committed")

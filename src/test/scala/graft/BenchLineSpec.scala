@@ -219,6 +219,15 @@ class BenchLineSpec extends AnyFunSuite {
     val w3 = Bench.previousArtifactWalls("/root/testdata/sf0.1",
       searchDir = dir.getAbsolutePath)
     assert(w3.get("01").contains(0.659), w3.toString)
+    // and a merge-write over the corrupt file preserves it as
+    // .corrupt forensics instead of silently absorbing the tear
+    Bench.writeSelfBench("/root/testdata/sf0.1",
+      """{"sf":"/root/testdata/sf0.1","queries":{"q01_pricing_summary":{"w":0.5,"c":1.0,"l":1.0,"r":false}}}""",
+      dir = dir.getAbsolutePath)
+    assert(new java.io.File(dir, Bench.selfBenchName + ".corrupt").isFile)
+    val w4 = Bench.previousArtifactWalls("/root/testdata/sf0.1",
+      searchDir = dir.getAbsolutePath)
+    assert(w4.get("01").contains(0.5), w4.toString)
   }
 
   test("previousArtifactWalls live smoke: newest artifact parses, key-agnostic") {
