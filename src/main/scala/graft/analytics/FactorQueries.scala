@@ -702,6 +702,127 @@ object FactorQueries {
     }
   }
 
+  /** q169: STREAMING maintenance of the ALPHA mart — the third
+    * family axis of the maintenance pattern (q167 technical /
+    * q168 recursive-EMA / here a BOUNDED-LOOKBACK alpha slice),
+    * completing the reference factor plane's nightly loop: its
+    * `factor_alphas_daily` wide table (`factor_db_ddl.md:18-31`) is
+    * maintained daily exactly like the basic-factor tables.
+    *
+    * The slice is the seven alphas whose dependency chains are pure
+    * per-row math, lags ≤ 9, a 9-row ts_rank, and PER-DAY
+    * cross-sectional ranks: alpha_004/012/020/033/042/053/101
+    * ([[streamAlphaSlice]]). Per batch (q167's recipe): read the
+    * 25-day FULL-DAY tail strictly below the batch, run the slice
+    * kernel [[graft.factors.Alpha101.computeStreamSlice]] over
+    * tail ∪ batch, keep day ≥ d1, append mart + bars day partitions
+    * with dynamic overwrite. The slice kernel exists because the
+    * FULL 500-column DAG costs ~10 s of Catalyst ANALYSIS per plan
+    * and the stream plans 4 times (a flat 41 s entry at every SF);
+    * the ~15-column slice plans in milliseconds, and StreamMartSpec
+    * pins it BIT-identical to the full [[graft.factors.Alpha101.compute]]
+    * DAG so the two definitions cannot drift. Exactness is by frame containment — deepest
+    * row lookback 10 (alpha_053's lag 9) ≪ the 25-day tail — plus
+    * CROSS-SECTION completeness: the day-partitioned bars store
+    * holds every stock's bar for a tail day, so the per-day ranks
+    * (alpha_004's rank(low), alpha_033/042's output ranks) see the
+    * same cross-section a full-history run sees. The oracle is the
+    * FULL-history q90 chain restricted to the slice columns
+    * (q168's precedent): a hash match directly proves streamed ==
+    * scratch with no containment assumption on the oracle side.
+    *
+    * The day-based tail is the q167 convention: XS ranks need full
+    * DAYS, so a per-stock suspension longer than the tail horizon
+    * needs a WIDER horizon (unlike q168, whose per-stock recursions
+    * admit the row-depth tail fix — cross-sections don't). At
+    * 100 TB: one 25-day pruned tail read + one day-partition write
+    * per store per day, independent of history depth; retry
+    * idempotence by layout exactly as q167. */
+  private[graft] val streamAlphaSlice: Seq[String] = Seq(
+    "alpha_004", "alpha_012", "alpha_020", "alpha_033", "alpha_042",
+    "alpha_053", "alpha_101")
+
+  def streamAlphaMartAppend: Q = (s, dir) =>
+    streamAlphaMartAppendRun(s, dir,
+      graft.TempDirs.scratch("graft_stream_alpha_mart", preferShm = true))
+
+  /** The q169 pipeline with the scratch root exposed (spec hook). */
+  private[analytics] def streamAlphaMartAppendRun(s: SparkSession, dir: String,
+      root: String, afterHistorical: () => Unit = () => ()): DataFrame = {
+    val start = streamAlphaMartHarness(s, dir, root, afterHistorical)
+    start(None)
+    s.read.parquet(s"$root/mart")
+      .select(Seq(col("stock"), col("day").cast("long").as("day")) ++
+        streamAlphaSlice.map(r6): _*)
+      .orderBy("stock", "day")
+  }
+
+  /** q169 harness: q167's shape with the Alpha101 DAG. */
+  private[analytics] def streamAlphaMartHarness(s: SparkSession, dir: String,
+      root: String, afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit = {
+    val panel = Quotes.panel(s, dir)
+    val maxDay = panel.agg(max("day")).head().getLong(0)
+    val cut = maxDay - 15
+    panel.filter(col("day") <= cut)
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/bars")
+    val sliceCols = Seq(col("stock"), col("day")) ++ streamAlphaSlice.map(col)
+    Alpha101.computeStreamSlice(
+        s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
+      .select(sliceCols: _*)
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+    afterHistorical()
+    val schema = (0 until 3).map { i =>
+      val b = panel.filter(col("day") > cut + 5 * i && col("day") <= cut + 5 * (i + 1))
+      b.coalesce(1).write.parquet(s"$root/in/b$i")
+      b.schema
+    }.head
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+    (failAfterWritesOf: Option[Long]) => {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val mb = batch.agg(min("day")).head()
+          if (!mb.isNullAt(0)) {
+          val d1 = mb.getLong(0)
+          // FULL-DAY tail (not row-truncated): the slice's per-day
+          // cross-sectional ranks need every stock's bar for a tail
+          // day; `day < d1` is the at-least-once retry guard (q167)
+          val tail = s.read.parquet(s"$root/bars")
+            .filter(col("day") > d1 - 25 && col("day") < d1)
+            .withColumn("day", col("day").cast("long"))
+            .select(batch.schema.fieldNames.map(col): _*)
+          Alpha101.computeStreamSlice(tail.unionByName(batch))
+            .filter(col("day") >= d1)
+            .select(sliceCols: _*)
+            .repartition(col("day"))
+            .write.partitionBy("day").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/mart")
+          batch.repartition(col("day"))
+            .write.partitionBy("day").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/bars")
+          } // end non-empty-batch body
+          if (failAfterWritesOf.contains(batchId))
+            throw new RuntimeException(
+              s"injected crash: batch $batchId wrote, not yet committed")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if failAfterWritesOf.isDefined &&
+              (Option(e.getMessage).exists(_.contains("injected crash")) ||
+                Option(e.getCause).flatMap(c => Option(c.getMessage))
+                  .exists(_.contains("injected crash"))) => ()
+      }
+    }
+  }
+
   /** q49: kline replay around an anchor day
     * (`app/Quantlib/QuantDB.py:207-224`): day-offset re-index in
     * [-10, +20] around day 30 per stock, close normalized to the
@@ -1474,6 +1595,7 @@ object FactorQueries {
     "q129_incremental_factors" -> incrementalFactors,
     "q167_stream_mart_append" -> streamMartAppend,
     "q168_stream_ema_append" -> streamEmaMartAppend,
+    "q169_stream_alpha_append" -> streamAlphaMartAppend,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
     "q56_factor_snapshot" -> factorSnapshot,
@@ -3000,5 +3122,10 @@ object FactorQueries {
     // from day 1 — is the gate: a hash match directly proves the
     // seeded stream equals the scratch derive, with no containment
     // or seeding assumption on the oracle side
-    ("q168_stream_ema_append" -> oraclesBase("q43_factor_ema"))
+    ("q168_stream_ema_append" -> oraclesBase("q43_factor_ema")) +
+    // q169 streams the alpha-slice mart; the oracle is the FULL
+    // q90 chain restricted to the slice columns — the hash match
+    // directly proves the tail-restricted stream equals the
+    // full-history derive (the q168 gate precedent)
+    ("q169_stream_alpha_append" -> alphaBatchOracle(streamAlphaSlice))
 }

@@ -39,6 +39,43 @@ object Alpha101 {
   private val W = Window.partitionBy("stock").orderBy("day")
   private def t(d: Int) = W.rowsBetween(-(d - 1), 0)
 
+  /** q169's streamed-slice kernel: ONLY the seven bounded-lookback
+    * alphas of the streamed alpha mart
+    * (`FactorQueries.streamAlphaSlice`), expressed with the SAME
+    * private helpers (div / q20 / tsRankAvg / W) and the same
+    * expression text as [[compute]]'s stages — but as a ~15-column
+    * plan instead of the ~500-column full DAG, whose Catalyst
+    * ANALYSIS alone costs ~10 s per plan: the maintenance stream
+    * plans 4 times (historical + 3 batches), which made the q169
+    * entry a flat 41 s at every SF. XS ranks use [[XsOps.rankPct]]
+    * directly — the single-window form of the MultiRank batched
+    * pass (same values by construction). Bit-identity of every
+    * slice column against the full [[compute]] DAG is pinned by
+    * StreamMartSpec, so the two definitions cannot drift silently. */
+  def computeStreamSlice(quotes: DataFrame): DataFrame = {
+    def xr(x: Column): Column = XsOps.rankPct(x, col("day"))
+    val vw = q20(col("vwap"))
+    quotes
+      .withColumn("dc1", col("close") - lag(col("close"), 1).over(W))
+      .withColumn("dv1", (col("volume") - lag(col("volume"), 1).over(W)).cast(DoubleType))
+      .withColumn("ophl", col("open") - lag(col("high"), 1).over(W))
+      .withColumn("opcl", col("open") - lag(col("close"), 1).over(W))
+      .withColumn("opll", col("open") - lag(col("low"), 1).over(W))
+      .withColumn("kline", div((col("close") - col("low")) - (col("high") - col("close")),
+        col("close") - col("low")))
+      .withColumn("a53", -(col("kline") - lag(col("kline"), 9).over(W)))
+      .withColumn("r_low", xr(col("low")))
+      .withColumn("tsr_low9", tsRankAvg(col("r_low"), 9))
+      .withColumn("alpha_004", -col("tsr_low9"))
+      .withColumn("alpha_012", signum(col("dv1")) * -col("dc1"))
+      .withColumn("alpha_020", -xr(col("ophl")) * xr(col("opcl")) * xr(col("opll")))
+      .withColumn("alpha_033", xr(-(lit(1.0) - div(col("open"), col("close")))))
+      .withColumn("alpha_042", div(xr(vw - col("close")), xr(vw + col("close"))))
+      .withColumn("alpha_053", col("a53"))
+      .withColumn("alpha_101",
+        (col("close") - col("open")) / (col("high") - col("low") + lit(0.001)))
+  }
+
   private def div(num: Column, den: Column): Column =
     when(den =!= 0.0, num / den)
 

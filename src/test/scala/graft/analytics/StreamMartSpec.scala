@@ -185,6 +185,57 @@ class StreamMartSpec extends SparkSpec {
     }
   }
 
+  // ---- q169: the alpha slice (bounded lookbacks + per-day
+  // cross-sectional ranks — the tail must be FULL DAYS so the XS
+  // ranks see complete cross-sections).
+
+  private def scratchAlphaSlice = {
+    import org.apache.spark.sql.Row
+    graft.factors.Alpha101.compute(graft.sources.Quotes.panel(spark, dir))
+      .select((Seq(col("stock"), col("day")) ++
+        FactorQueries.streamAlphaSlice.map(col)): _*)
+      .orderBy("stock", "day")
+      .collect().map((r: Row) => r.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }.toVector).toVector
+  }
+
+  private def alphaMartBits(root: String) = {
+    import org.apache.spark.sql.Row
+    spark.read.parquet(s"$root/mart")
+      .select((Seq(col("stock"), col("day").cast("long").as("day")) ++
+        FactorQueries.streamAlphaSlice.map(col)): _*)
+      .orderBy("stock", "day")
+      .collect().map((r: Row) => r.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }.toVector).toVector
+  }
+
+  test("q169: streamed alpha-slice mart is BIT-identical to the full-history DAG") {
+    // frame containment (lags ≤ 9 vs a 25-day tail) + cross-section
+    // completeness (day-partitioned bars hold every stock's bar for
+    // a tail day) make the streamed rows equal the scratch Alpha101
+    // run to the last bit — no rounding on either side here
+    val root = graft.TempDirs.scratch("graft_q169_spec")
+    val out = FactorQueries.streamAlphaMartAppendRun(spark, dir, root)
+    assert(out.count() > 0)
+    val streamed = alphaMartBits(root)
+    val expected = scratchAlphaSlice
+    assert(streamed.nonEmpty && streamed.size == expected.size)
+    assert(streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
+  test("q169 crash after a batch's writes, restart: mart recovers") {
+    val root = graft.TempDirs.scratch("graft_q169_retry")
+    val start = FactorQueries.streamAlphaMartHarness(spark, dir, root)
+    start(Some(1L)) // dies after batch 1's writes, before its commit
+    start(None)     // resume: batch 1 retries, `day < d1` guards it
+    assert(alphaMartBits(root) == scratchAlphaSlice)
+  }
+
   test("the append writes NEW day partitions only; history untouched") {
     val root = graft.TempDirs.scratch("graft_q167_spec")
     def snapshot(): Map[String, Long] = {
