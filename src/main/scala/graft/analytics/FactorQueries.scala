@@ -396,34 +396,36 @@ object FactorQueries {
       .orderBy("stock", "day")
   }
 
-  /** q167 harness: builds the scaffolding ONCE under `root` and
-    * returns a start function; each invocation runs one
+  /** Shared scaffolding for the three streaming factor-mart
+    * maintenance harnesses (q167 technical / q168 EMA / q169 alpha
+    * slice — one copy after the r18 review flagged the triplication):
+    * the day-partitioned bars store over `day <= cut`, the
+    * historical-build hook, three 5-day replay files (sequential
+    * writes → increasing mod times → replayed oldest-first, one
+    * micro-batch each — the q95+ convention; batch order is what
+    * makes the oracles deterministic), and the start function. Each
+    * invocation of the returned function runs one
     * `Trigger.AvailableNow` pass against the SAME checkpoint, so the
-    * restart-recovery pin can kill a run mid-stream and resume it
+    * restart-recovery pins can kill a run mid-stream and resume it
     * (q156's harness shape). `failAfterWritesOf` injects a crash
-    * AFTER that batch's two store writes land but BEFORE its
-    * checkpoint commit — the widest at-least-once retry window. */
-  private[analytics] def streamMartHarness(s: SparkSession, dir: String,
-      root: String, afterHistorical: () => Unit = () => ())
-      : Option[Long] => Unit = {
-    val panel = Quotes.panel(s, dir)
+    * AFTER that batch's store writes land but BEFORE its checkpoint
+    * commit — the widest at-least-once retry window. An EMPTY
+    * micro-batch (no stock traded in the replay window) maintains
+    * nothing and just commits. Retry/idempotence mechanics (the
+    * `day < d1` guards, dynamic partition overwrite) live in each
+    * operator's `onBatch` — they are operator semantics, not
+    * scaffolding. */
+  private def streamScaffold(s: SparkSession, panel: DataFrame, root: String,
+      afterHistorical: () => Unit,
+      buildHistorical: Long => Unit,
+      onBatch: (DataFrame, Long) => Unit): Option[Long] => Unit = {
     val maxDay = panel.agg(max("day")).head().getLong(0)
     val cut = maxDay - 15
-    // the bars store: historical days, day-partitioned (q129's layout)
     panel.filter(col("day") <= cut)
       .repartition(col("day"))
       .write.partitionBy("day").mode("overwrite").parquet(s"$root/bars")
-    // the historical factor mart over the stored bars
-    Technical.compute(
-        s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
-      .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
-        col("cci_14"))
-      .repartition(col("day"))
-      .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+    buildHistorical(cut)
     afterHistorical()
-    // three 5-day replay files: sequential writes → increasing mod
-    // times → replayed oldest-first, one micro-batch each (the q95+
-    // convention; batch order is what makes the oracle deterministic)
     val schema = (0 until 3).map { i =>
       val b = panel.filter(col("day") > cut + 5 * i && col("day") <= cut + 5 * (i + 1))
       b.coalesce(1).write.parquet(s"$root/in/b$i")
@@ -436,34 +438,7 @@ object FactorQueries {
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val mb = batch.agg(min("day")).head()
-          // an EMPTY micro-batch (no stock traded in the replay
-          // window) maintains nothing — commit and move on (q168's
-          // guard; the tail-restricted DAG is day-stateless so no
-          // seeding rule is affected here)
-          if (!mb.isNullAt(0)) {
-          val d1 = mb.getLong(0)
-          // tail read: the 25-day context window STRICTLY BELOW the
-          // batch — filter on the partition column BEFORE the cast so
-          // pruning reaches the file listing (q129's pattern). The
-          // upper bound is the RETRY guard: foreachBatch is
-          // at-least-once, and a re-executed batch finds its own
-          // previous append already in the bars store — without
-          // `day < d1` the union would duplicate every batch row and
-          // the row-frame windows would compute corrupted factors
-          // that dynamic overwrite then writes over the mart.
-          val tail = s.read.parquet(s"$root/bars")
-            .filter(col("day") > d1 - 25 && col("day") < d1)
-            .withColumn("day", col("day").cast("long"))
-            .select(batch.schema.fieldNames.map(col): _*)
-          val f = Technical.compute(tail.unionByName(batch))
-            .filter(col("day") >= d1)
-            .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
-              col("cci_14"))
-          f.repartition(col("day")).write.partitionBy("day").mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/mart")
-          batch.repartition(col("day")).write.partitionBy("day").mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/bars")
-          } // end non-empty-batch body
+          if (!mb.isNullAt(0)) onBatch(batch, mb.getLong(0))
           if (failAfterWritesOf.contains(batchId))
             throw new RuntimeException(
               s"injected crash: batch $batchId wrote, not yet committed")
@@ -474,7 +449,7 @@ object FactorQueries {
       try q.awaitTermination()
       catch {
         // the injected crash surfaces as a query failure — exactly a
-        // driver death between the two store writes and the commit
+        // driver death between the store writes and the commit
         case e: org.apache.spark.sql.streaming.StreamingQueryException
             if failAfterWritesOf.isDefined &&
               (Option(e.getMessage).exists(_.contains("injected crash")) ||
@@ -483,6 +458,46 @@ object FactorQueries {
       }
     }
   }
+
+  /** Day-partition write shared by the three harnesses' stores. */
+  private def writeDayPartitions(df: DataFrame, path: String): Unit =
+    df.repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(path)
+
+  /** q167 harness on [[streamScaffold]]: per non-empty batch, one
+    * 25-day tail read strictly below the batch (`day < d1` is the
+    * at-least-once retry guard: a re-executed batch finds its own
+    * previous append already in the bars store — without it the
+    * union would duplicate every batch row and the row-frame windows
+    * would compute corrupted factors that dynamic overwrite then
+    * writes over the mart), the tail-restricted Technical DAG, and
+    * two dynamic-overwrite day-partition writes. The filter rides
+    * the partition column BEFORE the cast so pruning reaches the
+    * file listing (q129's pattern). */
+  private[analytics] def streamMartHarness(s: SparkSession, dir: String,
+      root: String, afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit =
+    streamScaffold(s, Quotes.panel(s, dir), root, afterHistorical,
+      buildHistorical = _ =>
+        Technical.compute(
+            s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
+          .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
+            col("cci_14"))
+          .repartition(col("day"))
+          .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart"),
+      onBatch = (batch, d1) => {
+        val tail = s.read.parquet(s"$root/bars")
+          .filter(col("day") > d1 - 25 && col("day") < d1)
+          .withColumn("day", col("day").cast("long"))
+          .select(batch.schema.fieldNames.map(col): _*)
+        val f = Technical.compute(tail.unionByName(batch))
+          .filter(col("day") >= d1)
+          .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
+            col("cci_14"))
+        writeDayPartitions(f, s"$root/mart")
+        writeDayPartitions(batch, s"$root/bars")
+      })
 
   /** q168: STREAMING maintenance of the RECURSIVE factor family —
     * q167's foreachBatch day-append pattern extended to the EMA
@@ -499,7 +514,7 @@ object FactorQueries {
     * Per batch, inside one foreachBatch transaction: (1) read the
     * latest state snapshot STRICTLY BELOW the batch (`day < d1` — a
     * retried batch must never seed from its own previous end-day
-    * snapshot), (2) read the 8-day bar tail below the batch for the
+    * snapshot), (2) read the bar tail below the batch for the
     * WINDOW inputs only (kdj-rsv's 9-day frame, force-fin's 1-day
     * lag — bounded lookbacks, unlike the recursions), (3) run
     * [[graft.factors.EmaFamily.computeSeeded]] — which advances the
@@ -510,25 +525,25 @@ object FactorQueries {
     * its own snapshot, idempotent by layout (q167's recipe).
     *
     * SEEDING RULE (the `require` in the harness pins it): a batch
-    * starting at day d1 consumes the snapshot at day d1-1 — the
-    * historical build writes the day-`cut` snapshot, every batch
-    * writes its end-day snapshot, and the `day < d1` bound makes a
-    * crash-retry fall back to exactly the snapshot it consumed the
-    * first time. Exactness is by construction: parquet stores the
-    * registers as raw IEEE-754 bits, the ring re-sum order is
-    * preserved oldest-first, and both paths run one `step`
-    * definition — so the streamed mart is BIT-identical to a scratch
-    * full-history derive (StreamMartSpec), and the oracle replays
-    * the full recursion from day 1 (q43's recursive CTE), never
-    * leaning on the seeding argument it verifies.
+    * seeds from the latest snapshot strictly below it, and that
+    * snapshot must cover every STORED BAR below the batch —
+    * registers only advance on bars, so a snapshot older than d1-1
+    * is still exact across barless days. Exactness is by
+    * construction: parquet stores the registers as raw IEEE-754
+    * bits, the ring re-sum order is preserved oldest-first, and both
+    * paths run one `step` definition — so the streamed mart is
+    * BIT-identical to a scratch full-history derive (StreamMartSpec),
+    * and the oracle replays the full recursion from day 1 (q43's
+    * recursive CTE), never leaning on the seeding argument it
+    * verifies.
     *
-    * At 100 TB: a day's maintenance costs one 8-day partition-pruned
-    * tail read, one entity-sized state read (broadcast), and one
-    * day-partition write per store — independent of history depth.
-    * The scratch alternative replays every bar ever ingested to
-    * rebuild the unbounded registers; this is the difference between
-    * a nightly job bounded by the day's data and one bounded by the
-    * archive. */
+    * At 100 TB: a day's maintenance costs one 8-row-per-stock
+    * pruned tail read, one entity-sized state read (broadcast), and
+    * one day-partition write per store — independent of history
+    * depth. The scratch alternative replays every bar ever ingested
+    * to rebuild the unbounded registers; this is the difference
+    * between a nightly job bounded by the day's data and one bounded
+    * by the archive. */
   def streamEmaMartAppend: Q = (s, dir) =>
     streamEmaMartAppendRun(s, dir,
       graft.TempDirs.scratch("graft_stream_ema_mart", preferShm = true))
@@ -545,14 +560,6 @@ object FactorQueries {
       .orderBy("stock", "day")
   }
 
-  /** q168 harness: scaffolding once, one `Trigger.AvailableNow` pass
-    * per invocation against the same checkpoint (the q167/q156
-    * restart shape); `failAfterWritesOf` injects a crash AFTER a
-    * batch's three store writes (mart, state, bars) land but BEFORE
-    * its checkpoint commit — the widest at-least-once retry window,
-    * which for THIS operator also covers the state-store axis: the
-    * retry must re-seed from day d1-1, not from the snapshot its
-    * first execution already wrote. */
   private[analytics] def streamEmaMartHarness(s: SparkSession, dir: String,
       root: String, afterHistorical: () => Unit = () => ())
       : Option[Long] => Unit =
@@ -567,139 +574,99 @@ object FactorQueries {
       panel: DataFrame, root: String,
       afterHistorical: () => Unit = () => ())
       : Option[Long] => Unit = {
-    val maxDay = panel.agg(max("day")).head().getLong(0)
-    val cut = maxDay - 15
-    panel.filter(col("day") <= cut)
-      .repartition(col("day"))
-      .write.partitionBy("day").mode("overwrite").parquet(s"$root/bars")
-    // historical factors AND the day-`cut` register snapshot in ONE
-    // seeded pass (state = None: a from-scratch run that also
-    // exposes the state axis); the mart write materializes the
-    // persisted frame, the snapshot write reads it back from cache
-    val hist = EmaFamily.computeSeeded(
-      s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")),
-      state = None)
-    hist.persist()
-    try {
-      hist.select(Seq(col("stock"), col("day")) ++
-          EmaFamily.columns.map(col): _*)
-        .repartition(col("day"))
-        .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
-      // the snapshot is entity-sized and TOTAL: each stock's LAST
-      // historical state (not just rows landing exactly on day
-      // `cut`) — a stock whose bars pause before the cut must still
-      // carry registers into the stream, or its EMA chains restart
-      // from scratch when it resumes (the register-reset divergence)
-      val wHist = Window.partitionBy("stock").orderBy(col("day").desc)
-      hist.withColumn("rn", row_number().over(wHist))
-        .filter(col("rn") === 1)
-        .select(Seq(col("stock")) ++ EmaFamily.stateColumns.map(col): _*)
-        .withColumn("day", lit(cut))
-        .coalesce(1)
-        .write.partitionBy("day").mode("overwrite").parquet(s"$root/state")
-    } finally { hist.unpersist(); () }
-    afterHistorical()
-    // three 5-day replay files, oldest-first (q167's convention)
-    val schema = (0 until 3).map { i =>
-      val b = panel.filter(col("day") > cut + 5 * i && col("day") <= cut + 5 * (i + 1))
-      b.coalesce(1).write.parquet(s"$root/in/b$i")
-      b.schema
-    }.head
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
-    (failAfterWritesOf: Option[Long]) => {
-      val q = stream.writeStream
-        .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val bounds = batch.agg(min("day"), max("day")).head()
-          // an EMPTY micro-batch (a replay window in which no stock
-          // traded) maintains nothing: commit it and move on — the
-          // next batch's seeding rule below spans the barless days
-          if (!bounds.isNullAt(0)) {
-          val d1 = bounds.getLong(0); val dEnd = bounds.getLong(1)
-          // window-input tail: the kernel's lookbacks are ROW frames
-          // (kdj-rsv = 9 rows, force-fin lag = 1 row), so under a
-          // per-stock trading gap "8 days" ≠ "8 rows" — read a
-          // 25-day partition-pruned horizon, then keep the last 8
-          // ROWS per stock strictly below the batch. The `day < d1`
-          // bound doubles as the retry guard (a retried batch finds
-          // its own append in the bars store); the fixed horizon is
-          // what bounds the scan at 100 TB and absorbs suspensions
-          // up to 16 trading days — a longer one needs a wider
-          // horizon, not a different mechanism
-          val wTail = Window.partitionBy("stock").orderBy(col("day").desc)
-          val tail = s.read.parquet(s"$root/bars")
-            .filter(col("day") > d1 - 25 && col("day") < d1)
-            .withColumn("day", col("day").cast("long"))
-            .select(batch.schema.fieldNames.map(col): _*)
-            .withColumn("rn", row_number().over(wTail))
-            .filter(col("rn") <= 8).drop("rn")
-          // latest snapshot strictly below the batch. SEEDING RULE:
-          // the snapshot must cover every STORED BAR below the batch
-          // — registers only advance on bars, so a snapshot older
-          // than d1-1 is still exact across barless days (an empty
-          // replay window), but a bar NEWER than the snapshot would
-          // mean unsnapshotted recursion steps (every non-empty
-          // batch snapshots its end day, so this can only trip on
-          // external store surgery — fail loudly, don't corrupt)
-          val snaps = s.read.parquet(s"$root/state")
-            .withColumn("day", col("day").cast("long"))
-            .filter(col("day") < d1)
-          val sd = snaps.agg(max("day")).head().getLong(0)
-          val lastBar = tail.agg(max("day")).head()
-          require(lastBar.isNullAt(0) || sd >= lastBar.getLong(0),
-            s"seed snapshot at day $sd misses bars up to ${lastBar.get(0)} " +
-              s"below batch start $d1")
-          val st = snaps.filter(col("day") === sd).drop("day")
-          val f = EmaFamily.computeSeeded(tail.unionByName(batch), Some(st),
-            fromDay = Some(d1))
-          f.persist()
-          try {
-            f.select(Seq(col("stock"), col("day")) ++
-                EmaFamily.columns.map(col): _*)
-              .repartition(col("day"))
-              .write.partitionBy("day").mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic").parquet(s"$root/mart")
-            // batch-end snapshot stays TOTAL over known stocks: each
-            // batch stock's LAST state (a stock halting mid-batch
-            // keeps its registers) unioned with the PRIOR snapshot's
-            // rows for stocks absent from this batch — a suspended
-            // stock re-seeds from where it paused when it resumes,
-            // never from scratch (dEnd-only snapshots would reset
-            // its chains and break bit-identity with the scratch
-            // derive; pinned by the gapped-panel StreamMartSpec case)
-            val wLast = Window.partitionBy("stock").orderBy(col("day").desc)
-            val lastPer = f.withColumn("rn", row_number().over(wLast))
-              .filter(col("rn") === 1)
-              .select(Seq(col("stock")) ++ EmaFamily.stateColumns.map(col): _*)
-            val carried = st.join(lastPer.select("stock"), Seq("stock"), "left_anti")
-              .select(Seq(col("stock")) ++ EmaFamily.stateColumns.map(col): _*)
-            lastPer.unionByName(carried)
-              .withColumn("day", lit(dEnd))
-              .coalesce(1)
-              .write.partitionBy("day").mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic").parquet(s"$root/state")
-            batch.repartition(col("day"))
-              .write.partitionBy("day").mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic").parquet(s"$root/bars")
-          } finally { f.unpersist(); () }
-          } // end non-empty-batch body
-          if (failAfterWritesOf.contains(batchId))
-            throw new RuntimeException(
-              s"injected crash: batch $batchId wrote, not yet committed")
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException
-            if failAfterWritesOf.isDefined &&
-              (Option(e.getMessage).exists(_.contains("injected crash")) ||
-                Option(e.getCause).flatMap(c => Option(c.getMessage))
-                  .exists(_.contains("injected crash"))) => ()
-      }
-    }
+    val stateCols = Seq(col("stock")) ++ EmaFamily.stateColumns.map(col)
+    val factorCols = Seq(col("stock"), col("day")) ++ EmaFamily.columns.map(col)
+    streamScaffold(s, panel, root, afterHistorical,
+      buildHistorical = cut => {
+        // historical factors AND the day-`cut` register snapshot in
+        // ONE seeded pass (state = None: a from-scratch run that
+        // also exposes the state axis); the mart write materializes
+        // the persisted frame, the snapshot write reads the cache
+        val hist = EmaFamily.computeSeeded(
+          s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")),
+          state = None)
+        hist.persist()
+        try {
+          hist.select(factorCols: _*)
+            .repartition(col("day"))
+            .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+          // the snapshot is entity-sized and TOTAL: each stock's
+          // LAST historical state (not just rows landing exactly on
+          // day `cut`) — a stock whose bars pause before the cut
+          // must still carry registers into the stream, or its EMA
+          // chains restart from scratch when it resumes
+          val wHist = Window.partitionBy("stock").orderBy(col("day").desc)
+          hist.withColumn("rn", row_number().over(wHist))
+            .filter(col("rn") === 1)
+            .select(stateCols: _*)
+            .withColumn("day", lit(cut))
+            .coalesce(1)
+            .write.partitionBy("day").mode("overwrite").parquet(s"$root/state")
+        } finally { hist.unpersist(); () }
+      },
+      onBatch = (batch, d1) => {
+        val dEnd = batch.agg(max("day")).head().getLong(0)
+        // window-input tail: the kernel's lookbacks are ROW frames
+        // (kdj-rsv = 9 rows, force-fin lag = 1 row), so under a
+        // per-stock trading gap "8 days" ≠ "8 rows" — read a
+        // 25-day partition-pruned horizon, then keep the last 8
+        // ROWS per stock strictly below the batch. The `day < d1`
+        // bound doubles as the retry guard (a retried batch finds
+        // its own append in the bars store); the fixed horizon is
+        // what bounds the scan at 100 TB and absorbs suspensions
+        // up to 16 trading days — a longer one needs a wider
+        // horizon, not a different mechanism
+        val wTail = Window.partitionBy("stock").orderBy(col("day").desc)
+        val tail = s.read.parquet(s"$root/bars")
+          .filter(col("day") > d1 - 25 && col("day") < d1)
+          .withColumn("day", col("day").cast("long"))
+          .select(batch.schema.fieldNames.map(col): _*)
+          .withColumn("rn", row_number().over(wTail))
+          .filter(col("rn") <= 8).drop("rn")
+        // latest snapshot strictly below the batch. SEEDING RULE:
+        // the snapshot must cover every STORED BAR below the batch
+        // — registers only advance on bars, so a snapshot older
+        // than d1-1 is still exact across barless days (an empty
+        // replay window), but a bar NEWER than the snapshot would
+        // mean unsnapshotted recursion steps (every non-empty
+        // batch snapshots its end day, so this can only trip on
+        // external store surgery — fail loudly, don't corrupt)
+        val snaps = s.read.parquet(s"$root/state")
+          .withColumn("day", col("day").cast("long"))
+          .filter(col("day") < d1)
+        val sd = snaps.agg(max("day")).head().getLong(0)
+        val lastBar = tail.agg(max("day")).head()
+        require(lastBar.isNullAt(0) || sd >= lastBar.getLong(0),
+          s"seed snapshot at day $sd misses bars up to ${lastBar.get(0)} " +
+            s"below batch start $d1")
+        val st = snaps.filter(col("day") === sd).drop("day")
+        val f = EmaFamily.computeSeeded(tail.unionByName(batch), Some(st),
+          fromDay = Some(d1))
+        f.persist()
+        try {
+          writeDayPartitions(f.select(factorCols: _*), s"$root/mart")
+          // batch-end snapshot stays TOTAL over known stocks: each
+          // batch stock's LAST state (a stock halting mid-batch
+          // keeps its registers) unioned with the PRIOR snapshot's
+          // rows for stocks absent from this batch — a suspended
+          // stock re-seeds from where it paused when it resumes,
+          // never from scratch (dEnd-only snapshots would reset
+          // its chains and break bit-identity with the scratch
+          // derive; pinned by the gapped-panel StreamMartSpec case)
+          val wLast = Window.partitionBy("stock").orderBy(col("day").desc)
+          val lastPer = f.withColumn("rn", row_number().over(wLast))
+            .filter(col("rn") === 1)
+            .select(stateCols: _*)
+          val carried = st.join(lastPer.select("stock"), Seq("stock"), "left_anti")
+            .select(stateCols: _*)
+          lastPer.unionByName(carried)
+            .withColumn("day", lit(dEnd))
+            .coalesce(1)
+            .write.partitionBy("day").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/state")
+          writeDayPartitions(batch, s"$root/bars")
+        } finally { f.unpersist(); () }
+      })
   }
 
   /** q169: STREAMING maintenance of the ALPHA mart — the third
@@ -712,32 +679,37 @@ object FactorQueries {
     * The slice is the seven alphas whose dependency chains are pure
     * per-row math, lags ≤ 9, a 9-row ts_rank, and PER-DAY
     * cross-sectional ranks: alpha_004/012/020/033/042/053/101
-    * ([[streamAlphaSlice]]). Per batch (q167's recipe): read the
-    * 25-day FULL-DAY tail strictly below the batch, run the slice
-    * kernel [[graft.factors.Alpha101.computeStreamSlice]] over
+    * ([[streamAlphaSlice]]). Per batch (q167's recipe): read a
+    * FULL-DAY tail strictly below the batch, run the slice kernel
+    * [[graft.factors.Alpha101.computeStreamSlice]] over
     * tail ∪ batch, keep day ≥ d1, append mart + bars day partitions
     * with dynamic overwrite. The slice kernel exists because the
     * FULL 500-column DAG costs ~10 s of Catalyst ANALYSIS per plan
     * and the stream plans 4 times (a flat 41 s entry at every SF);
     * the ~15-column slice plans in milliseconds, and StreamMartSpec
     * pins it BIT-identical to the full [[graft.factors.Alpha101.compute]]
-    * DAG so the two definitions cannot drift. Exactness is by frame containment — deepest
-    * row lookback 10 (alpha_053's lag 9) ≪ the 25-day tail — plus
-    * CROSS-SECTION completeness: the day-partitioned bars store
-    * holds every stock's bar for a tail day, so the per-day ranks
-    * (alpha_004's rank(low), alpha_033/042's output ranks) see the
-    * same cross-section a full-history run sees. The oracle is the
-    * FULL-history q90 chain restricted to the slice columns
-    * (q168's precedent): a hash match directly proves streamed ==
-    * scratch with no containment assumption on the oracle side.
+    * DAG so the two definitions cannot drift. Exactness is by frame
+    * containment — deepest row lookback 10 (alpha_053's lag 9) —
+    * plus CROSS-SECTION completeness: the day-partitioned bars
+    * store holds every stock's bar for a tail day, so the per-day
+    * ranks see the same cross-section a full-history run sees. The
+    * oracle is the FULL-history q90 chain restricted to the slice
+    * columns (q168's precedent): a hash match directly proves
+    * streamed == scratch with no containment assumption on the
+    * oracle side.
     *
-    * The day-based tail is the q167 convention: XS ranks need full
-    * DAYS, so a per-stock suspension longer than the tail horizon
-    * needs a WIDER horizon (unlike q168, whose per-stock recursions
-    * admit the row-depth tail fix — cross-sections don't). At
-    * 100 TB: one 25-day pruned tail read + one day-partition write
-    * per store per day, independent of history depth; retry
-    * idempotence by layout exactly as q167. */
+    * The tail must be FULL DAYS (cross-sectional ranks need every
+    * stock's bar for a day — q168's row-depth fix applies only to
+    * per-stock recursions), and the day horizon ADAPTIVELY WIDENS
+    * (25 → 100 → 400 → unbounded) until every batch stock has its
+    * 9 prior rows inside it: a stock resuming from a suspension
+    * longer than the base horizon widens the read instead of
+    * silently computing truncated windows (r18 review finding; the
+    * gapped-panel StreamMartSpec case pins a 32-day suspension).
+    * The common no-suspension case pays one extra per-stock count
+    * on the base tail. At 100 TB: one pruned tail read + one
+    * day-partition write per store per day, independent of history
+    * depth; retry idempotence by layout exactly as q167. */
   private[graft] val streamAlphaSlice: Seq[String] = Seq(
     "alpha_004", "alpha_012", "alpha_020", "alpha_033", "alpha_042",
     "alpha_053", "alpha_101")
@@ -757,70 +729,53 @@ object FactorQueries {
       .orderBy("stock", "day")
   }
 
-  /** q169 harness: q167's shape with the Alpha101 DAG. */
   private[analytics] def streamAlphaMartHarness(s: SparkSession, dir: String,
       root: String, afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit =
+    streamAlphaMartHarnessPanel(s, Quotes.panel(s, dir), root, afterHistorical)
+
+  /** Panel-injectable q169 harness (spec hook for the suspension
+    * case). */
+  private[analytics] def streamAlphaMartHarnessPanel(s: SparkSession,
+      panel: DataFrame, root: String,
+      afterHistorical: () => Unit = () => ())
       : Option[Long] => Unit = {
-    val panel = Quotes.panel(s, dir)
-    val maxDay = panel.agg(max("day")).head().getLong(0)
-    val cut = maxDay - 15
-    panel.filter(col("day") <= cut)
-      .repartition(col("day"))
-      .write.partitionBy("day").mode("overwrite").parquet(s"$root/bars")
     val sliceCols = Seq(col("stock"), col("day")) ++ streamAlphaSlice.map(col)
-    Alpha101.computeStreamSlice(
-        s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
-      .select(sliceCols: _*)
-      .repartition(col("day"))
-      .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
-    afterHistorical()
-    val schema = (0 until 3).map { i =>
-      val b = panel.filter(col("day") > cut + 5 * i && col("day") <= cut + 5 * (i + 1))
-      b.coalesce(1).write.parquet(s"$root/in/b$i")
-      b.schema
-    }.head
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
-    (failAfterWritesOf: Option[Long]) => {
-      val q = stream.writeStream
-        .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val mb = batch.agg(min("day")).head()
-          if (!mb.isNullAt(0)) {
-          val d1 = mb.getLong(0)
-          // FULL-DAY tail (not row-truncated): the slice's per-day
-          // cross-sectional ranks need every stock's bar for a tail
-          // day; `day < d1` is the at-least-once retry guard (q167)
-          val tail = s.read.parquet(s"$root/bars")
-            .filter(col("day") > d1 - 25 && col("day") < d1)
+    streamScaffold(s, panel, root, afterHistorical,
+      buildHistorical = _ =>
+        Alpha101.computeStreamSlice(
+            s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
+          .select(sliceCols: _*)
+          .repartition(col("day"))
+          .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart"),
+      onBatch = (batch, d1) => {
+        def tailTo(lower: Option[Long]): DataFrame = {
+          val floor = lower.map(v => col("day") > d1 - v).getOrElse(lit(true))
+          s.read.parquet(s"$root/bars")
+            .filter(floor && col("day") < d1)
             .withColumn("day", col("day").cast("long"))
             .select(batch.schema.fieldNames.map(col): _*)
-          Alpha101.computeStreamSlice(tail.unionByName(batch))
-            .filter(col("day") >= d1)
-            .select(sliceCols: _*)
-            .repartition(col("day"))
-            .write.partitionBy("day").mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/mart")
-          batch.repartition(col("day"))
-            .write.partitionBy("day").mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/bars")
-          } // end non-empty-batch body
-          if (failAfterWritesOf.contains(batchId))
-            throw new RuntimeException(
-              s"injected crash: batch $batchId wrote, not yet committed")
-          ()
         }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException
-            if failAfterWritesOf.isDefined &&
-              (Option(e.getMessage).exists(_.contains("injected crash")) ||
-                Option(e.getCause).flatMap(c => Option(c.getMessage))
-                  .exists(_.contains("injected crash"))) => ()
-      }
-    }
+        // adaptive horizon: widen until every batch stock has >= 9
+        // prior rows in the tail (a resumed long suspension) or the
+        // whole store is in (a young listing has < 9 rows ANYWHERE
+        // — full history present makes it exact by definition).
+        // Counting is a per-stock count on a pruned 2-column read
+        val batchStocks = batch.select("stock").distinct()
+        def anyShort(t: DataFrame): Boolean =
+          batchStocks.join(
+              t.groupBy("stock").agg(count(lit(1)).as("n")), Seq("stock"), "left")
+            .filter(col("n").isNull || col("n") < 9)
+            .limit(1).count() > 0
+        val horizon = Seq(25L, 100L, 400L).map(Some(_))
+          .find(h => !anyShort(tailTo(h)))
+        val tail = tailTo(horizon.getOrElse(None))
+        val f = Alpha101.computeStreamSlice(tail.unionByName(batch))
+          .filter(col("day") >= d1)
+          .select(sliceCols: _*)
+        writeDayPartitions(f, s"$root/mart")
+        writeDayPartitions(batch, s"$root/bars")
+      })
   }
 
   /** q49: kline replay around an anchor day

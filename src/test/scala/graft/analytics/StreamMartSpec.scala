@@ -69,31 +69,29 @@ class StreamMartSpec extends SparkSpec {
   // q168 seeds each batch from a stored per-stock register snapshot.
   // These pins are the seeding rule's proof obligations.
 
-  private def scratchEmaOf(panel: org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.Row
-    graft.factors.EmaFamily.compute(panel)
+  /** Collect ordered rows with every double as its raw IEEE-754
+    * bits — the one comparison convention for all the bit-identity
+    * pins below (one copy: a change here changes every pin alike). */
+  private def bits(df: org.apache.spark.sql.DataFrame): Vector[Vector[Any]] =
+    df.orderBy("stock", "day")
+      .collect().map((r: org.apache.spark.sql.Row) => r.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case v => v
+      }.toVector).toVector
+
+  private def scratchEmaOf(panel: org.apache.spark.sql.DataFrame) =
+    bits(graft.factors.EmaFamily.compute(panel)
       .select((Seq(col("stock"), col("day")) ++
-        graft.factors.EmaFamily.columns.map(col)): _*)
-      .orderBy("stock", "day")
-      .collect().map((r: Row) => r.toSeq.map {
-        case d: Double => java.lang.Double.doubleToLongBits(d)
-        case v => v
-      }.toVector).toVector
-  }
+        graft.factors.EmaFamily.columns.map(col)): _*))
 
-  private def scratchEma = scratchEmaOf(graft.sources.Quotes.panel(spark, dir))
+  // lazy: the full-DAG scratch derives are dir-fixed and consumed by
+  // several tests — pay each once per suite
+  private lazy val scratchEma = scratchEmaOf(graft.sources.Quotes.panel(spark, dir))
 
-  private def martBits(root: String) = {
-    import org.apache.spark.sql.Row
-    spark.read.parquet(s"$root/mart")
+  private def martBits(root: String) =
+    bits(spark.read.parquet(s"$root/mart")
       .select((Seq(col("stock"), col("day").cast("long").as("day")) ++
-        graft.factors.EmaFamily.columns.map(col)): _*)
-      .orderBy("stock", "day")
-      .collect().map((r: Row) => r.toSeq.map {
-        case d: Double => java.lang.Double.doubleToLongBits(d)
-        case v => v
-      }.toVector).toVector
-  }
+        graft.factors.EmaFamily.columns.map(col)): _*))
 
   test("q168: state-seeded streamed EMA mart is BIT-identical to the scratch recursion") {
     // no rounding on either side: the seed stores raw IEEE-754
@@ -189,29 +187,18 @@ class StreamMartSpec extends SparkSpec {
   // cross-sectional ranks — the tail must be FULL DAYS so the XS
   // ranks see complete cross-sections).
 
-  private def scratchAlphaSlice = {
-    import org.apache.spark.sql.Row
-    graft.factors.Alpha101.compute(graft.sources.Quotes.panel(spark, dir))
+  private def scratchAlphaSliceOf(panel: org.apache.spark.sql.DataFrame) =
+    bits(graft.factors.Alpha101.compute(panel)
       .select((Seq(col("stock"), col("day")) ++
-        FactorQueries.streamAlphaSlice.map(col)): _*)
-      .orderBy("stock", "day")
-      .collect().map((r: Row) => r.toSeq.map {
-        case d: Double => java.lang.Double.doubleToLongBits(d)
-        case v => v
-      }.toVector).toVector
-  }
+        FactorQueries.streamAlphaSlice.map(col)): _*))
 
-  private def alphaMartBits(root: String) = {
-    import org.apache.spark.sql.Row
-    spark.read.parquet(s"$root/mart")
+  private lazy val scratchAlphaSlice =
+    scratchAlphaSliceOf(graft.sources.Quotes.panel(spark, dir))
+
+  private def alphaMartBits(root: String) =
+    bits(spark.read.parquet(s"$root/mart")
       .select((Seq(col("stock"), col("day").cast("long").as("day")) ++
-        FactorQueries.streamAlphaSlice.map(col)): _*)
-      .orderBy("stock", "day")
-      .collect().map((r: Row) => r.toSeq.map {
-        case d: Double => java.lang.Double.doubleToLongBits(d)
-        case v => v
-      }.toVector).toVector
-  }
+        FactorQueries.streamAlphaSlice.map(col)): _*))
 
   test("q169: streamed alpha-slice mart is BIT-identical to the full-history DAG") {
     // frame containment (lags ≤ 9 vs a 25-day tail) + cross-section
@@ -234,6 +221,54 @@ class StreamMartSpec extends SparkSpec {
     start(Some(1L)) // dies after batch 1's writes, before its commit
     start(None)     // resume: batch 1 retries, `day < d1` guards it
     assert(alphaMartBits(root) == scratchAlphaSlice)
+  }
+
+  test("q169 under a long suspension: the tail horizon widens instead of truncating") {
+    // a stock suspended ~32 days resumes in the last batch: its 9
+    // prior rows fall OUTSIDE the base 25-day tail, so a fixed
+    // horizon would compute lag(kline, 9) as null (alpha_053) and a
+    // truncated ts_rank window (alpha_004) — silently diverging from
+    // the full-history derive. The adaptive horizon widens to 100
+    // days, full-day reads keep every tail cross-section complete,
+    // and the streamed mart still matches the FULL Alpha101 DAG over
+    // the gapped panel bit for bit.
+    val panel = graft.sources.Quotes.panel(spark, dir)
+    val maxDay = panel.agg(max("day")).head().getLong(0)
+    val cut = maxDay - 15
+    val gapStock = panel.groupBy("stock").agg(max("day").as("md"))
+      .filter(col("md") === maxDay).agg(min("stock")).head().getLong(0)
+    val gapped = panel.filter(!(col("stock") === gapStock &&
+      col("day") > cut - 20 && col("day") <= cut + 12))
+    val root = graft.TempDirs.scratch("graft_q169_gap")
+    FactorQueries.streamAlphaMartHarnessPanel(spark, gapped, root)(None)
+    val streamed = alphaMartBits(root)
+    val expected = scratchAlphaSliceOf(gapped)
+    assert(streamed.nonEmpty && streamed.size == expected.size)
+    // the resumed stock really has post-gap streamed rows
+    assert(streamed.exists(r => r(0) == gapStock &&
+      r(1).asInstanceOf[Long] > cut + 12))
+    assert(streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
+  test("q169 appends new day partitions only; history untouched") {
+    val root = graft.TempDirs.scratch("graft_q169_hist")
+    def snapshot(): Map[String, Long] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/mart"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      } finally st.close()
+    }
+    var hist = Map.empty[String, Long]
+    FactorQueries.streamAlphaMartAppendRun(spark, dir, root,
+      afterHistorical = () => hist = snapshot()).collect()
+    val after = snapshot()
+    assert(hist.nonEmpty && after.size > hist.size)
+    hist.foreach { case (path, size) =>
+      assert(after.get(path).contains(size), s"historical file rewritten: $path")
+    }
   }
 
   test("the append writes NEW day partitions only; history untouched") {
