@@ -36,7 +36,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   private def fakeLine(n: Int): String =
     Bench.finalLine(fakeEntries(n),
-      hostLoad = """{"start":11.3,"end":13.9,"cores":32,"median":12.3,"gt8":128}""",
+      hostLoad = """{"start":11.3,"end":13.9,"cores":32,"median":12.3,"gt8":128,"amed":2.4,"ag8":11}""",
       failed = Seq("q999_failed_entry"),
       sf = "/root/testdata/sf0.1",
       ingest = fakeIngest,
@@ -71,7 +71,7 @@ class BenchLineSpec extends AnyFunSuite {
         123.4 + i, false)
     }
     val line = Bench.finalLine(entries,
-      hostLoad = """{"start":11.3,"end":13.9,"cores":32,"median":12.3,"gt8":128}""",
+      hostLoad = """{"start":11.3,"end":13.9,"cores":32,"median":12.3,"gt8":128,"amed":2.4,"ag8":11}""",
       failed = (1 to 60).map(i => f"q$i%d_some_entry_name_here"),
       sf = "/root/testdata/sf0.1",
       ingest = fakeIngest)
@@ -92,7 +92,7 @@ class BenchLineSpec extends AnyFunSuite {
       (f"q$i%d_some_entry_name_here", 4.345 + (i % 7), 123.4 + i, true)
     }
     val line = Bench.finalLine(entries,
-      hostLoad = """{"start":24.3,"end":27.9,"cores":32,"median":25.7,"gt8":145}""",
+      hostLoad = """{"start":24.3,"end":27.9,"cores":32,"median":25.7,"gt8":145,"amed":14.8,"ag8":145}""",
       failed = Nil,
       sf = "/root/testdata/sf0.1",
       ingest = fakeIngest)
