@@ -655,7 +655,8 @@ object Bench {
           "q134_index_writeback", "q137_kmeans_train",
           "q148_curation_pipeline", "q150_index_compaction",
           "q151_ivf_append", "q167_stream_mart_append",
-          "q168_stream_ema_append", "q169_stream_alpha_append")
+          "q168_stream_ema_append", "q169_stream_alpha_append",
+          "q170_stream_sentiment_append")
         def once(n: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
           val t = System.nanoTime()
           try { fn(spark, sf2Dir).write.format("noop").mode("overwrite").save()

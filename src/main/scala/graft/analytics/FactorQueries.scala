@@ -749,32 +749,166 @@ object FactorQueries {
           .repartition(col("day"))
           .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart"),
       onBatch = (batch, d1) => {
-        def tailTo(lower: Option[Long]): DataFrame = {
-          val floor = lower.map(v => col("day") > d1 - v).getOrElse(lit(true))
-          s.read.parquet(s"$root/bars")
-            .filter(floor && col("day") < d1)
-            .withColumn("day", col("day").cast("long"))
-            .select(batch.schema.fieldNames.map(col): _*)
-        }
-        // adaptive horizon: widen until every batch stock has >= 9
-        // prior rows in the tail (a resumed long suspension) or the
-        // whole store is in (a young listing has < 9 rows ANYWHERE
-        // — full history present makes it exact by definition).
-        // Counting is a per-stock count on a pruned 2-column read
-        val batchStocks = batch.select("stock").distinct()
-        def anyShort(t: DataFrame): Boolean =
-          batchStocks.join(
-              t.groupBy("stock").agg(count(lit(1)).as("n")), Seq("stock"), "left")
-            .filter(col("n").isNull || col("n") < 9)
-            .limit(1).count() > 0
-        val horizon = Seq(25L, 100L, 400L).map(Some(_))
-          .find(h => !anyShort(tailTo(h)))
-        val tail = tailTo(horizon.getOrElse(None))
+        val tail = adaptiveDayTail(s, root, batch, d1, minRows = 9)
         val f = Alpha101.computeStreamSlice(tail.unionByName(batch))
           .filter(col("day") >= d1)
           .select(sliceCols: _*)
         writeDayPartitions(f, s"$root/mart")
         writeDayPartitions(batch, s"$root/bars")
+      })
+  }
+
+  /** FULL-DAY bar tail strictly below the batch with an ADAPTIVELY
+    * widening day horizon (25 → 100 → 400 → whole store): widen
+    * until every batch stock has at least `minRows` prior rows
+    * inside it — a stock resuming from a suspension longer than the
+    * base horizon widens the read instead of silently computing
+    * truncated windows. Full days keep cross-sections complete for
+    * per-day ranks; the `day < d1` bound is the shared at-least-once
+    * retry guard. A stock short even on the whole store is a young
+    * listing — full history present makes it exact by definition
+    * (a panel listing fresh stocks every batch degrades to the full
+    * read; production would track first-bar days). Counting is a
+    * per-stock count on a pruned scan — the no-suspension common
+    * case pays one count on the base tail. */
+  private def adaptiveDayTail(s: SparkSession, root: String,
+      batch: DataFrame, d1: Long, minRows: Int): DataFrame = {
+    def tailTo(lower: Option[Long]): DataFrame = {
+      val floor = lower.map(v => col("day") > d1 - v).getOrElse(lit(true))
+      s.read.parquet(s"$root/bars")
+        .filter(floor && col("day") < d1)
+        .withColumn("day", col("day").cast("long"))
+        .select(batch.schema.fieldNames.map(col): _*)
+    }
+    val batchStocks = batch.select("stock").distinct()
+    def anyShort(t: DataFrame): Boolean =
+      batchStocks.join(
+          t.groupBy("stock").agg(count(lit(1)).as("n")), Seq("stock"), "left")
+        .filter(col("n").isNull || col("n") < minRows)
+        .limit(1).count() > 0
+    val horizon = Seq(25L, 100L, 400L).map(Some(_))
+      .find(h => !anyShort(tailTo(h)))
+    tailTo(horizon.getOrElse(None))
+  }
+
+  /** q170: STREAMING maintenance of the SENTIMENT mart — the fourth
+    * family shape, and a THIRD state species: `limit_up_streak`
+    * counts days since the stock's last non-limit-up close, so its
+    * `last_flat` lookback is UNBOUNDED like q168's EMA registers —
+    * but the state is a single integer DAY POINTER per stock whose
+    * merge is `greatest(stored, within-batch)`, not a float
+    * recursion. Per batch: an adaptive 1-row tail supplies the lag-1
+    * close for the limit flags (row-based, suspension-safe), the
+    * within-batch cum window computes the batch-local last flat day,
+    * and the stored pointer merges in exactly (no bars exist between
+    * the snapshot and the batch — the q168 seeding rule, enforced by
+    * the same require). Snapshots stay TOTAL via the q168
+    * carry-forward union. Integer arithmetic end-to-end, so streamed
+    * == scratch is exact with no float argument at all; the oracle
+    * is q61's full-history replay (the direct gate). The remaining
+    * two families (momentum / value) are pure bounded-window DAGs —
+    * exactly q167's technical shape with no new mechanism.
+    *
+    * At 100 TB: one 1-row-per-stock pruned tail read, one
+    * entity-sized pointer-state read (broadcast), one day-partition
+    * write per store per day. */
+  def streamSentimentMartAppend: Q = (s, dir) =>
+    streamSentimentMartAppendRun(s, dir,
+      graft.TempDirs.scratch("graft_stream_senti_mart", preferShm = true))
+
+  /** The q170 pipeline with the scratch root exposed (spec hook). */
+  private[analytics] def streamSentimentMartAppendRun(s: SparkSession,
+      dir: String, root: String,
+      afterHistorical: () => Unit = () => ()): DataFrame = {
+    val start = streamSentimentMartHarness(s, dir, root, afterHistorical)
+    start(None)
+    s.read.parquet(s"$root/mart")
+      .select(col("stock"), col("day").cast("long").as("day"),
+        col("is_limit_up"), col("is_limit_broken"),
+        col("limit_up_streak"), col("money_flow_main"))
+      .orderBy("stock", "day")
+  }
+
+  private[analytics] def streamSentimentMartHarness(s: SparkSession,
+      dir: String, root: String, afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit =
+    streamSentimentMartHarnessPanel(s, Quotes.panel(s, dir), root,
+      afterHistorical)
+
+  /** Panel-injectable q170 harness (spec hook for the suspension
+    * case). */
+  private[analytics] def streamSentimentMartHarnessPanel(s: SparkSession,
+      panel: DataFrame, root: String,
+      afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit = {
+    val martCols = Seq(col("stock"), col("day"), col("is_limit_up"),
+      col("is_limit_broken"), col("limit_up_streak"), col("money_flow_main"))
+    val stateCols = Seq(col("stock"), col("st_last_flat"))
+    streamScaffold(s, panel, root, afterHistorical,
+      buildHistorical = cut => {
+        val hist = sentimentCompute(
+          s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
+        hist.persist()
+        try {
+          hist.select(martCols: _*)
+            .repartition(col("day"))
+            .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+          // TOTAL pointer snapshot: each stock's last row carries its
+          // running last_flat (the cum-window max through its whole
+          // history)
+          val wHist = Window.partitionBy("stock").orderBy(col("day").desc)
+          hist.withColumn("rn", row_number().over(wHist))
+            .filter(col("rn") === 1)
+            .select(col("stock"), col("last_flat").as("st_last_flat"))
+            .withColumn("day", lit(cut))
+            .coalesce(1)
+            .write.partitionBy("day").mode("overwrite").parquet(s"$root/state")
+        } finally { hist.unpersist(); () }
+      },
+      onBatch = (batch, d1) => {
+        val dEnd = batch.agg(max("day")).head().getLong(0)
+        // the limit flags need ONLY the lag-1 close (row-based) —
+        // a 1-row adaptive tail survives any suspension length
+        val tail = adaptiveDayTail(s, root, batch, d1, minRows = 1)
+        val snaps = s.read.parquet(s"$root/state")
+          .withColumn("day", col("day").cast("long"))
+          .filter(col("day") < d1)
+        val sd = snaps.agg(max("day")).head().getLong(0)
+        val lastBar = tail.agg(max("day")).head()
+        require(lastBar.isNullAt(0) || sd >= lastBar.getLong(0),
+          s"pointer snapshot at day $sd misses bars up to ${lastBar.get(0)} " +
+            s"below batch start $d1")
+        val st = snaps.filter(col("day") === sd).drop("day")
+        val cumB = Window.partitionBy("stock").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val merged = sentimentFlags(tail.unionByName(batch))
+          .filter(col("day") >= d1)
+          .withColumn("lf_b",
+            max(when(col("is_limit_up") === 0, col("day"))).over(cumB))
+          .join(broadcast(st), Seq("stock"), "left")
+          // merge rule: last flat day ≤ current = max(stored pointer,
+          // batch-local max) — exact because no bars exist in
+          // (snapshot, d1); greatest skips nulls on either side
+          .withColumn("last_flat", greatest(col("lf_b"), col("st_last_flat")))
+          .withColumn("limit_up_streak",
+            when(col("is_limit_up") === 1,
+              col("day") - coalesce(col("last_flat"), lit(0L))).otherwise(0L))
+        merged.persist()
+        try {
+          writeDayPartitions(merged.select(martCols: _*), s"$root/mart")
+          val wLast = Window.partitionBy("stock").orderBy(col("day").desc)
+          val lastPer = merged.withColumn("rn", row_number().over(wLast))
+            .filter(col("rn") === 1)
+            .select(col("stock"), col("last_flat").as("st_last_flat"))
+          val carried = st.join(lastPer.select("stock"), Seq("stock"), "left_anti")
+            .select(stateCols: _*)
+          lastPer.unionByName(carried)
+            .withColumn("day", lit(dEnd))
+            .coalesce(1)
+            .write.partitionBy("day").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/state")
+          writeDayPartitions(batch, s"$root/bars")
+        } finally { merged.unpersist(); () }
       })
   }
 
@@ -887,14 +1021,19 @@ object FactorQueries {
 
   /** The sentiment derive DAG ([[sentimentDataset]]'s build): the
     * mart stores its output; [[sentimentFactors]] reads the mart. */
-  private[analytics] def sentimentDerive(s: SparkSession, dir: String): DataFrame = {
-    val q = Quotes.panel(s, dir)
+  private[analytics] def sentimentDerive(s: SparkSession, dir: String): DataFrame =
+    sentimentCompute(Quotes.panel(s, dir))
+
+  /** Per-row sentiment flags: the lag-1 return, limit flags and main
+    * money flow — everything EXCEPT the streak, whose `last_flat`
+    * lookback is unbounded (q170 maintains it from stored state; the
+    * full derive below runs the cum window). */
+  private[analytics] def sentimentFlags(panel: DataFrame): DataFrame = {
     val W = Window.partitionBy("stock").orderBy("day")
-    val cum = W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prevC = lag(col("close"), 1).over(W)
     val ret = when(prevC =!= 0.0, col("close") / prevC) - lit(1.0)
     val hiRet = when(prevC =!= 0.0, col("high") / prevC) - lit(1.0)
-    val base = q
+    panel
       .withColumn("ret", ret)
       .withColumn("hi_ret", hiRet)
       // day 1 (no previous close) counts as NOT limit-up, anchoring
@@ -905,7 +1044,12 @@ object FactorQueries {
         coalesce(col("hi_ret") >= 0.30 && !(col("ret") >= 0.30), lit(false)).cast("int"))
       .withColumn("money_flow_main",
         round((col("close") - col("open")) * col("volume"), 6))
-    base
+  }
+
+  private[analytics] def sentimentCompute(panel: DataFrame): DataFrame = {
+    val W = Window.partitionBy("stock").orderBy("day")
+    val cum = W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sentimentFlags(panel)
       .withColumn("last_flat",
         max(when(col("is_limit_up") === 0, col("day"))).over(cum))
       .withColumn("limit_up_streak",
@@ -1551,6 +1695,7 @@ object FactorQueries {
     "q167_stream_mart_append" -> streamMartAppend,
     "q168_stream_ema_append" -> streamEmaMartAppend,
     "q169_stream_alpha_append" -> streamAlphaMartAppend,
+    "q170_stream_sentiment_append" -> streamSentimentMartAppend,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
     "q56_factor_snapshot" -> factorSnapshot,
@@ -3082,5 +3227,8 @@ object FactorQueries {
     // q90 chain restricted to the slice columns — the hash match
     // directly proves the tail-restricted stream equals the
     // full-history derive (the q168 gate precedent)
-    ("q169_stream_alpha_append" -> alphaBatchOracle(streamAlphaSlice))
+    ("q169_stream_alpha_append" -> alphaBatchOracle(streamAlphaSlice)) +
+    // q170 streams the sentiment mart from a stored last-flat day
+    // pointer; q61's full-history oracle is the direct gate
+    ("q170_stream_sentiment_append" -> q61Oracle)
 }

@@ -271,6 +271,70 @@ class StreamMartSpec extends SparkSpec {
     }
   }
 
+  // ---- q170: the sentiment family (an UNBOUNDED integer day
+  // pointer — last_flat — as the state species, merged by greatest()
+  // instead of a float recursion).
+
+  private def scratchSentimentOf(panel: org.apache.spark.sql.DataFrame) =
+    bits(FactorQueries.sentimentCompute(panel)
+      .select(col("stock"), col("day"), col("is_limit_up"),
+        col("is_limit_broken"), col("limit_up_streak"),
+        col("money_flow_main")))
+
+  private def sentimentMartBits(root: String) =
+    bits(spark.read.parquet(s"$root/mart")
+      .select(col("stock"), col("day").cast("long").as("day"),
+        col("is_limit_up"), col("is_limit_broken"),
+        col("limit_up_streak"), col("money_flow_main")))
+
+  test("q170: pointer-seeded streamed sentiment mart equals the scratch derive") {
+    val root = graft.TempDirs.scratch("graft_q170_spec")
+    val out = FactorQueries.streamSentimentMartAppendRun(spark, dir, root)
+    assert(out.count() > 0)
+    val streamed = sentimentMartBits(root)
+    val expected = scratchSentimentOf(graft.sources.Quotes.panel(spark, dir))
+    assert(streamed.nonEmpty && streamed.size == expected.size)
+    assert(streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
+  test("q170 crash after a mid-stream batch's writes, restart: pointer state recovers") {
+    // the retry must merge from the snapshot it consumed first —
+    // seeding from its own end-day pointer would be harmless for a
+    // max-merge, but the `day < d1` discipline is pinned uniformly
+    val root = graft.TempDirs.scratch("graft_q170_retry")
+    val start = FactorQueries.streamSentimentMartHarness(spark, dir, root)
+    start(Some(1L))
+    start(None)
+    assert(sentimentMartBits(root) ==
+      scratchSentimentOf(graft.sources.Quotes.panel(spark, dir)))
+  }
+
+  test("q170 under a suspension: the streak pointer carries across the gap") {
+    // a stock limit-up streak interrupted by a suspension: while
+    // absent its last_flat pointer must ride the carry-forward
+    // snapshots, and on resume the lag-1 close comes from the
+    // adaptive 1-row tail (its true previous bar, however old) —
+    // a dropped pointer would restart the streak at zero and a
+    // day-bounded tail would null the resume-day return
+    val panel = graft.sources.Quotes.panel(spark, dir)
+    val maxDay = panel.agg(max("day")).head().getLong(0)
+    val cut = maxDay - 15
+    val gapStock = panel.groupBy("stock").agg(max("day").as("md"))
+      .filter(col("md") === maxDay).agg(min("stock")).head().getLong(0)
+    val gapped = panel.filter(!(col("stock") === gapStock &&
+      col("day") > cut - 20 && col("day") <= cut + 12))
+    val root = graft.TempDirs.scratch("graft_q170_gap")
+    FactorQueries.streamSentimentMartHarnessPanel(spark, gapped, root)(None)
+    val streamed = sentimentMartBits(root)
+    val expected = scratchSentimentOf(gapped)
+    assert(streamed.nonEmpty && streamed.size == expected.size)
+    assert(streamed.exists(r => r(0) == gapStock &&
+      r(1).asInstanceOf[Long] > cut + 12))
+    assert(streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
   test("the append writes NEW day partitions only; history untouched") {
     val root = graft.TempDirs.scratch("graft_q167_spec")
     def snapshot(): Map[String, Long] = {
