@@ -623,47 +623,17 @@ object FactorQueries {
           .select(batch.schema.fieldNames.map(col): _*)
           .withColumn("rn", row_number().over(wTail))
           .filter(col("rn") <= 8).drop("rn")
-        // latest snapshot strictly below the batch. SEEDING RULE:
-        // the snapshot must cover every STORED BAR below the batch
-        // — registers only advance on bars, so a snapshot older
-        // than d1-1 is still exact across barless days (an empty
-        // replay window), but a bar NEWER than the snapshot would
-        // mean unsnapshotted recursion steps (every non-empty
-        // batch snapshots its end day, so this can only trip on
-        // external store surgery — fail loudly, don't corrupt)
-        val snaps = s.read.parquet(s"$root/state")
-          .withColumn("day", col("day").cast("long"))
-          .filter(col("day") < d1)
-        val sd = snaps.agg(max("day")).head().getLong(0)
-        val lastBar = tail.agg(max("day")).head()
-        require(lastBar.isNullAt(0) || sd >= lastBar.getLong(0),
-          s"seed snapshot at day $sd misses bars up to ${lastBar.get(0)} " +
-            s"below batch start $d1")
-        val st = snaps.filter(col("day") === sd).drop("day")
+        val st = seedSnapshot(s, root, d1, tail)
         val f = EmaFamily.computeSeeded(tail.unionByName(batch), Some(st),
           fromDay = Some(d1))
         f.persist()
         try {
           writeDayPartitions(f.select(factorCols: _*), s"$root/mart")
-          // batch-end snapshot stays TOTAL over known stocks: each
-          // batch stock's LAST state (a stock halting mid-batch
-          // keeps its registers) unioned with the PRIOR snapshot's
-          // rows for stocks absent from this batch — a suspended
-          // stock re-seeds from where it paused when it resumes,
-          // never from scratch (dEnd-only snapshots would reset
-          // its chains and break bit-identity with the scratch
-          // derive; pinned by the gapped-panel StreamMartSpec case)
-          val wLast = Window.partitionBy("stock").orderBy(col("day").desc)
-          val lastPer = f.withColumn("rn", row_number().over(wLast))
-            .filter(col("rn") === 1)
-            .select(stateCols: _*)
-          val carried = st.join(lastPer.select("stock"), Seq("stock"), "left_anti")
-            .select(stateCols: _*)
-          lastPer.unionByName(carried)
-            .withColumn("day", lit(dEnd))
-            .coalesce(1)
-            .write.partitionBy("day").mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/state")
+          // TOTAL batch-end register snapshot (dEnd-only snapshots
+          // would reset a suspended stock's chains on resume and
+          // break bit-identity — pinned by the gapped-panel case)
+          writeTotalSnapshot(f, st, EmaFamily.stateColumns, dEnd,
+            s"$root/state")
           writeDayPartitions(batch, s"$root/bars")
         } finally { f.unpersist(); () }
       })
@@ -791,6 +761,51 @@ object FactorQueries {
     tailTo(horizon.getOrElse(None))
   }
 
+  /** Latest state snapshot STRICTLY below the batch, with the shared
+    * SEEDING-RULE guard (q168/q170 — one copy, r18 review): the
+    * snapshot must cover every STORED BAR below the batch, because
+    * state only advances on bars — a snapshot older than d1-1 is
+    * still exact across barless days, but a bar NEWER than the
+    * snapshot would mean unsnapshotted state steps (every non-empty
+    * batch snapshots its end day, so this can only trip on external
+    * store surgery — fail loudly, don't corrupt). */
+  private def seedSnapshot(s: SparkSession, root: String, d1: Long,
+      tail: DataFrame): DataFrame = {
+    val snaps = s.read.parquet(s"$root/state")
+      .withColumn("day", col("day").cast("long"))
+      .filter(col("day") < d1)
+    val sd = snaps.agg(max("day")).head().getLong(0)
+    val lastBar = tail.agg(max("day")).head()
+    require(lastBar.isNullAt(0) || sd >= lastBar.getLong(0),
+      s"state snapshot at day $sd misses bars up to ${lastBar.get(0)} " +
+        s"below batch start $d1")
+    snaps.filter(col("day") === sd).drop("day")
+  }
+
+  /** TOTAL batch-end snapshot write (q168/q170 — one copy): each
+    * batch stock's LAST state row (a stock halting mid-batch keeps
+    * its state) unioned with the PRIOR snapshot's rows for stocks
+    * absent from the batch — a suspended stock re-seeds from where
+    * it paused when it resumes, never from scratch. `stateCols` are
+    * the STORED column names; `f` must expose them alongside
+    * (stock, day). Dynamic overwrite keeps a retry rewriting its own
+    * snapshot partition only. */
+  private def writeTotalSnapshot(f: DataFrame, st: DataFrame,
+      stateCols: Seq[String], dEnd: Long, path: String): Unit = {
+    val sel = (col("stock") +: stateCols.map(col))
+    val wLast = Window.partitionBy("stock").orderBy(col("day").desc)
+    val lastPer = f.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(sel: _*)
+    val carried = st.join(lastPer.select("stock"), Seq("stock"), "left_anti")
+      .select(sel: _*)
+    lastPer.unionByName(carried)
+      .withColumn("day", lit(dEnd))
+      .coalesce(1)
+      .write.partitionBy("day").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(path)
+  }
+
   /** q170: STREAMING maintenance of the SENTIMENT mart — the fourth
     * family shape, and a THIRD state species: `limit_up_streak`
     * counts days since the stock's last non-limit-up close, so its
@@ -843,7 +858,6 @@ object FactorQueries {
       : Option[Long] => Unit = {
     val martCols = Seq(col("stock"), col("day"), col("is_limit_up"),
       col("is_limit_broken"), col("limit_up_streak"), col("money_flow_main"))
-    val stateCols = Seq(col("stock"), col("st_last_flat"))
     streamScaffold(s, panel, root, afterHistorical,
       buildHistorical = cut => {
         val hist = sentimentCompute(
@@ -867,18 +881,16 @@ object FactorQueries {
       },
       onBatch = (batch, d1) => {
         val dEnd = batch.agg(max("day")).head().getLong(0)
-        // the limit flags need ONLY the lag-1 close (row-based) —
-        // a 1-row adaptive tail survives any suspension length
+        // the limit flags need ONLY the lag-1 close (row-based), so
+        // keep just the LAST ROW per stock of the adaptive read —
+        // without the truncation every batch would run flags over
+        // the whole multi-day horizon and discard them (r18 review;
+        // q168's recipe with minRows = 1)
+        val wTail = Window.partitionBy("stock").orderBy(col("day").desc)
         val tail = adaptiveDayTail(s, root, batch, d1, minRows = 1)
-        val snaps = s.read.parquet(s"$root/state")
-          .withColumn("day", col("day").cast("long"))
-          .filter(col("day") < d1)
-        val sd = snaps.agg(max("day")).head().getLong(0)
-        val lastBar = tail.agg(max("day")).head()
-        require(lastBar.isNullAt(0) || sd >= lastBar.getLong(0),
-          s"pointer snapshot at day $sd misses bars up to ${lastBar.get(0)} " +
-            s"below batch start $d1")
-        val st = snaps.filter(col("day") === sd).drop("day")
+          .withColumn("rn", row_number().over(wTail))
+          .filter(col("rn") <= 1).drop("rn")
+        val st = seedSnapshot(s, root, d1, tail)
         val cumB = Window.partitionBy("stock").orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val merged = sentimentFlags(tail.unionByName(batch))
@@ -896,17 +908,9 @@ object FactorQueries {
         merged.persist()
         try {
           writeDayPartitions(merged.select(martCols: _*), s"$root/mart")
-          val wLast = Window.partitionBy("stock").orderBy(col("day").desc)
-          val lastPer = merged.withColumn("rn", row_number().over(wLast))
-            .filter(col("rn") === 1)
-            .select(col("stock"), col("last_flat").as("st_last_flat"))
-          val carried = st.join(lastPer.select("stock"), Seq("stock"), "left_anti")
-            .select(stateCols: _*)
-          lastPer.unionByName(carried)
-            .withColumn("day", lit(dEnd))
-            .coalesce(1)
-            .write.partitionBy("day").mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic").parquet(s"$root/state")
+          writeTotalSnapshot(
+            merged.withColumn("st_last_flat", col("last_flat")), st,
+            Seq("st_last_flat"), dEnd, s"$root/state")
           writeDayPartitions(batch, s"$root/bars")
         } finally { merged.unpersist(); () }
       })

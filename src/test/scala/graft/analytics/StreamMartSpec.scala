@@ -299,9 +299,11 @@ class StreamMartSpec extends SparkSpec {
   }
 
   test("q170 crash after a mid-stream batch's writes, restart: pointer state recovers") {
-    // the retry must merge from the snapshot it consumed first —
-    // seeding from its own end-day pointer would be harmless for a
-    // max-merge, but the `day < d1` discipline is pinned uniformly
+    // the retry must merge from the snapshot it consumed first: its
+    // own end-day pointer can hold a flat day INSIDE the batch, and
+    // re-merging it would assign early batch rows a last_flat from
+    // their future (negative streaks) — the `day < d1` guard on the
+    // state read is load-bearing here exactly as it is for q168
     val root = graft.TempDirs.scratch("graft_q170_retry")
     val start = FactorQueries.streamSentimentMartHarness(spark, dir, root)
     start(Some(1L))
