@@ -252,9 +252,30 @@ object Bench {
     * Publication is temp-file + ATOMIC_MOVE so a crash mid-write can
     * never leave a torn sidecar whose next merge-read silently drops
     * the other sf records; an existing-but-unparseable file (an
-    * external tear) is preserved as `.corrupt` instead of clobbered. */
+    * external tear) is preserved as `.corrupt` instead of clobbered.
+    * The whole read-merge-move sequence runs under an exclusive
+    * FileChannel lock on a sidecar lockfile (r18 ADVICE 3): two
+    * concurrent bench processes (an sf0.01 iteration alongside an
+    * sf0.1 run) would otherwise both read the old sidecar and the
+    * second ATOMIC_MOVE would silently drop the first run's record —
+    * atomic publication alone only prevents tearing, not the lost
+    * update. The lockfile (never the sidecar itself) is locked so the
+    * move never replaces a locked inode. */
   private[graft] def writeSelfBench(sfDir: String, record: String,
       dir: String = "."): Unit = {
+    val lockFile = new java.io.File(dir, selfBenchName + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks until the other writer finishes
+      try writeSelfBenchLocked(sfDir, record, dir)
+      finally lock.release()
+    } finally ch.close()
+  }
+
+  private def writeSelfBenchLocked(sfDir: String, record: String,
+      dir: String): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val f = new java.io.File(dir, selfBenchName)
     val existing: Option[com.fasterxml.jackson.databind.node.ObjectNode] =

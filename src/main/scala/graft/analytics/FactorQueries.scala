@@ -608,19 +608,20 @@ object FactorQueries {
         val dEnd = batch.agg(max("day")).head().getLong(0)
         // window-input tail: the kernel's lookbacks are ROW frames
         // (kdj-rsv = 9 rows, force-fin lag = 1 row), so under a
-        // per-stock trading gap "8 days" ≠ "8 rows" — read a
-        // 25-day partition-pruned horizon, then keep the last 8
-        // ROWS per stock strictly below the batch. The `day < d1`
-        // bound doubles as the retry guard (a retried batch finds
-        // its own append in the bars store); the fixed horizon is
-        // what bounds the scan at 100 TB and absorbs suspensions
-        // up to 16 trading days — a longer one needs a wider
-        // horizon, not a different mechanism
+        // per-stock trading gap "8 days" ≠ "8 rows" — the adaptive
+        // read widens its day horizon (25 → 100 → 400 → whole store)
+        // until every batch stock has its 8 prior ROWS inside it,
+        // then keeps only those last 8 rows per stock strictly below
+        // the batch. A fixed 25-day horizon silently truncated
+        // kdj-rsv's 9-row frame for a stock resuming from a
+        // suspension longer than ~16 trading days (r18 ADVICE 1 —
+        // the exact failure class q169/q170 already route through
+        // [[adaptiveDayTail]]); the seedSnapshot require could not
+        // catch it because it only sees bars inside the horizon.
+        // The `day < d1` bound doubles as the retry guard (a retried
+        // batch finds its own append in the bars store).
         val wTail = Window.partitionBy("stock").orderBy(col("day").desc)
-        val tail = s.read.parquet(s"$root/bars")
-          .filter(col("day") > d1 - 25 && col("day") < d1)
-          .withColumn("day", col("day").cast("long"))
-          .select(batch.schema.fieldNames.map(col): _*)
+        val tail = adaptiveDayTail(s, root, batch, d1, minRows = 8)
           .withColumn("rn", row_number().over(wTail))
           .filter(col("rn") <= 8).drop("rn")
         val st = seedSnapshot(s, root, d1, tail)
@@ -1354,7 +1355,15 @@ object FactorQueries {
                   deleteRecursively(src); installed = true
                 } else {
                   attempts += 1
-                  if (attempts >= 3) throw e
+                  if (attempts >= 3) {
+                    // retry exhaustion must not leak the loser's full
+                    // mart copy under the persistent root — the
+                    // condition tools/mart_race.sh asserts never
+                    // happens (r18 ADVICE 2); best-effort, the throw
+                    // wins over a cleanup failure
+                    try deleteRecursively(src) catch { case _: Exception => () }
+                    throw e
+                  }
                   deleteRecursively(dst)
                 }
             }

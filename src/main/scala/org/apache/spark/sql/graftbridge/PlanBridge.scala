@@ -35,6 +35,57 @@ object PlanBridge {
         math.max(1L, (bytes + per - 1) / per)
     }
 
+  /** PLAN-ONCE template reuse: re-point an analyzed plan at a new
+    * input without re-running analysis over the template's body.
+    *
+    * A ~500-column factor DAG costs multiple seconds of per-layer
+    * Catalyst analysis to BUILD (eager Dataset construction, one pass
+    * per dependency layer); a streaming maintenance job that rebuilds
+    * it per micro-batch pays that constant 4× per run (r18 verdict,
+    * next-round ask #1). The fix the ask names: analyze the DAG once
+    * over a stand-in leaf, then per batch swap the leaf for the
+    * batch's real input — the batches differ only in input data,
+    * never in the derivation.
+    *
+    * `template` must have exactly ONE leaf (the stand-in the caller
+    * built the DAG over — typically an empty LocalRelation with the
+    * input schema, every field nullable). The replacement's analyzed
+    * output is bound to the leaf's attributes BY NAME under a Project
+    * that re-issues the leaf's original exprIds, so every attribute
+    * reference in the template body resolves unchanged; column order
+    * may differ, types must match exactly, and the replacement may
+    * not WIDEN nullability (a non-nullable template attribute fed
+    * nulls would miscompile null checks — callers use an all-nullable
+    * stand-in so any input passes). Optimization, physical planning
+    * and codegen still run per swap (codegen hits the source-keyed
+    * generator cache from the second swap on); only the dominant
+    * per-layer analysis is amortized. */
+  def swapLeaf(session: SparkSession, template: LogicalPlan,
+      replacement: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val leaves = template.collectLeaves()
+    require(leaves.size == 1,
+      s"swapLeaf needs a single-leaf template, found ${leaves.size} leaves")
+    val leaf = leaves.head
+    val newPlan = analyzed(replacement)
+    val byName = newPlan.output.map(a => a.name -> a).toMap
+    val proj: Seq[NamedExpression] = leaf.output.map { old =>
+      val nw = byName.getOrElse(old.name, throw new IllegalArgumentException(
+        s"swapLeaf replacement is missing template column ${old.name}"))
+      require(nw.dataType == old.dataType,
+        s"swapLeaf type mismatch on ${old.name}: ${nw.dataType} vs ${old.dataType}")
+      require(old.nullable || !nw.nullable,
+        s"swapLeaf would widen nullability of ${old.name} — build the template " +
+          "over an all-nullable stand-in")
+      Alias(nw, old.name)(exprId = old.exprId)
+    }
+    val swapped = template.transformUp {
+      case l if l eq leaf => Project(proj, newPlan)
+    }
+    ofRows(session, swapped)
+  }
+
   /** Idempotently register a planning strategy on the session
     * (read dynamically by the planner, including under AQE). */
   def installStrategy(session: SparkSession, s: SparkStrategy): Unit = {
