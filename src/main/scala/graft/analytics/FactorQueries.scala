@@ -757,7 +757,11 @@ object FactorQueries {
           t.groupBy("stock").agg(count(lit(1)).as("n")), Seq("stock"), "left")
         .filter(col("n").isNull || col("n") < minRows)
         .limit(1).count() > 0
-    val horizon = Seq(25L, 100L, 400L).map(Some(_))
+    // a horizon of H days holds at most H rows per stock, so rungs
+    // below minRows can never satisfy the count — skip them instead
+    // of paying a doomed per-stock count per rung (q171's 300-row
+    // floor would otherwise waste two counts per batch)
+    val horizon = Seq(25L, 100L, 400L).filter(_ >= minRows).map(Some(_))
       .find(h => !anyShort(tailTo(h)))
     tailTo(horizon.getOrElse(None))
   }
@@ -914,6 +918,133 @@ object FactorQueries {
             Seq("st_last_flat"), dEnd, s"$root/state")
           writeDayPartitions(batch, s"$root/bars")
         } finally { merged.unpersist(); () }
+      })
+  }
+
+  /** Compound row-lookback bound of the FULL Alpha101 DAG: the
+    * deepest stacked window chain, hand-audited over
+    * [[graft.factors.Alpha101.compute]]'s stages — alpha_048's
+    * corr48 = t(250) over dc1l (lag 1 of a lag 1) reaches 252 prior
+    * rows; runners-up alpha_063 (adv180 → sum t(37) → corr 13 →
+    * decay 12 = 242) and alpha_032 (corr 230 over c5l = 235). 300
+    * adds slack without changing the asymptotic claim: a day's
+    * maintenance reads a depth-bounded tail, never the archive. */
+  private[graft] val alphaFullLookbackRows = 300
+
+  /** q171: STREAMING maintenance of the FULL 101-column alpha mart
+    * (r18 verdict ask #1) — q169's pattern with the slice kernel
+    * replaced by the ENTIRE [[graft.factors.Alpha101.compute]] DAG,
+    * maintaining the production `factor_alphas_daily` wide table
+    * (`factor_db_ddl.md:18-31`) whole, not a 7-alpha proxy.
+    *
+    * THE PLAN-COUNT STORY (what made this a ranked ask): building the
+    * ~500-column DAG costs multiple seconds of per-layer Catalyst
+    * analysis, and the maintenance stream would build it 4× per run
+    * (historical + 3 micro-batches) — a flat ~40 s of pure planning
+    * at every SF. The fix is the ask's own first option: the DAG is
+    * analyzed ONCE per stream over an empty all-nullable stand-in
+    * leaf, and every consumer — the historical build and each batch —
+    * swaps its real input under the same analyzed tree
+    * ([[org.apache.spark.sql.graftbridge.PlanBridge.swapLeaf]], which
+    * rebinds the leaf's attributes by name under the original
+    * exprIds). One plan build, 4 executions; per-batch driver cost is
+    * optimization + codegen only, and codegen hits the source-keyed
+    * generator cache from the second swap on. StreamMartSpec pins the
+    * swapped template bit-identical to a direct compute.
+    *
+    * Exactness: every Alpha101 operator is backward-looking (trailing
+    * row frames, lags) or same-day cross-sectional (pct ranks,
+    * industry demeans, scale), so outputs for day ≥ d1 computed over
+    * tail ∪ batch equal the full-history values whenever the tail
+    * (a) spans [[alphaFullLookbackRows]] prior ROWS per batch stock
+    * and (b) holds FULL days (cross-sections complete —
+    * [[adaptiveDayTail]] guarantees both, widening per-stock for
+    * suspensions). On this panel (≤ 99 days, shallower than the
+    * 300-row bound) the adaptive tail correctly degenerates to the
+    * whole bars store — the streamed path then trivially equals the
+    * scratch derive; at production depth (years of history) the read
+    * is bounded by the DAG's compound depth, never the archive. The
+    * oracle is the FULL-history q90 chain over all 101 columns — a
+    * hash match proves streamed == scratch with no containment
+    * assumption on the oracle side.
+    *
+    * At 100 TB: one ≤ 300-row-per-stock full-day pruned tail read +
+    * one day-partition write per store per day — cost ∝ compound
+    * window depth × entities, independent of history depth. Retry
+    * idempotence by layout exactly as q167/q169 (`day < d1` tail
+    * bound + dynamic partition overwrite). */
+  def streamAlphaFullAppend: Q = (s, dir) =>
+    streamAlphaFullAppendRun(s, dir,
+      graft.TempDirs.scratch("graft_stream_alpha_full", preferShm = true))
+
+  /** The q171 pipeline with the scratch root exposed (spec hook). */
+  private[analytics] def streamAlphaFullAppendRun(s: SparkSession, dir: String,
+      root: String, afterHistorical: () => Unit = () => ()): DataFrame = {
+    val start = streamAlphaFullHarness(s, dir, root, afterHistorical)
+    start(None)
+    s.read.parquet(s"$root/mart")
+      .select(Seq(col("stock"), col("day").cast("long").as("day")) ++
+        Alpha101.columns.map(r6): _*)
+      .orderBy("stock", "day")
+  }
+
+  private[analytics] def streamAlphaFullHarness(s: SparkSession, dir: String,
+      root: String, afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit =
+    // the historical store is a PREFIX RESTRICTION of the session
+    // alpha mart (one build per session, already attributed to the
+    // mart line): every Alpha101 operator is backward-looking or
+    // same-day, so the full-panel derive's rows at day ≤ cut are
+    // bit-identical to a compute over the day ≤ cut prefix alone —
+    // same partition rows in the same order through the same window
+    // accumulation sequence. Rebuilding them through the template
+    // would redo ~35 s of the mart's work per entry run (r18 ask #6's
+    // share-the-scaffold direction); the spec's panel-injected path
+    // keeps the template-built historical, exercising both shapes.
+    streamAlphaFullHarnessPanel(s, Quotes.panel(s, dir), root, afterHistorical,
+      historicalFrom = Some(alphaFull(s, dir)))
+
+  /** Panel-injectable q171 harness (spec hook). `historicalFrom`: a
+    * precomputed full-panel alpha frame whose day ≤ cut prefix seeds
+    * the historical mart partitions (None → compute the prefix
+    * through the template, the self-contained path). */
+  private[analytics] def streamAlphaFullHarnessPanel(s: SparkSession,
+      panel: DataFrame, root: String,
+      afterHistorical: () => Unit = () => (),
+      historicalFrom: Option[DataFrame] = None)
+      : Option[Long] => Unit = {
+    val names = panel.schema.fieldNames.toSeq
+    val outCols = Seq(col("stock"), col("day")) ++ Alpha101.columns.map(col)
+    // the plan-once template: the full DAG over an empty all-nullable
+    // stand-in, analyzed exactly once per stream (see the Scaladoc)
+    val standIn = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        panel.schema.fields.map(_.copy(nullable = true))))
+    val template = org.apache.spark.sql.graftbridge.PlanBridge.analyzed(
+      Alpha101.compute(standIn).select(outCols: _*))
+    def alphasOf(input: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.PlanBridge.swapLeaf(s, template, input)
+    streamScaffold(s, panel, root, afterHistorical,
+      buildHistorical = cut => {
+        val hist = historicalFrom match {
+          case Some(full) => full.filter(col("day") <= cut).select(outCols: _*)
+          case None =>
+            val bars = s.read.parquet(s"$root/bars")
+              .withColumn("day", col("day").cast("long"))
+              .select(names.map(col): _*)
+            alphasOf(bars)
+        }
+        hist
+          .repartition(col("day"))
+          .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+      },
+      onBatch = (batch, d1) => {
+        val tail = adaptiveDayTail(s, root, batch, d1,
+          minRows = alphaFullLookbackRows)
+        val f = alphasOf(tail.unionByName(batch)).filter(col("day") >= d1)
+        writeDayPartitions(f, s"$root/mart")
+        writeDayPartitions(batch, s"$root/bars")
       })
   }
 
@@ -1709,6 +1840,7 @@ object FactorQueries {
     "q168_stream_ema_append" -> streamEmaMartAppend,
     "q169_stream_alpha_append" -> streamAlphaMartAppend,
     "q170_stream_sentiment_append" -> streamSentimentMartAppend,
+    "q171_stream_alpha_full_append" -> streamAlphaFullAppend,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
     "q56_factor_snapshot" -> factorSnapshot,
@@ -3243,5 +3375,9 @@ object FactorQueries {
     ("q169_stream_alpha_append" -> alphaBatchOracle(streamAlphaSlice)) +
     // q170 streams the sentiment mart from a stored last-flat day
     // pointer; q61's full-history oracle is the direct gate
-    ("q170_stream_sentiment_append" -> q61Oracle)
+    ("q170_stream_sentiment_append" -> q61Oracle) +
+    // q171 streams the FULL 101-column alpha mart (the plan-once
+    // template); the oracle is the complete q90 chain — all 101
+    // streamed columns hash-matched against the full-history derive
+    ("q171_stream_alpha_full_append" -> alphaBatchOracle(Alpha101.columns))
 }
