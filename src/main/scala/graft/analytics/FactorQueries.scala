@@ -921,6 +921,87 @@ object FactorQueries {
       })
   }
 
+  /** q172/q173: STREAMING maintenance of the MOMENTUM and VALUE
+    * marts — the last two family rows of the matrix (r18 verdict ask
+    * #2). SURVEY D80 claimed both are "exactly q167's shape with no
+    * new mechanism — documented, not duplicated"; these entries prove
+    * it with full-replay oracles (q44's / q45's) instead of leaving
+    * the claim on paper. Both kernels are pure bounded-lookback
+    * per-stock DAGs — no cross-sectional stage, no recursion, no
+    * pointer state — so ONE generic harness serves them: per batch,
+    * an adaptive tail sized to the family's compound row depth
+    * (momentum: roc_60's lag 60; value: the 60-row valuation
+    * z-scores), the family kernel over tail ∪ batch, keep day ≥ d1,
+    * dynamic-overwrite day-partition writes (q167's recipe verbatim
+    * — the `day < d1` tail bound is the at-least-once retry guard,
+    * pinned once in the q167/q169 crash cases). The hidden-mechanism
+    * risks the ask names — momentum's 60-day windows vs the old
+    * 25-day tail, value's fundamentals — are exactly what the
+    * full-history oracles would catch: the tail's 64-row floor
+    * covers the 60-row windows with slack, and the fundamentals
+    * (pe/pb/ps/dv_ratio/total_mv) ride the panel columns through the
+    * bars store like any price field, no join needed.
+    *
+    * At 100 TB: one ≤ 64-row-per-stock pruned tail read + one
+    * day-partition write per store per day — q167's scale claim,
+    * now held by every family. */
+  private def streamFamilyHarnessPanel(s: SparkSession, panel: DataFrame,
+      root: String, kernel: DataFrame => DataFrame, cols: Seq[String],
+      minRows: Int, afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit = {
+    val keyed = Seq(col("stock"), col("day")) ++ cols.map(col)
+    streamScaffold(s, panel, root, afterHistorical,
+      buildHistorical = _ =>
+        kernel(s.read.parquet(s"$root/bars")
+            .withColumn("day", col("day").cast("long")))
+          .select(keyed: _*)
+          .repartition(col("day"))
+          .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart"),
+      onBatch = (batch, d1) => {
+        val tail = adaptiveDayTail(s, root, batch, d1, minRows)
+        val f = kernel(tail.unionByName(batch))
+          .filter(col("day") >= d1)
+          .select(keyed: _*)
+        writeDayPartitions(f, s"$root/mart")
+        writeDayPartitions(batch, s"$root/bars")
+      })
+  }
+
+  /** Shared q172/q173 entry shape: run the stream in fresh scratch,
+    * read the mart back rounded like the family's batch entry. */
+  private def streamFamilyAppendRun(s: SparkSession, root: String,
+      harness: Option[Long] => Unit, cols: Seq[String]): DataFrame = {
+    harness(None)
+    s.read.parquet(s"$root/mart")
+      .select(Seq(col("stock"), col("day").cast("long").as("day")) ++
+        cols.map(r6): _*)
+      .orderBy("stock", "day")
+  }
+
+  private[analytics] def streamMomentumHarnessPanel(s: SparkSession,
+      panel: DataFrame, root: String): Option[Long] => Unit =
+    streamFamilyHarnessPanel(s, panel, root, Momentum.compute,
+      Momentum.columns, minRows = 64)
+
+  private[analytics] def streamValueHarnessPanel(s: SparkSession,
+      panel: DataFrame, root: String): Option[Long] => Unit =
+    streamFamilyHarnessPanel(s, panel, root, Value.compute,
+      Value.columns, minRows = 64)
+
+  def streamMomentumMartAppend: Q = (s, dir) => {
+    val root = graft.TempDirs.scratch("graft_stream_mom_mart", preferShm = true)
+    streamFamilyAppendRun(s, root,
+      streamMomentumHarnessPanel(s, Quotes.panel(s, dir), root),
+      Momentum.columns)
+  }
+
+  def streamValueMartAppend: Q = (s, dir) => {
+    val root = graft.TempDirs.scratch("graft_stream_val_mart", preferShm = true)
+    streamFamilyAppendRun(s, root,
+      streamValueHarnessPanel(s, Quotes.panel(s, dir), root),
+      Value.columns)
+  }
+
   /** Compound row-lookback bound of the FULL Alpha101 DAG: the
     * deepest stacked window chain, hand-audited over
     * [[graft.factors.Alpha101.compute]]'s stages — alpha_048's
@@ -1841,6 +1922,8 @@ object FactorQueries {
     "q169_stream_alpha_append" -> streamAlphaMartAppend,
     "q170_stream_sentiment_append" -> streamSentimentMartAppend,
     "q171_stream_alpha_full_append" -> streamAlphaFullAppend,
+    "q172_stream_momentum_append" -> streamMomentumMartAppend,
+    "q173_stream_value_append" -> streamValueMartAppend,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
     "q56_factor_snapshot" -> factorSnapshot,
@@ -3379,5 +3462,10 @@ object FactorQueries {
     // q171 streams the FULL 101-column alpha mart (the plan-once
     // template); the oracle is the complete q90 chain — all 101
     // streamed columns hash-matched against the full-history derive
-    ("q171_stream_alpha_full_append" -> alphaBatchOracle(Alpha101.columns))
+    ("q171_stream_alpha_full_append" -> alphaBatchOracle(Alpha101.columns)) +
+    // q172/q173 close the family matrix: the momentum and value marts
+    // streamed through the generic bounded-family harness, each gated
+    // by its family's full-history oracle
+    ("q172_stream_momentum_append" -> oraclesBase("q44_factor_momentum")) +
+    ("q173_stream_value_append" -> oraclesBase("q45_factor_value"))
 }

@@ -394,6 +394,65 @@ class StreamMartSpec extends SparkSpec {
     assert(alphaFullMartBits(root) == scratchAlphaFull)
   }
 
+  // ---- q172/q173: momentum + value — the last two family rows,
+  // through the ONE generic bounded-family harness (q167's shape;
+  // the pins here are the bit-identity gates that would expose any
+  // hidden mechanism the "no new mechanism" claim missed).
+
+  private def scratchFamilyOf(panel: org.apache.spark.sql.DataFrame,
+      kernel: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      cols: Seq[String]) =
+    bits(kernel(panel).select((Seq(col("stock"), col("day")) ++ cols.map(col)): _*))
+
+  private def familyMartBits(root: String, cols: Seq[String]) =
+    bits(spark.read.parquet(s"$root/mart")
+      .select((Seq(col("stock"), col("day").cast("long").as("day")) ++
+        cols.map(col)): _*))
+
+  test("q172: streamed momentum mart is BIT-identical to the scratch derive") {
+    val panel = graft.sources.Quotes.panel(spark, dir)
+    val root = graft.TempDirs.scratch("graft_q172_spec")
+    FactorQueries.streamMomentumHarnessPanel(spark, panel, root)(None)
+    val streamed = familyMartBits(root, graft.factors.Momentum.columns)
+    val expected = scratchFamilyOf(panel, graft.factors.Momentum.compute,
+      graft.factors.Momentum.columns)
+    assert(streamed.nonEmpty && streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
+  test("q172 under a long suspension: the 60-row windows survive the gap") {
+    // roc_60 / pos_60 reach 60 prior ROWS — a resumed stock's rows
+    // sit far outside any fixed day horizon, the exact divergence
+    // class the adaptive tail exists for
+    val panel = graft.sources.Quotes.panel(spark, dir)
+    val maxDay = panel.agg(max("day")).head().getLong(0)
+    val cut = maxDay - 15
+    val gapStock = panel.groupBy("stock").agg(max("day").as("md"))
+      .filter(col("md") === maxDay).agg(min("stock")).head().getLong(0)
+    val gapped = panel.filter(!(col("stock") === gapStock &&
+      col("day") > cut - 20 && col("day") <= cut + 12))
+    val root = graft.TempDirs.scratch("graft_q172_gap")
+    FactorQueries.streamMomentumHarnessPanel(spark, gapped, root)(None)
+    val streamed = familyMartBits(root, graft.factors.Momentum.columns)
+    val expected = scratchFamilyOf(gapped, graft.factors.Momentum.compute,
+      graft.factors.Momentum.columns)
+    assert(streamed.exists(r => r(0) == gapStock &&
+      r(1).asInstanceOf[Long] > cut + 12))
+    assert(streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
+  test("q173: streamed value mart is BIT-identical to the scratch derive") {
+    val panel = graft.sources.Quotes.panel(spark, dir)
+    val root = graft.TempDirs.scratch("graft_q173_spec")
+    FactorQueries.streamValueHarnessPanel(spark, panel, root)(None)
+    val streamed = familyMartBits(root, graft.factors.Value.columns)
+    val expected = scratchFamilyOf(panel, graft.factors.Value.compute,
+      graft.factors.Value.columns)
+    assert(streamed.nonEmpty && streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
   test("the append writes NEW day partitions only; history untouched") {
     val root = graft.TempDirs.scratch("graft_q167_spec")
     def snapshot(): Map[String, Long] = {
