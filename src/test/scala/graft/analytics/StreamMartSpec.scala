@@ -453,6 +453,63 @@ class StreamMartSpec extends SparkSpec {
       streamed.zip(expected).find { case (a, b) => a != b }.toString)
   }
 
+  // ---- retention + compaction for the streamed stores (r18 ask #3):
+  // fold fragmented aged day partitions, retire snapshots to the
+  // newest k, and prove a mid-stream retirement never breaks seeding.
+
+  test("retention: fold merges a fragmented aged day partition; reads byte-identical") {
+    val root = graft.TempDirs.scratch("graft_ret_fold")
+    FactorQueries.streamMartHarness(spark, dir, root)(None)
+    def martRows() = bits(spark.read.parquet(s"$root/mart")
+      .select(col("stock"), col("day").cast("long").as("day"),
+        col("rsi_14"), col("bias_20"), col("cci_14")))
+    val before = martRows()
+    // fragment the OLDEST day partition: same rows, two files (what
+    // retried / multi-task appends accumulate at scale)
+    val target = FactorQueries.dayPartitionFiles(s"$root/mart").keys.min
+    val pdir = s"$root/mart/day=$target"
+    val halves = Seq("a", "b").map(t => s"$root/frag_$t")
+    val rows = spark.read.parquet(pdir)
+    rows.filter(col("stock") % 2 === 0).coalesce(1).write.parquet(halves(0))
+    rows.filter(col("stock") % 2 =!= 0).coalesce(1).write.parquet(halves(1))
+    new java.io.File(pdir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach(f => assert(f.delete()))
+    halves.zipWithIndex.foreach { case (h, i) =>
+      val part = new java.io.File(h).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(pdir, s"frag_$i.parquet"))
+    }
+    val counts = FactorQueries.dayPartitionFiles(s"$root/mart")
+    assert(counts(target) == 2)
+    assert(martRows() == before) // fragmentation changed layout only
+    FactorQueries.foldDayStore(spark, s"$root/mart", below = Some(target))
+    val after = FactorQueries.dayPartitionFiles(s"$root/mart")
+    assert(after(target) == 1, s"fold left ${after(target)} files")
+    // untouched partitions keep their exact file counts
+    (counts - target).foreach { case (d, n) => assert(after(d) == n) }
+    assert(martRows() == before,
+      "fold changed mart values") // byte-identical reads
+  }
+
+  test("retention: snapshots retire to the newest k; a retried batch still seeds") {
+    // the k >= 2 contract live: batch 1 executed-but-uncommitted when
+    // the maintenance pass runs; its retry must seed from the
+    // SECOND-newest snapshot (day < d1 excludes its own end-day
+    // write), so retiring to the newest 2 is safe and the final mart
+    // still matches the scratch recursion bit for bit
+    val root = graft.TempDirs.scratch("graft_ret_snap")
+    val start = FactorQueries.streamEmaMartHarness(spark, dir, root)
+    start(Some(1L)) // batches 0,1 executed; batch 1 not committed
+    val snaps = FactorQueries.dayPartitionFiles(s"$root/state").keys
+    assert(snaps.size == 3, s"expected cut + 2 batch snapshots, got $snaps")
+    FactorQueries.compactStreamStore(spark, root, keepSnapshots = 2)
+    val kept = FactorQueries.dayPartitionFiles(s"$root/state").keys
+    assert(kept == snaps.toSeq.sorted.takeRight(2).toSet, s"kept $kept")
+    start(None) // batch 1 retries (seeds from the second-newest), batch 2 runs
+    assert(martBits(root) == scratchEma)
+  }
+
   test("the append writes NEW day partitions only; history untouched") {
     val root = graft.TempDirs.scratch("graft_q167_spec")
     def snapshot(): Map[String, Long] = {
