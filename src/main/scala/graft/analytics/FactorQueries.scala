@@ -375,9 +375,15 @@ object FactorQueries {
     * mid-maintenance (readers list committed partitions), history is
     * never rewritten (q151's generation-append for the factor
     * plane), and the 5-day catch-up window absorbs restatements. */
-  def streamMartAppend: Q = (s, dir) =>
-    streamMartAppendRun(s, dir, graft.TempDirs.scratch("graft_stream_mart",
-      preferShm = true))
+  def streamMartAppend: Q = (s, dir) => {
+    val run = streamEntryFromSeed(s, dir, "technical")
+    s.read.parquet(s"$run/mart")
+      .select(col("stock"), col("day").cast("long").as("day"),
+        round(col("rsi_14"), 6).as("rsi_14"),
+        round(col("bias_20"), 6).as("bias_20"),
+        round(col("cci_14"), 6).as("cci_14"))
+      .orderBy("stock", "day")
+  }
 
   /** The q167 pipeline with the scratch root exposed (spec hook —
     * StreamMartSpec snapshots the historical mart files between the
@@ -419,26 +425,102 @@ object FactorQueries {
       afterHistorical: () => Unit,
       buildHistorical: Long => Unit,
       onBatch: (DataFrame, Long) => Unit): Option[Long] => Unit = {
+    val cut = seedStores(s, panel, root)
+    buildHistorical(cut)
+    afterHistorical()
+    streamStart(s, root, s"$root/in", onBatch)
+  }
+
+  /** The IMMUTABLE scaffold stores for a panel under `root`: the
+    * day-partitioned bars store over `day <= cut`, the first-bar
+    * registry's cut snapshot, and the three 5-day replay files.
+    * Returns the cut (also recorded in `_SEED.properties` so a seed
+    * copy can recover it without re-aggregating the panel). */
+  private def seedStores(s: SparkSession, panel: DataFrame,
+      root: String): Long = {
     val maxDay = panel.agg(max("day")).head().getLong(0)
     val cut = maxDay - 15
     panel.filter(col("day") <= cut)
       .repartition(col("day"))
       .write.partitionBy("day").mode("overwrite").parquet(s"$root/bars")
-    buildHistorical(cut)
-    afterHistorical()
-    val schema = (0 until 3).map { i =>
+    // FIRST-BAR registry (r18 verdict ask #5): a TOTAL per-stock
+    // (stock, fb_day) snapshot, maintained exactly like the q170
+    // pointer state — written at the historical cut from the build's
+    // own scan, extended per batch with newly listed stocks, day < d1
+    // reads as the retry guard. [[adaptiveDayTail]] consults it to
+    // EXEMPT stocks whose entire history already sits inside a
+    // horizon rung: without it, a panel listing fresh stocks every
+    // batch degrades every tail to a whole-store read (the builder
+    // comment this ask quoted).
+    panel.filter(col("day") <= cut)
+      .groupBy("stock").agg(min("day").as("fb_day"))
+      .withColumn("day", lit(cut))
+      .coalesce(1)
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/firstbar")
+    (0 until 3).foreach { i =>
       val b = panel.filter(col("day") > cut + 5 * i && col("day") <= cut + 5 * (i + 1))
       b.coalesce(1).write.parquet(s"$root/in/b$i")
-      b.schema
-    }.head
+    }
+    val props = new java.util.Properties()
+    props.setProperty("cut", cut.toString)
+    val out = new java.io.FileOutputStream(
+      new java.io.File(root, "_SEED.properties"))
+    try props.store(out, "graft stream seed metadata") finally out.close()
+    cut
+  }
+
+  private def seedCut(root: String): Long = {
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(
+      new java.io.File(root, "_SEED.properties"))
+    try props.load(in) finally in.close()
+    props.getProperty("cut").toLong
+  }
+
+  /** The maintenance stream over prebuilt stores: replay files from
+    * `inDir`, checkpoint + mutable stores under `root`. One
+    * `Trigger.AvailableNow` pass per invocation of the returned
+    * function against the SAME checkpoint (q156's restart shape). */
+  private def streamStart(s: SparkSession, root: String, inDir: String,
+      onBatch: (DataFrame, Long) => Unit): Option[Long] => Unit = {
+    val schema = s.read.parquet(s"$inDir/b0").schema
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
     (failAfterWritesOf: Option[Long]) => {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val mb = batch.agg(min("day")).head()
-          if (!mb.isNullAt(0)) onBatch(batch, mb.getLong(0))
+          val mb = batch.agg(min("day"), max("day")).head()
+          if (!mb.isNullAt(0)) {
+            val (d1, dEnd) = (mb.getLong(0), mb.getLong(1))
+            // extend the first-bar registry BEFORE the operator runs
+            // (its tail read may consult it): prior snapshot strictly
+            // below the batch (a retry must not read its own write),
+            // carry-forward union with the batch's new listings,
+            // dynamic overwrite of the batch-end partition
+            val prior = s.read.parquet(s"$root/firstbar")
+              .withColumn("day", col("day").cast("long"))
+              .filter(col("day") < d1)
+            val sdRow = prior.agg(max("day")).head()
+            // totality contract (the exemption's soundness in
+            // adaptiveDayTail reads "no entry = no stored bars"): a
+            // registry over-retired below the retry window must fail
+            // loudly here, never shrink silently — seedSnapshot's rule
+            require(!sdRow.isNullAt(0),
+              s"first-bar registry has no snapshot below batch start $d1 — " +
+                "retention must keep at least the 2 newest snapshots")
+            val priorFb = prior.filter(col("day") === sdRow.getLong(0))
+              .select(col("stock"), col("fb_day"))
+            val newFb = batch.groupBy("stock").agg(min("day").as("fb_day"))
+              .join(priorFb.select("stock"), Seq("stock"), "left_anti")
+            priorFb.unionByName(newFb)
+              .withColumn("day", lit(dEnd))
+              .coalesce(1)
+              .write.partitionBy("day").mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .parquet(s"$root/firstbar")
+            onBatch(batch, d1)
+          }
           if (failAfterWritesOf.contains(batchId))
             throw new RuntimeException(
               s"injected crash: batch $batchId wrote, not yet committed")
@@ -465,6 +547,119 @@ object FactorQueries {
       .write.partitionBy("day").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(path)
 
+  // ---- streamed-entry SCAFFOLD SEEDS (r18 verdict ask #6) ----
+  // Each streamed entry used to rebuild its whole scaffold — bars
+  // store, replay files, historical mart/state — in fresh scratch on
+  // EVERY run, so the entry walls were mostly store-building, not the
+  // maintenance under test (the four r18 entries spent most of their
+  // 44 s there). The seeds make the scaffold a session derivation,
+  // the mart/cluster precedent: the IMMUTABLE stores are built once
+  // per (session, dir, family) and memoized; each entry run COPIES
+  // the seed into a fresh run root (the stream MUTATES its stores,
+  // so runs never share them) and replays the maintenance on a fresh
+  // checkpoint. Bench times the seed builds on their own
+  // `stream_scaffold` line ([[primeStreamSeeds]] / [[dropStreamSeeds]]
+  // are its prime/armor hooks), and the entry walls become the primed
+  // repeat-run cost: copy + 3-batch maintenance + mart read. The
+  // replay files are read straight from the BASE seed (read-only for
+  // the stream); specs keep driving [[streamScaffold]] directly with
+  // explicit roots — seeding is an entry/bench concern.
+
+  private val streamSeedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), () => String]()
+
+  private def streamSeed(s: SparkSession, dir: String, family: String)(
+      build: String => Unit): String = {
+    val holder = streamSeedCache.computeIfAbsent((s, dir, family), { _ =>
+      lazy val root: String = {
+        val r = graft.TempDirs.scratch(s"graft_seed_$family", preferShm = true)
+        build(r)
+        r
+      }
+      () => root
+    })
+    holder()
+  }
+
+  /** Recursive copy, excluding top-level entries in `exclude`. */
+  private def copyTree(src: String, dst: String,
+      exclude: Set[String] = Set.empty): Unit = {
+    val from = java.nio.file.Paths.get(src)
+    val to = java.nio.file.Paths.get(dst)
+    val st = java.nio.file.Files.walk(from)
+    try {
+      st.forEach { p =>
+        val rel = from.relativize(p)
+        if (rel.toString.nonEmpty &&
+            !exclude.contains(rel.getName(0).toString)) {
+          val t = to.resolve(rel.toString)
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else {
+            java.nio.file.Files.createDirectories(t.getParent)
+            java.nio.file.Files.copy(p, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+    } finally st.close()
+  }
+
+  /** The shared base seed: bars + first-bar registry + replay files
+    * for (session, dir) — identical across families, built once. */
+  private def baseStreamSeed(s: SparkSession, dir: String): String =
+    streamSeed(s, dir, "base") { r =>
+      seedStores(s, Quotes.panel(s, dir), r); ()
+    }
+
+  /** A family's seed: the base stores plus its historical mart (and
+    * state snapshot, where the family keeps one). */
+  private def familyStreamSeed(s: SparkSession, dir: String, family: String,
+      buildHistorical: (String, Long) => Unit): String =
+    streamSeed(s, dir, family) { r =>
+      copyTree(baseStreamSeed(s, dir), r, exclude = Set("in"))
+      buildHistorical(r, seedCut(r))
+    }
+
+  /** Run one streamed-maintenance pass from a family seed: copy the
+    * seed into a fresh run root, stream the base seed's replay files
+    * against a fresh checkpoint, return the run root for the mart
+    * read. The memoized seed makes a repeat run cost copy +
+    * maintenance only. */
+  private def runFromSeed(s: SparkSession, dir: String, family: String,
+      buildHistorical: (String, Long) => Unit,
+      onBatch: String => (DataFrame, Long) => Unit): String = {
+    val seed = familyStreamSeed(s, dir, family, buildHistorical)
+    val run = graft.TempDirs.scratch(s"graft_srun_$family", preferShm = true)
+    copyTree(seed, run)
+    streamStart(s, run, s"${baseStreamSeed(s, dir)}/in", onBatch(run))(None)
+    run
+  }
+
+  /** Bench hooks: build every family's seed now (the
+    * `stream_scaffold` line), forget them (its rerun armor). The
+    * base seed builds first — families copy from it — then the
+    * family historicals run concurrently (independent memo keys,
+    * the [[primeFactorMarts]] pattern). */
+  def primeStreamSeeds(s: SparkSession, dir: String): Unit = {
+    baseStreamSeed(s, dir)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      streamFamilies.size, r => {
+        val t = new Thread(r, "graft-seed-prime"); t.setDaemon(true); t
+      })
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val builds = streamFamilies.map { case (family, hist, _) =>
+        Future { familyStreamSeed(s, dir, family, hist(s, dir)) }
+      }
+      builds.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
+  def dropStreamSeeds(s: SparkSession, dir: String): Unit =
+    streamSeedCache.keySet.removeIf(k => k._1 == s && k._2 == dir)
+
   /** q167 harness on [[streamScaffold]]: per non-empty batch, one
     * 25-day tail read strictly below the batch (`day < d1` is the
     * at-least-once retry guard: a re-executed batch finds its own
@@ -479,25 +674,31 @@ object FactorQueries {
       root: String, afterHistorical: () => Unit = () => ())
       : Option[Long] => Unit =
     streamScaffold(s, Quotes.panel(s, dir), root, afterHistorical,
-      buildHistorical = _ =>
-        Technical.compute(
-            s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
-          .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
-            col("cci_14"))
-          .repartition(col("day"))
-          .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart"),
-      onBatch = (batch, d1) => {
-        val tail = s.read.parquet(s"$root/bars")
-          .filter(col("day") > d1 - 25 && col("day") < d1)
-          .withColumn("day", col("day").cast("long"))
-          .select(batch.schema.fieldNames.map(col): _*)
-        val f = Technical.compute(tail.unionByName(batch))
-          .filter(col("day") >= d1)
-          .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
-            col("cci_14"))
-        writeDayPartitions(f, s"$root/mart")
-        writeDayPartitions(batch, s"$root/bars")
-      })
+      buildHistorical = technicalHistorical(s)(root, _),
+      onBatch = technicalOnBatch(s)(root))
+
+  private def technicalHistorical(s: SparkSession)(root: String,
+      cut: Long): Unit =
+    Technical.compute(
+        s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
+      .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
+        col("cci_14"))
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+
+  private def technicalOnBatch(s: SparkSession)(root: String)
+      : (DataFrame, Long) => Unit = (batch, d1) => {
+    val tail = s.read.parquet(s"$root/bars")
+      .filter(col("day") > d1 - 25 && col("day") < d1)
+      .withColumn("day", col("day").cast("long"))
+      .select(batch.schema.fieldNames.map(col): _*)
+    val f = Technical.compute(tail.unionByName(batch))
+      .filter(col("day") >= d1)
+      .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
+        col("cci_14"))
+    writeDayPartitions(f, s"$root/mart")
+    writeDayPartitions(batch, s"$root/bars")
+  }
 
   /** q168: STREAMING maintenance of the RECURSIVE factor family —
     * q167's foreachBatch day-append pattern extended to the EMA
@@ -544,9 +745,13 @@ object FactorQueries {
     * to rebuild the unbounded registers; this is the difference
     * between a nightly job bounded by the day's data and one bounded
     * by the archive. */
-  def streamEmaMartAppend: Q = (s, dir) =>
-    streamEmaMartAppendRun(s, dir,
-      graft.TempDirs.scratch("graft_stream_ema_mart", preferShm = true))
+  def streamEmaMartAppend: Q = (s, dir) => {
+    val run = streamEntryFromSeed(s, dir, "ema")
+    s.read.parquet(s"$run/mart")
+      .select(Seq(col("stock"), col("day").cast("long").as("day")) ++
+        EmaFamily.columns.map(r6): _*)
+      .orderBy("stock", "day")
+  }
 
   /** The q168 pipeline with the scratch root exposed (spec hook —
     * same shape as [[streamMartAppendRun]]). */
@@ -573,71 +778,77 @@ object FactorQueries {
   private[analytics] def streamEmaMartHarnessPanel(s: SparkSession,
       panel: DataFrame, root: String,
       afterHistorical: () => Unit = () => ())
-      : Option[Long] => Unit = {
-    val stateCols = Seq(col("stock")) ++ EmaFamily.stateColumns.map(col)
-    val factorCols = Seq(col("stock"), col("day")) ++ EmaFamily.columns.map(col)
+      : Option[Long] => Unit =
     streamScaffold(s, panel, root, afterHistorical,
-      buildHistorical = cut => {
-        // historical factors AND the day-`cut` register snapshot in
-        // ONE seeded pass (state = None: a from-scratch run that
-        // also exposes the state axis); the mart write materializes
-        // the persisted frame, the snapshot write reads the cache
-        val hist = EmaFamily.computeSeeded(
-          s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")),
-          state = None)
-        hist.persist()
-        try {
-          hist.select(factorCols: _*)
-            .repartition(col("day"))
-            .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
-          // the snapshot is entity-sized and TOTAL: each stock's
-          // LAST historical state (not just rows landing exactly on
-          // day `cut`) — a stock whose bars pause before the cut
-          // must still carry registers into the stream, or its EMA
-          // chains restart from scratch when it resumes
-          val wHist = Window.partitionBy("stock").orderBy(col("day").desc)
-          hist.withColumn("rn", row_number().over(wHist))
-            .filter(col("rn") === 1)
-            .select(stateCols: _*)
-            .withColumn("day", lit(cut))
-            .coalesce(1)
-            .write.partitionBy("day").mode("overwrite").parquet(s"$root/state")
-        } finally { hist.unpersist(); () }
-      },
-      onBatch = (batch, d1) => {
-        val dEnd = batch.agg(max("day")).head().getLong(0)
-        // window-input tail: the kernel's lookbacks are ROW frames
-        // (kdj-rsv = 9 rows, force-fin lag = 1 row), so under a
-        // per-stock trading gap "8 days" ≠ "8 rows" — the adaptive
-        // read widens its day horizon (25 → 100 → 400 → whole store)
-        // until every batch stock has its 8 prior ROWS inside it,
-        // then keeps only those last 8 rows per stock strictly below
-        // the batch. A fixed 25-day horizon silently truncated
-        // kdj-rsv's 9-row frame for a stock resuming from a
-        // suspension longer than ~16 trading days (r18 ADVICE 1 —
-        // the exact failure class q169/q170 already route through
-        // [[adaptiveDayTail]]); the seedSnapshot require could not
-        // catch it because it only sees bars inside the horizon.
-        // The `day < d1` bound doubles as the retry guard (a retried
-        // batch finds its own append in the bars store).
-        val wTail = Window.partitionBy("stock").orderBy(col("day").desc)
-        val tail = adaptiveDayTail(s, root, batch, d1, minRows = 8)
-          .withColumn("rn", row_number().over(wTail))
-          .filter(col("rn") <= 8).drop("rn")
-        val st = seedSnapshot(s, root, d1, tail)
-        val f = EmaFamily.computeSeeded(tail.unionByName(batch), Some(st),
-          fromDay = Some(d1))
-        f.persist()
-        try {
-          writeDayPartitions(f.select(factorCols: _*), s"$root/mart")
-          // TOTAL batch-end register snapshot (dEnd-only snapshots
-          // would reset a suspended stock's chains on resume and
-          // break bit-identity — pinned by the gapped-panel case)
-          writeTotalSnapshot(f, st, EmaFamily.stateColumns, dEnd,
-            s"$root/state")
-          writeDayPartitions(batch, s"$root/bars")
-        } finally { f.unpersist(); () }
-      })
+      buildHistorical = emaHistorical(s)(root, _),
+      onBatch = emaOnBatch(s)(root))
+
+  private def emaStateCols = Seq(col("stock")) ++ EmaFamily.stateColumns.map(col)
+  private def emaFactorCols =
+    Seq(col("stock"), col("day")) ++ EmaFamily.columns.map(col)
+
+  private def emaHistorical(s: SparkSession)(root: String, cut: Long): Unit = {
+    // historical factors AND the day-`cut` register snapshot in
+    // ONE seeded pass (state = None: a from-scratch run that
+    // also exposes the state axis); the mart write materializes
+    // the persisted frame, the snapshot write reads the cache
+    val hist = EmaFamily.computeSeeded(
+      s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")),
+      state = None)
+    hist.persist()
+    try {
+      hist.select(emaFactorCols: _*)
+        .repartition(col("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+      // the snapshot is entity-sized and TOTAL: each stock's
+      // LAST historical state (not just rows landing exactly on
+      // day `cut`) — a stock whose bars pause before the cut
+      // must still carry registers into the stream, or its EMA
+      // chains restart from scratch when it resumes
+      val wHist = Window.partitionBy("stock").orderBy(col("day").desc)
+      hist.withColumn("rn", row_number().over(wHist))
+        .filter(col("rn") === 1)
+        .select(emaStateCols: _*)
+        .withColumn("day", lit(cut))
+        .coalesce(1)
+        .write.partitionBy("day").mode("overwrite").parquet(s"$root/state")
+    } finally { hist.unpersist(); () }
+  }
+
+  private def emaOnBatch(s: SparkSession)(root: String)
+      : (DataFrame, Long) => Unit = (batch, d1) => {
+    val dEnd = batch.agg(max("day")).head().getLong(0)
+    // window-input tail: the kernel's lookbacks are ROW frames
+    // (kdj-rsv = 9 rows, force-fin lag = 1 row), so under a
+    // per-stock trading gap "8 days" ≠ "8 rows" — the adaptive
+    // read widens its day horizon (25 → 100 → 400 → whole store)
+    // until every batch stock has its 8 prior ROWS inside it,
+    // then keeps only those last 8 rows per stock strictly below
+    // the batch. A fixed 25-day horizon silently truncated
+    // kdj-rsv's 9-row frame for a stock resuming from a
+    // suspension longer than ~16 trading days (r18 ADVICE 1 —
+    // the exact failure class q169/q170 already route through
+    // [[adaptiveDayTail]]); the seedSnapshot require could not
+    // catch it because it only sees bars inside the horizon.
+    // The `day < d1` bound doubles as the retry guard (a retried
+    // batch finds its own append in the bars store).
+    val wTail = Window.partitionBy("stock").orderBy(col("day").desc)
+    val tail = adaptiveDayTail(s, root, batch, d1, minRows = 8)
+      .withColumn("rn", row_number().over(wTail))
+      .filter(col("rn") <= 8).drop("rn")
+    val st = seedSnapshot(s, root, d1, tail)
+    val f = EmaFamily.computeSeeded(tail.unionByName(batch), Some(st),
+      fromDay = Some(d1))
+    f.persist()
+    try {
+      writeDayPartitions(f.select(emaFactorCols: _*), s"$root/mart")
+      // TOTAL batch-end register snapshot (dEnd-only snapshots
+      // would reset a suspended stock's chains on resume and
+      // break bit-identity — pinned by the gapped-panel case)
+      writeTotalSnapshot(f, st, EmaFamily.stateColumns, dEnd,
+        s"$root/state")
+      writeDayPartitions(batch, s"$root/bars")
+    } finally { f.unpersist(); () }
   }
 
   /** q169: STREAMING maintenance of the ALPHA mart — the third
@@ -685,9 +896,13 @@ object FactorQueries {
     "alpha_004", "alpha_012", "alpha_020", "alpha_033", "alpha_042",
     "alpha_053", "alpha_101")
 
-  def streamAlphaMartAppend: Q = (s, dir) =>
-    streamAlphaMartAppendRun(s, dir,
-      graft.TempDirs.scratch("graft_stream_alpha_mart", preferShm = true))
+  def streamAlphaMartAppend: Q = (s, dir) => {
+    val run = streamEntryFromSeed(s, dir, "alpha_slice")
+    s.read.parquet(s"$run/mart")
+      .select(Seq(col("stock"), col("day").cast("long").as("day")) ++
+        streamAlphaSlice.map(r6): _*)
+      .orderBy("stock", "day")
+  }
 
   /** The q169 pipeline with the scratch root exposed (spec hook). */
   private[analytics] def streamAlphaMartAppendRun(s: SparkSession, dir: String,
@@ -710,40 +925,62 @@ object FactorQueries {
   private[analytics] def streamAlphaMartHarnessPanel(s: SparkSession,
       panel: DataFrame, root: String,
       afterHistorical: () => Unit = () => ())
-      : Option[Long] => Unit = {
-    val sliceCols = Seq(col("stock"), col("day")) ++ streamAlphaSlice.map(col)
+      : Option[Long] => Unit =
     streamScaffold(s, panel, root, afterHistorical,
-      buildHistorical = _ =>
-        Alpha101.computeStreamSlice(
-            s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
-          .select(sliceCols: _*)
-          .repartition(col("day"))
-          .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart"),
-      onBatch = (batch, d1) => {
-        val tail = adaptiveDayTail(s, root, batch, d1, minRows = 9)
-        val f = Alpha101.computeStreamSlice(tail.unionByName(batch))
-          .filter(col("day") >= d1)
-          .select(sliceCols: _*)
-        writeDayPartitions(f, s"$root/mart")
-        writeDayPartitions(batch, s"$root/bars")
-      })
+      buildHistorical = alphaSliceHistorical(s)(root, _),
+      onBatch = alphaSliceOnBatch(s)(root))
+
+  private def alphaSliceCols =
+    Seq(col("stock"), col("day")) ++ streamAlphaSlice.map(col)
+
+  private def alphaSliceHistorical(s: SparkSession)(root: String,
+      cut: Long): Unit =
+    Alpha101.computeStreamSlice(
+        s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
+      .select(alphaSliceCols: _*)
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+
+  private def alphaSliceOnBatch(s: SparkSession)(root: String)
+      : (DataFrame, Long) => Unit = (batch, d1) => {
+    val tail = adaptiveDayTail(s, root, batch, d1, minRows = 9)
+    val f = Alpha101.computeStreamSlice(tail.unionByName(batch))
+      .filter(col("day") >= d1)
+      .select(alphaSliceCols: _*)
+    writeDayPartitions(f, s"$root/mart")
+    writeDayPartitions(batch, s"$root/bars")
   }
 
   /** FULL-DAY bar tail strictly below the batch with an ADAPTIVELY
     * widening day horizon (25 → 100 → 400 → whole store): widen
-    * until every batch stock has at least `minRows` prior rows
-    * inside it — a stock resuming from a suspension longer than the
-    * base horizon widens the read instead of silently computing
-    * truncated windows. Full days keep cross-sections complete for
-    * per-day ranks; the `day < d1` bound is the shared at-least-once
-    * retry guard. A stock short even on the whole store is a young
-    * listing — full history present makes it exact by definition
-    * (a panel listing fresh stocks every batch degrades to the full
-    * read; production would track first-bar days). Counting is a
+    * until every batch stock EITHER has at least `minRows` prior rows
+    * inside the horizon — a stock resuming from a suspension longer
+    * than the base horizon widens the read instead of silently
+    * computing truncated windows — OR is EXEMPT because its entire
+    * history already sits inside it (its registered first-bar day is
+    * above the horizon floor, or it has no registry entry at all =
+    * brand-new listing with no stored bars). The exemption is what
+    * keeps the read bounded under churn (r18 verdict ask #5): a
+    * panel listing fresh stocks every batch would otherwise degrade
+    * every tail to a whole-store scan chasing rows that do not
+    * exist. The first-bar registry is scaffold-maintained
+    * ([[streamScaffold]]) and broadcast — entity-sized. A missing /
+    * over-retired registry degrades to the conservative pre-registry
+    * behavior (widen on short counts alone): correctness never
+    * depends on it, only the read bound does. Full days keep
+    * cross-sections complete for per-day ranks; the `day < d1` bound
+    * is the shared at-least-once retry guard. Counting is a
     * per-stock count on a pruned scan — the no-suspension common
     * case pays one count on the base tail. */
   private def adaptiveDayTail(s: SparkSession, root: String,
-      batch: DataFrame, d1: Long, minRows: Int): DataFrame = {
+      batch: DataFrame, d1: Long, minRows: Int): DataFrame =
+    adaptiveDayTailWithHorizon(s, root, batch, d1, minRows)._1
+
+  /** As [[adaptiveDayTail]], exposing the chosen horizon (None =
+    * whole store) — the spec pin for the young-listing exemption. */
+  private[analytics] def adaptiveDayTailWithHorizon(s: SparkSession,
+      root: String, batch: DataFrame, d1: Long, minRows: Int)
+      : (DataFrame, Option[Long]) = {
     def tailTo(lower: Option[Long]): DataFrame = {
       val floor = lower.map(v => col("day") > d1 - v).getOrElse(lit(true))
       s.read.parquet(s"$root/bars")
@@ -751,19 +988,42 @@ object FactorQueries {
         .withColumn("day", col("day").cast("long"))
         .select(batch.schema.fieldNames.map(col): _*)
     }
+    // latest first-bar snapshot strictly below the batch (retry
+    // guard), if the store has one
+    val fb: Option[DataFrame] = {
+      val p = s"$root/firstbar"
+      if (!new java.io.File(p).isDirectory) None
+      else {
+        val snaps = s.read.parquet(p)
+          .withColumn("day", col("day").cast("long"))
+          .filter(col("day") < d1)
+        val sd = snaps.agg(max("day")).head()
+        if (sd.isNullAt(0)) None
+        else Some(snaps.filter(col("day") === sd.getLong(0))
+          .select(col("stock"), col("fb_day")))
+      }
+    }
     val batchStocks = batch.select("stock").distinct()
-    def anyShort(t: DataFrame): Boolean =
-      batchStocks.join(
-          t.groupBy("stock").agg(count(lit(1)).as("n")), Seq("stock"), "left")
-        .filter(col("n").isNull || col("n") < minRows)
+    def anyShort(t: DataFrame, floorDay: Long): Boolean = {
+      val counted = batchStocks.join(
+        t.groupBy("stock").agg(count(lit(1)).as("n")), Seq("stock"), "left")
+      val subject = fb match {
+        case Some(reg) => counted.join(broadcast(reg), Seq("stock"), "left")
+          // only stocks with registered history BEYOND the floor can
+          // gain rows from widening; everyone else is exempt
+          .filter(col("fb_day").isNotNull && col("fb_day") <= floorDay)
+        case None => counted
+      }
+      subject.filter(col("n").isNull || col("n") < minRows)
         .limit(1).count() > 0
+    }
     // a horizon of H days holds at most H rows per stock, so rungs
     // below minRows can never satisfy the count — skip them instead
     // of paying a doomed per-stock count per rung (q171's 300-row
     // floor would otherwise waste two counts per batch)
     val horizon = Seq(25L, 100L, 400L).filter(_ >= minRows).map(Some(_))
-      .find(h => !anyShort(tailTo(h)))
-    tailTo(horizon.getOrElse(None))
+      .find(h => !anyShort(tailTo(h), d1 - h.get))
+    (tailTo(horizon.getOrElse(None)), horizon.flatten)
   }
 
   /** Latest state snapshot STRICTLY below the batch, with the shared
@@ -832,9 +1092,14 @@ object FactorQueries {
     * At 100 TB: one 1-row-per-stock pruned tail read, one
     * entity-sized pointer-state read (broadcast), one day-partition
     * write per store per day. */
-  def streamSentimentMartAppend: Q = (s, dir) =>
-    streamSentimentMartAppendRun(s, dir,
-      graft.TempDirs.scratch("graft_stream_senti_mart", preferShm = true))
+  def streamSentimentMartAppend: Q = (s, dir) => {
+    val run = streamEntryFromSeed(s, dir, "sentiment")
+    s.read.parquet(s"$run/mart")
+      .select(col("stock"), col("day").cast("long").as("day"),
+        col("is_limit_up"), col("is_limit_broken"),
+        col("limit_up_streak"), col("money_flow_main"))
+      .orderBy("stock", "day")
+  }
 
   /** The q170 pipeline with the scratch root exposed (spec hook). */
   private[analytics] def streamSentimentMartAppendRun(s: SparkSession,
@@ -860,65 +1125,72 @@ object FactorQueries {
   private[analytics] def streamSentimentMartHarnessPanel(s: SparkSession,
       panel: DataFrame, root: String,
       afterHistorical: () => Unit = () => ())
-      : Option[Long] => Unit = {
-    val martCols = Seq(col("stock"), col("day"), col("is_limit_up"),
-      col("is_limit_broken"), col("limit_up_streak"), col("money_flow_main"))
+      : Option[Long] => Unit =
     streamScaffold(s, panel, root, afterHistorical,
-      buildHistorical = cut => {
-        val hist = sentimentCompute(
-          s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
-        hist.persist()
-        try {
-          hist.select(martCols: _*)
-            .repartition(col("day"))
-            .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
-          // TOTAL pointer snapshot: each stock's last row carries its
-          // running last_flat (the cum-window max through its whole
-          // history)
-          val wHist = Window.partitionBy("stock").orderBy(col("day").desc)
-          hist.withColumn("rn", row_number().over(wHist))
-            .filter(col("rn") === 1)
-            .select(col("stock"), col("last_flat").as("st_last_flat"))
-            .withColumn("day", lit(cut))
-            .coalesce(1)
-            .write.partitionBy("day").mode("overwrite").parquet(s"$root/state")
-        } finally { hist.unpersist(); () }
-      },
-      onBatch = (batch, d1) => {
-        val dEnd = batch.agg(max("day")).head().getLong(0)
-        // the limit flags need ONLY the lag-1 close (row-based), so
-        // keep just the LAST ROW per stock of the adaptive read —
-        // without the truncation every batch would run flags over
-        // the whole multi-day horizon and discard them (r18 review;
-        // q168's recipe with minRows = 1)
-        val wTail = Window.partitionBy("stock").orderBy(col("day").desc)
-        val tail = adaptiveDayTail(s, root, batch, d1, minRows = 1)
-          .withColumn("rn", row_number().over(wTail))
-          .filter(col("rn") <= 1).drop("rn")
-        val st = seedSnapshot(s, root, d1, tail)
-        val cumB = Window.partitionBy("stock").orderBy("day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val merged = sentimentFlags(tail.unionByName(batch))
-          .filter(col("day") >= d1)
-          .withColumn("lf_b",
-            max(when(col("is_limit_up") === 0, col("day"))).over(cumB))
-          .join(broadcast(st), Seq("stock"), "left")
-          // merge rule: last flat day ≤ current = max(stored pointer,
-          // batch-local max) — exact because no bars exist in
-          // (snapshot, d1); greatest skips nulls on either side
-          .withColumn("last_flat", greatest(col("lf_b"), col("st_last_flat")))
-          .withColumn("limit_up_streak",
-            when(col("is_limit_up") === 1,
-              col("day") - coalesce(col("last_flat"), lit(0L))).otherwise(0L))
-        merged.persist()
-        try {
-          writeDayPartitions(merged.select(martCols: _*), s"$root/mart")
-          writeTotalSnapshot(
-            merged.withColumn("st_last_flat", col("last_flat")), st,
-            Seq("st_last_flat"), dEnd, s"$root/state")
-          writeDayPartitions(batch, s"$root/bars")
-        } finally { merged.unpersist(); () }
-      })
+      buildHistorical = sentimentHistorical(s)(root, _),
+      onBatch = sentimentOnBatch(s)(root))
+
+  private def sentimentMartCols = Seq(col("stock"), col("day"),
+    col("is_limit_up"), col("is_limit_broken"), col("limit_up_streak"),
+    col("money_flow_main"))
+
+  private def sentimentHistorical(s: SparkSession)(root: String,
+      cut: Long): Unit = {
+    val hist = sentimentCompute(
+      s.read.parquet(s"$root/bars").withColumn("day", col("day").cast("long")))
+    hist.persist()
+    try {
+      hist.select(sentimentMartCols: _*)
+        .repartition(col("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+      // TOTAL pointer snapshot: each stock's last row carries its
+      // running last_flat (the cum-window max through its whole
+      // history)
+      val wHist = Window.partitionBy("stock").orderBy(col("day").desc)
+      hist.withColumn("rn", row_number().over(wHist))
+        .filter(col("rn") === 1)
+        .select(col("stock"), col("last_flat").as("st_last_flat"))
+        .withColumn("day", lit(cut))
+        .coalesce(1)
+        .write.partitionBy("day").mode("overwrite").parquet(s"$root/state")
+    } finally { hist.unpersist(); () }
+  }
+
+  private def sentimentOnBatch(s: SparkSession)(root: String)
+      : (DataFrame, Long) => Unit = (batch, d1) => {
+    val dEnd = batch.agg(max("day")).head().getLong(0)
+    // the limit flags need ONLY the lag-1 close (row-based), so
+    // keep just the LAST ROW per stock of the adaptive read —
+    // without the truncation every batch would run flags over
+    // the whole multi-day horizon and discard them (r18 review;
+    // q168's recipe with minRows = 1)
+    val wTail = Window.partitionBy("stock").orderBy(col("day").desc)
+    val tail = adaptiveDayTail(s, root, batch, d1, minRows = 1)
+      .withColumn("rn", row_number().over(wTail))
+      .filter(col("rn") <= 1).drop("rn")
+    val st = seedSnapshot(s, root, d1, tail)
+    val cumB = Window.partitionBy("stock").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = sentimentFlags(tail.unionByName(batch))
+      .filter(col("day") >= d1)
+      .withColumn("lf_b",
+        max(when(col("is_limit_up") === 0, col("day"))).over(cumB))
+      .join(broadcast(st), Seq("stock"), "left")
+      // merge rule: last flat day ≤ current = max(stored pointer,
+      // batch-local max) — exact because no bars exist in
+      // (snapshot, d1); greatest skips nulls on either side
+      .withColumn("last_flat", greatest(col("lf_b"), col("st_last_flat")))
+      .withColumn("limit_up_streak",
+        when(col("is_limit_up") === 1,
+          col("day") - coalesce(col("last_flat"), lit(0L))).otherwise(0L))
+    merged.persist()
+    try {
+      writeDayPartitions(merged.select(sentimentMartCols: _*), s"$root/mart")
+      writeTotalSnapshot(
+        merged.withColumn("st_last_flat", col("last_flat")), st,
+        Seq("st_last_flat"), dEnd, s"$root/state")
+      writeDayPartitions(batch, s"$root/bars")
+    } finally { merged.unpersist(); () }
   }
 
   /** q172/q173: STREAMING maintenance of the MOMENTUM and VALUE
@@ -945,38 +1217,33 @@ object FactorQueries {
     * At 100 TB: one ≤ 64-row-per-stock pruned tail read + one
     * day-partition write per store per day — q167's scale claim,
     * now held by every family. */
+  private def kernelHistorical(s: SparkSession, kernel: DataFrame => DataFrame,
+      cols: Seq[String])(root: String, cut: Long): Unit =
+    kernel(s.read.parquet(s"$root/bars")
+        .withColumn("day", col("day").cast("long")))
+      .select((Seq(col("stock"), col("day")) ++ cols.map(col)): _*)
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+
+  private def kernelOnBatch(s: SparkSession, kernel: DataFrame => DataFrame,
+      cols: Seq[String], minRows: Int)(root: String)
+      : (DataFrame, Long) => Unit = (batch, d1) => {
+    val keyed = Seq(col("stock"), col("day")) ++ cols.map(col)
+    val tail = adaptiveDayTail(s, root, batch, d1, minRows)
+    val f = kernel(tail.unionByName(batch))
+      .filter(col("day") >= d1)
+      .select(keyed: _*)
+    writeDayPartitions(f, s"$root/mart")
+    writeDayPartitions(batch, s"$root/bars")
+  }
+
   private def streamFamilyHarnessPanel(s: SparkSession, panel: DataFrame,
       root: String, kernel: DataFrame => DataFrame, cols: Seq[String],
       minRows: Int, afterHistorical: () => Unit = () => ())
-      : Option[Long] => Unit = {
-    val keyed = Seq(col("stock"), col("day")) ++ cols.map(col)
+      : Option[Long] => Unit =
     streamScaffold(s, panel, root, afterHistorical,
-      buildHistorical = _ =>
-        kernel(s.read.parquet(s"$root/bars")
-            .withColumn("day", col("day").cast("long")))
-          .select(keyed: _*)
-          .repartition(col("day"))
-          .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart"),
-      onBatch = (batch, d1) => {
-        val tail = adaptiveDayTail(s, root, batch, d1, minRows)
-        val f = kernel(tail.unionByName(batch))
-          .filter(col("day") >= d1)
-          .select(keyed: _*)
-        writeDayPartitions(f, s"$root/mart")
-        writeDayPartitions(batch, s"$root/bars")
-      })
-  }
-
-  /** Shared q172/q173 entry shape: run the stream in fresh scratch,
-    * read the mart back rounded like the family's batch entry. */
-  private def streamFamilyAppendRun(s: SparkSession, root: String,
-      harness: Option[Long] => Unit, cols: Seq[String]): DataFrame = {
-    harness(None)
-    s.read.parquet(s"$root/mart")
-      .select(Seq(col("stock"), col("day").cast("long").as("day")) ++
-        cols.map(r6): _*)
-      .orderBy("stock", "day")
-  }
+      buildHistorical = kernelHistorical(s, kernel, cols)(root, _),
+      onBatch = kernelOnBatch(s, kernel, cols, minRows)(root))
 
   private[analytics] def streamMomentumHarnessPanel(s: SparkSession,
       panel: DataFrame, root: String): Option[Long] => Unit =
@@ -988,18 +1255,70 @@ object FactorQueries {
     streamFamilyHarnessPanel(s, panel, root, Value.compute,
       Value.columns, minRows = 64)
 
+  /** The streamed-family registry: seed-buildable historical +
+    * maintenance per family, shared by the entries and the bench's
+    * `stream_scaffold` prime line. */
+  private def streamFamilies: Seq[(String,
+      (SparkSession, String) => (String, Long) => Unit,
+      (SparkSession, String) => String => (DataFrame, Long) => Unit)] = Seq(
+    ("technical",
+      (s, _) => technicalHistorical(s),
+      (s, _) => technicalOnBatch(s)),
+    ("ema",
+      (s, _) => emaHistorical(s),
+      (s, _) => emaOnBatch(s)),
+    ("alpha_slice",
+      (s, _) => alphaSliceHistorical(s),
+      (s, _) => alphaSliceOnBatch(s)),
+    ("sentiment",
+      (s, _) => sentimentHistorical(s),
+      (s, _) => sentimentOnBatch(s)),
+    ("alpha_full",
+      // historical from the session alpha mart's prefix (see
+      // streamAlphaFullHarness) + the template forced into cache so
+      // the scaffold line absorbs its build, not the first batch
+      (s, dir) => { (root, cut) =>
+        val schema = baseInSchema(s, dir)
+        alphaFullTemplate(s, schema)
+        alphaFullHistorical(s, schema, Some(alphaFull(s, dir)))(root, cut)
+      },
+      (s, dir) => alphaFullOnBatch(s, baseInSchema(s, dir))),
+    ("momentum",
+      (s, _) => kernelHistorical(s, Momentum.compute, Momentum.columns),
+      (s, _) => kernelOnBatch(s, Momentum.compute, Momentum.columns, 64)),
+    ("value",
+      (s, _) => kernelHistorical(s, Value.compute, Value.columns),
+      (s, _) => kernelOnBatch(s, Value.compute, Value.columns, 64)))
+
+  /** The stream input schema for (session, dir): the base seed's
+    * first replay file — what the micro-batches will carry. */
+  private def baseInSchema(s: SparkSession,
+      dir: String): org.apache.spark.sql.types.StructType =
+    s.read.parquet(s"${baseStreamSeed(s, dir)}/in/b0").schema
+
+  /** Run a registered family's maintenance from its memoized seed and
+    * read the mart back (the streamed entries' shared body). */
+  private def streamEntryFromSeed(s: SparkSession, dir: String,
+      family: String): String = {
+    val (_, hist, onBatch) = streamFamilies.find(_._1 == family)
+      .getOrElse(throw new IllegalArgumentException(s"unknown family $family"))
+    runFromSeed(s, dir, family, hist(s, dir), onBatch(s, dir))
+  }
+
   def streamMomentumMartAppend: Q = (s, dir) => {
-    val root = graft.TempDirs.scratch("graft_stream_mom_mart", preferShm = true)
-    streamFamilyAppendRun(s, root,
-      streamMomentumHarnessPanel(s, Quotes.panel(s, dir), root),
-      Momentum.columns)
+    val run = streamEntryFromSeed(s, dir, "momentum")
+    s.read.parquet(s"$run/mart")
+      .select(Seq(col("stock"), col("day").cast("long").as("day")) ++
+        Momentum.columns.map(r6): _*)
+      .orderBy("stock", "day")
   }
 
   def streamValueMartAppend: Q = (s, dir) => {
-    val root = graft.TempDirs.scratch("graft_stream_val_mart", preferShm = true)
-    streamFamilyAppendRun(s, root,
-      streamValueHarnessPanel(s, Quotes.panel(s, dir), root),
-      Value.columns)
+    val run = streamEntryFromSeed(s, dir, "value")
+    s.read.parquet(s"$run/mart")
+      .select(Seq(col("stock"), col("day").cast("long").as("day")) ++
+        Value.columns.map(r6): _*)
+      .orderBy("stock", "day")
   }
 
   /** Compound row-lookback bound of the FULL Alpha101 DAG: the
@@ -1054,9 +1373,13 @@ object FactorQueries {
     * window depth × entities, independent of history depth. Retry
     * idempotence by layout exactly as q167/q169 (`day < d1` tail
     * bound + dynamic partition overwrite). */
-  def streamAlphaFullAppend: Q = (s, dir) =>
-    streamAlphaFullAppendRun(s, dir,
-      graft.TempDirs.scratch("graft_stream_alpha_full", preferShm = true))
+  def streamAlphaFullAppend: Q = (s, dir) => {
+    val run = streamEntryFromSeed(s, dir, "alpha_full")
+    s.read.parquet(s"$run/mart")
+      .select(Seq(col("stock"), col("day").cast("long").as("day")) ++
+        Alpha101.columns.map(r6): _*)
+      .orderBy("stock", "day")
+  }
 
   /** The q171 pipeline with the scratch root exposed (spec hook). */
   private[analytics] def streamAlphaFullAppendRun(s: SparkSession, dir: String,
@@ -1093,40 +1416,71 @@ object FactorQueries {
       panel: DataFrame, root: String,
       afterHistorical: () => Unit = () => (),
       historicalFrom: Option[DataFrame] = None)
-      : Option[Long] => Unit = {
-    val names = panel.schema.fieldNames.toSeq
-    val outCols = Seq(col("stock"), col("day")) ++ Alpha101.columns.map(col)
-    // the plan-once template: the full DAG over an empty all-nullable
-    // stand-in, analyzed exactly once per stream (see the Scaladoc)
-    val standIn = s.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(
-        panel.schema.fields.map(_.copy(nullable = true))))
-    val template = org.apache.spark.sql.graftbridge.PlanBridge.analyzed(
-      Alpha101.compute(standIn).select(outCols: _*))
-    def alphasOf(input: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.PlanBridge.swapLeaf(s, template, input)
+      : Option[Long] => Unit =
     streamScaffold(s, panel, root, afterHistorical,
-      buildHistorical = cut => {
-        val hist = historicalFrom match {
-          case Some(full) => full.filter(col("day") <= cut).select(outCols: _*)
-          case None =>
-            val bars = s.read.parquet(s"$root/bars")
-              .withColumn("day", col("day").cast("long"))
-              .select(names.map(col): _*)
-            alphasOf(bars)
+      buildHistorical = alphaFullHistorical(s, panel.schema,
+        historicalFrom)(root, _),
+      onBatch = alphaFullOnBatch(s, panel.schema)(root))
+
+  private def alphaFullOutCols =
+    Seq(col("stock"), col("day")) ++ Alpha101.columns.map(col)
+
+  /** The plan-once template, memoized per (session, input schema):
+    * the full 101-alpha DAG analyzed over an empty all-nullable
+    * stand-in, built exactly once and swapped onto every consumer's
+    * input ([[org.apache.spark.sql.graftbridge.PlanBridge.swapLeaf]]).
+    * Session-scoped so the entry's repeat runs (bench rerun armor)
+    * skip the multi-second build entirely. */
+  private val alphaTemplateCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Seq[String]),
+    () => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+
+  private def alphaFullTemplate(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val holder = alphaTemplateCache.computeIfAbsent(
+      (s, schema.fieldNames.toSeq), { _ =>
+        lazy val plan = {
+          val standIn = s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(
+              schema.fields.map(_.copy(nullable = true))))
+          org.apache.spark.sql.graftbridge.PlanBridge.analyzed(
+            Alpha101.compute(standIn).select(alphaFullOutCols: _*))
         }
-        hist
-          .repartition(col("day"))
-          .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
-      },
-      onBatch = (batch, d1) => {
-        val tail = adaptiveDayTail(s, root, batch, d1,
-          minRows = alphaFullLookbackRows)
-        val f = alphasOf(tail.unionByName(batch)).filter(col("day") >= d1)
-        writeDayPartitions(f, s"$root/mart")
-        writeDayPartitions(batch, s"$root/bars")
+        () => plan
       })
+    holder()
+  }
+
+  private def alphaFullHistorical(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      historicalFrom: Option[DataFrame])(root: String, cut: Long): Unit = {
+    val hist = historicalFrom match {
+      case Some(full) =>
+        full.filter(col("day") <= cut).select(alphaFullOutCols: _*)
+      case None =>
+        val bars = s.read.parquet(s"$root/bars")
+          .withColumn("day", col("day").cast("long"))
+          .select(schema.fieldNames.map(col).toSeq: _*)
+        org.apache.spark.sql.graftbridge.PlanBridge.swapLeaf(s,
+          alphaFullTemplate(s, schema), bars)
+    }
+    hist
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$root/mart")
+  }
+
+  private def alphaFullOnBatch(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType)(root: String)
+      : (DataFrame, Long) => Unit = (batch, d1) => {
+    val tail = adaptiveDayTail(s, root, batch, d1,
+      minRows = alphaFullLookbackRows)
+    val f = org.apache.spark.sql.graftbridge.PlanBridge.swapLeaf(s,
+        alphaFullTemplate(s, schema), tail.unionByName(batch))
+      .filter(col("day") >= d1)
+    writeDayPartitions(f, s"$root/mart")
+    writeDayPartitions(batch, s"$root/bars")
   }
 
   /** RETENTION + COMPACTION for the streamed stores (r18 verdict ask
@@ -1165,6 +1519,7 @@ object FactorQueries {
     foldDayStore(s, s"$root/mart", foldBelow)
     foldDayStore(s, s"$root/bars", foldBelow)
     retireSnapshots(s"$root/state", keepSnapshots)
+    retireSnapshots(s"$root/firstbar", keepSnapshots)
   }
 
   /** Day partitions of `path` with their data-file counts — a
@@ -1477,7 +1832,7 @@ object FactorQueries {
     keyedCols(Seq("is_limit_up", "is_limit_broken", "limit_up_streak",
       "money_flow_main")))
 
-  private[analytics] val martDatasets: Seq[MartDataset] = Seq(
+  private[graft] val martDatasets: Seq[MartDataset] = Seq(
     alphaDataset, technicalDataset, emaDataset, momentumDataset,
     valueDataset, sentimentDataset)
 
@@ -1547,6 +1902,8 @@ object FactorQueries {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           martCache.keySet.removeIf(_._1 eq ss)
+          streamSeedCache.keySet.removeIf(_._1 eq ss)
+          alphaTemplateCache.keySet.removeIf(_._1 eq ss)
           cleanupHooked.remove(ss)
         }
       })

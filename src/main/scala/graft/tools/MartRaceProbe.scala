@@ -16,15 +16,27 @@ import org.apache.spark.sql.functions._
   * (no partial read — a torn mart cannot checksum equal), and both
   * must find the manifest valid afterwards. `preValid` distinguishes
   * a true raced build from a degenerate run where one probe started
-  * late and took the reuse fast path. */
+  * late and took the reuse fast path.
+  *
+  * The dataset under race is the optional third argument (any
+  * `MartDataset.name` — default `value`): the ALPHA mart is the
+  * expensive one where a raced double-build hurts most (r18 verdict
+  * ask #7), and its multi-second derive also widens the race window
+  * the most. */
 object MartRaceProbe {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: MartRaceProbe <martRoot> <sourceDir>")
+    require(args.length >= 2,
+      "usage: MartRaceProbe <martRoot> <sourceDir> [dataset]")
     val root = args(0); val dir = args(1)
+    val dsName = if (args.length >= 3) args(2) else "value"
     val spark = graft.LocalSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ds = graft.analytics.FactorQueries.valueDataset
+    val ds = graft.analytics.FactorQueries.martDatasets
+      .find(_.name == dsName)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown dataset $dsName; one of " +
+          graft.analytics.FactorQueries.martDatasets.map(_.name).mkString(",")))
     val target = graft.analytics.FactorQueries.martPathFor(root, dir, ds)
     val pre = graft.analytics.FactorQueries.martValid(spark, target, ds, dir)
     val t0 = System.nanoTime()

@@ -230,6 +230,38 @@ class BenchLineSpec extends AnyFunSuite {
     assert(w4.get("01").contains(0.5), w4.toString)
   }
 
+  test("previousRoundWalls: driver artifact beats the sidecar (parts.n baseline)") {
+    // the newness baseline must be ROUND-stamped: the sidecar absorbs
+    // every mid-round local bench iteration, so an entry added this
+    // round is already in it by the closing run and parts.n would
+    // read 0 for genuinely-new walls (r18's artifact did exactly
+    // that). Same fixture dir as the armor case — but here the r16
+    // artifact must WIN over a sidecar that already carries the
+    // "new" entry.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_prw").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      new java.io.File("BENCH_r16.json").toPath,
+      new java.io.File(dir, "BENCH_r16.json").toPath)
+    Bench.writeSelfBench("/root/testdata/sf0.1",
+      """{"sf":"/root/testdata/sf0.1","queries":{"q01_pricing_summary":{"w":0.712,"c":3.1,"l":2.0,"r":false},"q999_added_this_round":{"w":9.9,"c":1.0,"l":1.0,"r":false}}}""",
+      dir = dir.getAbsolutePath)
+    val round = Bench.previousRoundWalls("/root/testdata/sf0.1",
+      searchDir = dir.getAbsolutePath)
+    assert(round.get("01").contains(0.659), round.toString) // the artifact, not the sidecar
+    assert(!round.contains("999"), "sidecar leaked into the round baseline")
+    // while the ARMOR baseline still prefers the sidecar's fidelity
+    val armor = Bench.previousArtifactWalls("/root/testdata/sf0.1",
+      searchDir = dir.getAbsolutePath)
+    assert(armor.get("01").contains(0.712))
+    assert(armor.contains("999"))
+    // no artifact parses → the sidecar is still better than nothing
+    assert(new java.io.File(dir, "BENCH_r16.json").delete())
+    val fallback = Bench.previousRoundWalls("/root/testdata/sf0.1",
+      searchDir = dir.getAbsolutePath)
+    assert(fallback.contains("999"), fallback.toString)
+  }
+
   test("previousArtifactWalls live smoke: newest artifact parses, key-agnostic") {
     // the one assertion allowed to touch the mutable artifact series:
     // the repo root must yield a baseline with SOME derive key

@@ -251,6 +251,58 @@ class StreamMartSpec extends SparkSpec {
       streamed.zip(expected).find { case (a, b) => a != b }.toString)
   }
 
+  test("young listing: the tail read stays at the base horizon (first-bar exemption)") {
+    // a stock that LISTS mid-stream — first bar inside batch 1, no
+    // stored history at all — must not widen the tail chasing rows
+    // that do not exist: it is exempt via the scaffold-maintained
+    // first-bar registry (absent = brand-new). The control with the
+    // registry deleted shows the degradation the exemption removes
+    // (whole-store read), and the partition filter pins the pruning.
+    val panel = graft.sources.Quotes.panel(spark, dir)
+    val maxDay = panel.agg(max("day")).head().getLong(0)
+    val cut = maxDay - 15
+    val donor = panel.groupBy("stock").agg(max("day").as("md"))
+      .filter(col("md") === maxDay).agg(min("stock")).head().getLong(0)
+    val lister = panel.filter(col("stock") === donor &&
+        col("day") > cut + 5 && col("day") <= cut + 10)
+      .withColumn("stock", lit(9999L))
+    val panel2 = panel.unionByName(lister)
+    val root = graft.TempDirs.scratch("graft_fb_listing")
+    FactorQueries.streamAlphaMartHarnessPanel(spark, panel2, root)(None)
+    // correctness first: bit-identity holds over the listing panel
+    // (the newcomer's partial-window values match the scratch DAG)
+    val streamed = alphaMartBits(root)
+    val expected = scratchAlphaSliceOf(panel2)
+    assert(streamed.exists(r => r(0) == 9999L))
+    assert(streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+    // replay batch 1's tail decision (d1 = cut+6): prior registry
+    // snapshot lacks the newcomer -> exempt -> base horizon holds
+    // even though the newcomer has zero prior rows
+    val b1 = panel2.filter(col("day") > cut + 5 && col("day") <= cut + 10)
+    val d1 = cut + 6
+    val (tail, horizon) = FactorQueries.adaptiveDayTailWithHorizon(
+      spark, root, b1, d1, minRows = 9)
+    assert(horizon.contains(25L), s"expected base horizon, got $horizon")
+    // the floor rides the partition column into the scan
+    val plan = tail.queryExecution.executedPlan.toString
+    assert(plan.contains(s"> ${d1 - 25}"), s"no partition floor in:\n$plan")
+    // control: registry gone -> conservative pre-registry behavior
+    // (the newcomer's zero rows force the whole-store fallback)
+    FactorQueries.retireSnapshots(s"$root/firstbar", keep = 1)
+    new java.io.File(s"$root/firstbar").listFiles()
+      .foreach(f => if (f.isDirectory) {
+        val st = java.nio.file.Files.walk(f.toPath)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { val _ = p.toFile.delete() })
+        finally st.close()
+      } else assert(f.delete()))
+    assert(new java.io.File(s"$root/firstbar").delete())
+    val (_, ctlHorizon) = FactorQueries.adaptiveDayTailWithHorizon(
+      spark, root, b1, d1, minRows = 9)
+    assert(ctlHorizon.isEmpty, s"control should fall to whole store, got $ctlHorizon")
+  }
+
   test("q169 appends new day partitions only; history untouched") {
     val root = graft.TempDirs.scratch("graft_q169_hist")
     def snapshot(): Map[String, Long] = {

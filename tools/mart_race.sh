@@ -16,7 +16,10 @@
 # race; in practice simultaneous starts always overlap the multi-
 # second derive. Compile first: sbt -batch compile.
 #
-# Usage: tools/mart_race.sh [martRoot] [sourceDir]
+# Usage: tools/mart_race.sh [martRoot] [sourceDir] [dataset]
+#   dataset: any MartDataset name (alphas|technical|ema|momentum|value|
+#   sentiment), default value; `alphas` is the expensive build where a
+#   raced double-build hurts most.
 set -u
 cd "$(dirname "$0")/.."
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
@@ -34,12 +37,13 @@ OPTS="$OPTS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx4g -Xs
 
 ROOT="${1:-$(mktemp -d /tmp/graft_mart_race.XXXXXX)}"
 DIR="${2:-/root/testdata/sf0.001}"
+DS="${3:-value}"
 OUT="$(mktemp -d /tmp/graft_mart_race_logs.XXXXXX)"
-echo "race root: $ROOT  source: $DIR  logs: $OUT"
+echo "race root: $ROOT  source: $DIR  dataset: $DS  logs: $OUT"
 
-java $OPTS -cp "$CP" graft.tools.MartRaceProbe "$ROOT" "$DIR" >"$OUT/a.log" 2>&1 &
+java $OPTS -cp "$CP" graft.tools.MartRaceProbe "$ROOT" "$DIR" "$DS" >"$OUT/a.log" 2>&1 &
 A=$!
-java $OPTS -cp "$CP" graft.tools.MartRaceProbe "$ROOT" "$DIR" >"$OUT/b.log" 2>&1 &
+java $OPTS -cp "$CP" graft.tools.MartRaceProbe "$ROOT" "$DIR" "$DS" >"$OUT/b.log" 2>&1 &
 B=$!
 wait $A; RA=$?
 wait $B; RB=$?
@@ -63,7 +67,7 @@ NDIRS=$(find "$ROOT" -mindepth 1 -maxdepth 1 -type d | wc -l)
 [ "$NDIRS" -eq 1 ] || fail "expected 1 published mart dir, found $NDIRS"
 
 # third, sequential probe: must take the reuse fast path
-java $OPTS -cp "$CP" graft.tools.MartRaceProbe "$ROOT" "$DIR" >"$OUT/c.log" 2>&1 \
+java $OPTS -cp "$CP" graft.tools.MartRaceProbe "$ROOT" "$DIR" "$DS" >"$OUT/c.log" 2>&1 \
   || fail "third probe failed (see $OUT/c.log)"
 grep -h '^RACE' "$OUT/c.log"
 grep -q 'preValid=true' "$OUT/c.log" || fail "third probe rebuilt instead of reusing"
