@@ -562,6 +562,40 @@ class StreamMartSpec extends SparkSpec {
     assert(martBits(root) == scratchEma)
   }
 
+  test("readable mid-maintenance: a pre-append reader sees the OLD complete set, a mid-append reader complete partitions") {
+    // the marts claim "readable mid-maintenance" (r18 stretch ask):
+    // because the appends only CREATE day partitions (history
+    // byte-untouched, pinned below), a reader whose file listing was
+    // snapshotted before an append keeps reading the old complete
+    // set — its files still exist — and a reader arriving between
+    // batches sees only COMPLETE day partitions (each batch's writes
+    // land whole before its checkpoint commit; the crash injection
+    // stops the stream at exactly that boundary). Old set or new
+    // set, never a torn partition.
+    val root = graft.TempDirs.scratch("graft_reader")
+    val start = FactorQueries.streamMartHarness(spark, dir, root)
+    // snapshot reader: listing fixed NOW (historical partitions only)
+    val preReader = spark.read.parquet(s"$root/mart")
+    val histDays = FactorQueries.dayPartitionFiles(s"$root/mart").keySet
+    val panel = graft.sources.Quotes.panel(spark, dir)
+    val rowsPerDay = panel.groupBy("day").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    start(Some(1L)) // batches 0,1 fully written; stream stopped mid-run
+    // the pre-append reader still reads exactly the old complete set
+    val preDays = preReader.groupBy("day").count()
+      .collect().map(r => r.getAs[Number]("day").longValue() -> r.getLong(1)).toMap
+    assert(preDays.keySet == histDays, s"pre-append reader saw ${preDays.keySet}")
+    preDays.foreach { case (d, n) =>
+      assert(n == rowsPerDay(d), s"old partition day=$d torn: $n rows") }
+    // a mid-append reader sees MORE days, every one of them complete
+    val midDays = spark.read.parquet(s"$root/mart").groupBy("day").count()
+      .collect().map(r => r.getAs[Number]("day").longValue() -> r.getLong(1)).toMap
+    assert(midDays.keySet.size > histDays.size)
+    midDays.foreach { case (d, n) =>
+      assert(n == rowsPerDay(d), s"mid-append partition day=$d torn: $n rows") }
+    start(None) // finish cleanly; final-value identity is pinned above
+  }
+
   test("the append writes NEW day partitions only; history untouched") {
     val root = graft.TempDirs.scratch("graft_q167_spec")
     def snapshot(): Map[String, Long] = {
