@@ -282,8 +282,15 @@ object Bench {
     * atomic publication alone only prevents tearing, not the lost
     * update. The lockfile (never the sidecar itself) is locked so the
     * move never replaces a locked inode. */
+  /** In-process gate around the cross-process file lock: java.nio
+    * file locks are held per PROCESS, so a second same-JVM caller
+    * would hit OverlappingFileLockException instead of queueing —
+    * a crash where the unlocked code merely risked a lost update
+    * (r19 review finding; test suites share one JVM). */
+  private val selfBenchJvmLock = new Object
+
   private[graft] def writeSelfBench(sfDir: String, record: String,
-      dir: String = "."): Unit = {
+      dir: String = "."): Unit = selfBenchJvmLock.synchronized {
     val lockFile = new java.io.File(dir, selfBenchName + ".lock")
     val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
       java.nio.file.StandardOpenOption.CREATE,

@@ -625,12 +625,23 @@ object FactorQueries {
     * seed into a fresh run root, stream the base seed's replay files
     * against a fresh checkpoint, return the run root for the mart
     * read. The memoized seed makes a repeat run cost copy +
-    * maintenance only. */
+    * maintenance only. At most ONE run root per (session, dir,
+    * family) stays on disk: a new run deletes its predecessor first —
+    * /dev/shm must not accumulate a full store copy per invocation
+    * (r19 review finding). Contract: a returned frame is consumed
+    * before the same entry runs again (Verify and Bench both do). */
+  private val lastRunRoot = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), String]()
+
   private def runFromSeed(s: SparkSession, dir: String, family: String,
       buildHistorical: (String, Long) => Unit,
       onBatch: String => (DataFrame, Long) => Unit): String = {
     val seed = familyStreamSeed(s, dir, family, buildHistorical)
     val run = graft.TempDirs.scratch(s"graft_srun_$family", preferShm = true)
+    Option(lastRunRoot.put((s, dir, family), run)).foreach { prev =>
+      try deleteRecursively(java.nio.file.Paths.get(prev))
+      catch { case _: Exception => () }
+    }
     copyTree(seed, run)
     streamStart(s, run, s"${baseStreamSeed(s, dir)}/in", onBatch(run))(None)
     run
@@ -653,12 +664,33 @@ object FactorQueries {
       val builds = streamFamilies.map { case (family, hist, _) =>
         Future { familyStreamSeed(s, dir, family, hist(s, dir)) }
       }
-      builds.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+      // await EVERY build before propagating a failure: rethrowing on
+      // the first failed future would leave the other six heavy
+      // builds running in the background, contending with whatever
+      // the caller times next (r19 review finding)
+      val outcomes = builds.map(b => scala.util.Try(
+        Await.result(b, scala.concurrent.duration.Duration.Inf)))
+      outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
     } finally pool.shutdown()
   }
 
-  def dropStreamSeeds(s: SparkSession, dir: String): Unit =
+  def dropStreamSeeds(s: SparkSession, dir: String): Unit = {
+    // delete the forgotten seed DIRECTORIES too — the armor's rerun
+    // rebuilds fresh copies, and /dev/shm must not hold both
+    // generations until JVM exit (r19 review finding)
+    import scala.jdk.CollectionConverters._
+    streamSeedCache.entrySet().iterator().asScala
+      .filter(e => e.getKey._1 == s && e.getKey._2 == dir)
+      .foreach(e =>
+        try deleteRecursively(java.nio.file.Paths.get(e.getValue().apply()))
+        catch { case _: Exception => () })
     streamSeedCache.keySet.removeIf(k => k._1 == s && k._2 == dir)
+    // the q171 template is part of the scaffold cost the line claims
+    // to attribute — an armored rerun that skipped its rebuild would
+    // keep a template-free minimum (r19 review finding)
+    alphaTemplateCache.keySet.removeIf(_._1 == s)
+  }
 
   /** q167 harness on [[streamScaffold]]: per non-empty batch, one
     * 25-day tail read strictly below the batch (`day < d1` is the
@@ -673,7 +705,15 @@ object FactorQueries {
   private[analytics] def streamMartHarness(s: SparkSession, dir: String,
       root: String, afterHistorical: () => Unit = () => ())
       : Option[Long] => Unit =
-    streamScaffold(s, Quotes.panel(s, dir), root, afterHistorical,
+    streamMartHarnessPanel(s, Quotes.panel(s, dir), root, afterHistorical)
+
+  /** Panel-injectable q167 harness (spec hook for the suspension
+    * case). */
+  private[analytics] def streamMartHarnessPanel(s: SparkSession,
+      panel: DataFrame, root: String,
+      afterHistorical: () => Unit = () => ())
+      : Option[Long] => Unit =
+    streamScaffold(s, panel, root, afterHistorical,
       buildHistorical = technicalHistorical(s)(root, _),
       onBatch = technicalOnBatch(s)(root))
 
@@ -688,10 +728,14 @@ object FactorQueries {
 
   private def technicalOnBatch(s: SparkSession)(root: String)
       : (DataFrame, Long) => Unit = (batch, d1) => {
-    val tail = s.read.parquet(s"$root/bars")
-      .filter(col("day") > d1 - 25 && col("day") < d1)
-      .withColumn("day", col("day").cast("long"))
-      .select(batch.schema.fieldNames.map(col): _*)
+    // adaptive tail with a 20-row floor (bias_20's MA is the deepest
+    // of the three mart columns at 19 prior rows): on a dense panel
+    // this resolves to the original 25-day read (the oracle's replay
+    // window), and a stock resuming from a suspension longer than the
+    // base horizon widens instead of silently truncating its frames —
+    // the same failure class the r18 ADVICE closed for q168 (r19
+    // review finding; the gapped-panel spec case pins it)
+    val tail = adaptiveDayTail(s, root, batch, d1, minRows = 20)
     val f = Technical.compute(tail.unionByName(batch))
       .filter(col("day") >= d1)
       .select(col("stock"), col("day"), col("rsi_14"), col("bias_20"),
@@ -1017,11 +1061,15 @@ object FactorQueries {
       subject.filter(col("n").isNull || col("n") < minRows)
         .limit(1).count() > 0
     }
-    // a horizon of H days holds at most H rows per stock, so rungs
-    // below minRows can never satisfy the count — skip them instead
-    // of paying a doomed per-stock count per rung (q171's 300-row
-    // floor would otherwise waste two counts per batch)
-    val horizon = Seq(25L, 100L, 400L).filter(_ >= minRows).map(Some(_))
+    // a rung of H days holds at most H-1 prior rows per stock
+    // (day > d1-H && day < d1 spans H-1 days), so rungs that cannot
+    // reach minRows are skipped instead of paying a doomed per-stock
+    // count (q171's 300-row floor would otherwise waste two counts
+    // per batch). The skip is conservative under the first-bar
+    // exemption — a batch of ONLY young listings could be satisfied
+    // at a skipped rung but reads the first kept one instead; still
+    // bounded, never wrong (r19 review note).
+    val horizon = Seq(25L, 100L, 400L).filter(_ > minRows).map(Some(_))
       .find(h => !anyShort(tailTo(h), d1 - h.get))
     (tailTo(horizon.getOrElse(None)), horizon.flatten)
   }
@@ -1432,14 +1480,17 @@ object FactorQueries {
     * Session-scoped so the entry's repeat runs (bench rerun armor)
     * skip the multi-second build entirely. */
   private val alphaTemplateCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, Seq[String]),
+    (SparkSession, Seq[(String, org.apache.spark.sql.types.DataType)]),
     () => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
 
   private def alphaFullTemplate(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    // keyed on names AND types: a same-named column with a different
+    // type in another dir must build its own template, not trip
+    // swapLeaf's type require against a stale one (r19 review)
     val holder = alphaTemplateCache.computeIfAbsent(
-      (s, schema.fieldNames.toSeq), { _ =>
+      (s, schema.fields.map(f => f.name -> f.dataType).toSeq), { _ =>
         lazy val plan = {
           val standIn = s.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -1904,6 +1955,7 @@ object FactorQueries {
           martCache.keySet.removeIf(_._1 eq ss)
           streamSeedCache.keySet.removeIf(_._1 eq ss)
           alphaTemplateCache.keySet.removeIf(_._1 eq ss)
+          lastRunRoot.keySet.removeIf(_._1 eq ss)
           cleanupHooked.remove(ss)
         }
       })

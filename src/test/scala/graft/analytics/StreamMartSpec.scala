@@ -63,6 +63,37 @@ class StreamMartSpec extends SparkSpec {
       streamed.zip(expected).find { case (a, b) => a != b }.toString)
   }
 
+  test("q167 under a long suspension: the 20-row frames survive the gap") {
+    // bias_20 reaches 19 prior ROWS — on the old fixed 25-day horizon
+    // a stock resuming from a 6+ day suspension computed its MA over
+    // a truncated frame and silently diverged from the scratch derive
+    // (r19 review finding; the adaptive 20-row floor closes it, the
+    // same class the r18 ADVICE closed for q168)
+    val panel = graft.sources.Quotes.panel(spark, dir)
+    val maxDay = panel.agg(max("day")).head().getLong(0)
+    val cut = maxDay - 15
+    val gapStock = panel.groupBy("stock").agg(max("day").as("md"))
+      .filter(col("md") === maxDay).agg(min("stock")).head().getLong(0)
+    val gapped = panel.filter(!(col("stock") === gapStock &&
+      col("day") > cut - 20 && col("day") <= cut + 12))
+    val root = graft.TempDirs.scratch("graft_q167_gap")
+    FactorQueries.streamMartHarnessPanel(spark, gapped, root)(None)
+    def r6of(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("stock"), col("day").cast("long").as("day"),
+        round(col("rsi_14"), 6).as("rsi_14"),
+        round(col("bias_20"), 6).as("bias_20"),
+        round(col("cci_14"), 6).as("cci_14"))
+      .orderBy("stock", "day")
+      .collect().map(_.toSeq.toVector).toVector
+    val streamed = r6of(spark.read.parquet(s"$root/mart"))
+    val expected = r6of(graft.factors.Technical.compute(gapped)
+      .withColumn("day", col("day").cast("long")))
+    assert(streamed.exists(r => r(0) == gapStock &&
+      r(1).asInstanceOf[Long] > cut + 12))
+    assert(streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
   // ---- q168: the EMA family (recursive state — r17 verdict ask #6).
   // Technical factors are exact under a bounded tail by frame
   // containment; EMA registers look back over the ENTIRE history, so
