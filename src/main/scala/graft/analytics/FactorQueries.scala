@@ -374,7 +374,14 @@ object FactorQueries {
     * tail read + one day-partition write; the mart stays readable
     * mid-maintenance (readers list committed partitions), history is
     * never rewritten (q151's generation-append for the factor
-    * plane), and the 5-day catch-up window absorbs restatements. */
+    * plane), and the 5-day catch-up window absorbs restatements.
+    *
+    * SINGLE LIVE RUN (all seven streamed entries alike): an
+    * invocation deletes the PREVIOUS run's store before building its
+    * own — at most one run root per family stays on disk — so consume
+    * (collect/write) a returned frame before invoking the same entry
+    * again; an unconsumed earlier frame would dangle on deleted files
+    * (r19 ADVICE 1). Verify and Bench both consume eagerly. */
   def streamMartAppend: Q = (s, dir) => {
     val run = streamEntryFromSeed(s, dir, "technical")
     s.read.parquet(s"$run/mart")
@@ -463,16 +470,18 @@ object FactorQueries {
     }
     val props = new java.util.Properties()
     props.setProperty("cut", cut.toString)
-    val out = new java.io.FileOutputStream(
-      new java.io.File(root, "_SEED.properties"))
+    val (fs, rootP) = fsPath(root)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(rootP, "_SEED.properties"), true)
     try props.store(out, "graft stream seed metadata") finally out.close()
     cut
   }
 
   private def seedCut(root: String): Long = {
     val props = new java.util.Properties()
-    val in = new java.io.FileInputStream(
-      new java.io.File(root, "_SEED.properties"))
+    val (fs, rootP) = fsPath(root)
+    val in = fs.open(
+      new org.apache.hadoop.fs.Path(rootP, "_SEED.properties"))
     try props.load(in) finally in.close()
     props.getProperty("cut").toLong
   }
@@ -565,20 +574,23 @@ object FactorQueries {
   // the stream); specs keep driving [[streamScaffold]] directly with
   // explicit roots — seeding is an entry/bench concern.
 
+  /** Value = (scratch root, force-build thunk). The root is allocated
+    * EAGERLY so [[dropStreamSeeds]] can delete it without forcing the
+    * build — a cached entry whose build previously threw (Scala lazy
+    * vals retry on access) would otherwise re-run the multi-second
+    * seed build inside the armor's drop hook just to learn the path
+    * (r19 ADVICE 2). */
   private val streamSeedCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), () => String]()
+    (SparkSession, String, String), (String, () => String)]()
 
   private def streamSeed(s: SparkSession, dir: String, family: String)(
       build: String => Unit): String = {
     val holder = streamSeedCache.computeIfAbsent((s, dir, family), { _ =>
-      lazy val root: String = {
-        val r = graft.TempDirs.scratch(s"graft_seed_$family", preferShm = true)
-        build(r)
-        r
-      }
-      () => root
+      val r = graft.TempDirs.scratch(s"graft_seed_$family", preferShm = true)
+      lazy val built: String = { build(r); r }
+      (r, () => built)
     })
-    holder()
+    holder._2()
   }
 
   /** Recursive copy, excluding top-level entries in `exclude`. */
@@ -635,14 +647,23 @@ object FactorQueries {
 
   private def runFromSeed(s: SparkSession, dir: String, family: String,
       buildHistorical: (String, Long) => Unit,
-      onBatch: String => (DataFrame, Long) => Unit): String = {
+      onBatch: String => (DataFrame, Long) => Unit,
+      runKey: Option[String] = None,
+      afterCopy: String => Unit = _ => ()): String = {
     val seed = familyStreamSeed(s, dir, family, buildHistorical)
-    val run = graft.TempDirs.scratch(s"graft_srun_$family", preferShm = true)
-    Option(lastRunRoot.put((s, dir, family), run)).foreach { prev =>
+    // `runKey` separates entries SHARING a family seed (q174 rides
+    // the technical seed) so one entry's rerun never deletes the
+    // other's still-live run root; `afterCopy` mutates the RUN copy
+    // before the stream starts (q174 plants its fragmented partition
+    // there — the immutable seed stays pristine)
+    val key = runKey.getOrElse(family)
+    val run = graft.TempDirs.scratch(s"graft_srun_$key", preferShm = true)
+    Option(lastRunRoot.put((s, dir, key), run)).foreach { prev =>
       try deleteRecursively(java.nio.file.Paths.get(prev))
       catch { case _: Exception => () }
     }
     copyTree(seed, run)
+    afterCopy(run)
     streamStart(s, run, s"${baseStreamSeed(s, dir)}/in", onBatch(run))(None)
     run
   }
@@ -683,7 +704,10 @@ object FactorQueries {
     streamSeedCache.entrySet().iterator().asScala
       .filter(e => e.getKey._1 == s && e.getKey._2 == dir)
       .foreach(e =>
-        try deleteRecursively(java.nio.file.Paths.get(e.getValue().apply()))
+        // the eagerly-allocated root, never the build thunk: forcing a
+        // previously-failed lazy build just to delete its directory
+        // would re-run the whole seed build here (r19 ADVICE 2)
+        try deleteRecursively(java.nio.file.Paths.get(e.getValue()._1))
         catch { case _: Exception => () })
     streamSeedCache.keySet.removeIf(k => k._1 == s && k._2 == dir)
     // the q171 template is part of the scaffold cost the line claims
@@ -744,6 +768,29 @@ object FactorQueries {
     writeDayPartitions(batch, s"$root/bars")
   }
 
+  /** Cross-process reader-probe hook (r19 verdict ask #6,
+    * `tools/stream_read_race.sh`): the q167 harness against an
+    * explicit SHARED root, with a ready-marker file once the
+    * historical mart lands and an optional pause after each batch so
+    * a second PROCESS gets real mid-maintenance windows to read
+    * through. StreamMartSpec pins the listing-snapshot semantics
+    * in-JVM; the production claim is a separate reader process, and
+    * that is what [[graft.tools.StreamReadProbe]] exercises. */
+  private[graft] def streamMartProbeRun(s: SparkSession, dir: String,
+      root: String, batchPauseMs: Long): Unit = {
+    val inner = technicalOnBatch(s)(root)
+    streamScaffold(s, Quotes.panel(s, dir), root,
+      afterHistorical = () => {
+        val (fs, p) = fsPath(s"$root/_PROBE_READY")
+        fs.create(p, true).close()
+      },
+      buildHistorical = technicalHistorical(s)(root, _),
+      onBatch = (b, d1) => {
+        inner(b, d1)
+        if (batchPauseMs > 0) Thread.sleep(batchPauseMs)
+      })(None)
+  }
+
   /** q168: STREAMING maintenance of the RECURSIVE factor family —
     * q167's foreachBatch day-append pattern extended to the EMA
     * family (r17 verdict ask #6), whose registers look back over the
@@ -788,7 +835,8 @@ object FactorQueries {
     * depth. The scratch alternative replays every bar ever ingested
     * to rebuild the unbounded registers; this is the difference
     * between a nightly job bounded by the day's data and one bounded
-    * by the archive. */
+    * by the archive. Single-live-run contract as [[streamMartAppend]]:
+    * consume a returned frame before rerunning the entry. */
   def streamEmaMartAppend: Q = (s, dir) => {
     val run = streamEntryFromSeed(s, dir, "ema")
     s.read.parquet(s"$run/mart")
@@ -940,6 +988,8 @@ object FactorQueries {
     "alpha_004", "alpha_012", "alpha_020", "alpha_033", "alpha_042",
     "alpha_053", "alpha_101")
 
+  /** Single-live-run contract as [[streamMartAppend]]: consume a
+    * returned frame before rerunning the entry. */
   def streamAlphaMartAppend: Q = (s, dir) => {
     val run = streamEntryFromSeed(s, dir, "alpha_slice")
     s.read.parquet(s"$run/mart")
@@ -1036,7 +1086,8 @@ object FactorQueries {
     // guard), if the store has one
     val fb: Option[DataFrame] = {
       val p = s"$root/firstbar"
-      if (!new java.io.File(p).isDirectory) None
+      val (fs, fbP) = fsPath(p)
+      if (!fs.exists(fbP) || !fs.getFileStatus(fbP).isDirectory) None
       else {
         val snaps = s.read.parquet(p)
           .withColumn("day", col("day").cast("long"))
@@ -1139,7 +1190,9 @@ object FactorQueries {
     *
     * At 100 TB: one 1-row-per-stock pruned tail read, one
     * entity-sized pointer-state read (broadcast), one day-partition
-    * write per store per day. */
+    * write per store per day. Single-live-run contract as
+    * [[streamMartAppend]]: consume a returned frame before rerunning
+    * the entry. */
   def streamSentimentMartAppend: Q = (s, dir) => {
     val run = streamEntryFromSeed(s, dir, "sentiment")
     s.read.parquet(s"$run/mart")
@@ -1353,6 +1406,8 @@ object FactorQueries {
     runFromSeed(s, dir, family, hist(s, dir), onBatch(s, dir))
   }
 
+  /** Single-live-run contract as [[streamMartAppend]]: consume a
+    * returned frame before rerunning the entry. */
   def streamMomentumMartAppend: Q = (s, dir) => {
     val run = streamEntryFromSeed(s, dir, "momentum")
     s.read.parquet(s"$run/mart")
@@ -1361,6 +1416,8 @@ object FactorQueries {
       .orderBy("stock", "day")
   }
 
+  /** Single-live-run contract as [[streamMartAppend]]: consume a
+    * returned frame before rerunning the entry. */
   def streamValueMartAppend: Q = (s, dir) => {
     val run = streamEntryFromSeed(s, dir, "value")
     s.read.parquet(s"$run/mart")
@@ -1420,7 +1477,9 @@ object FactorQueries {
     * one day-partition write per store per day — cost ∝ compound
     * window depth × entities, independent of history depth. Retry
     * idempotence by layout exactly as q167/q169 (`day < d1` tail
-    * bound + dynamic partition overwrite). */
+    * bound + dynamic partition overwrite). Single-live-run contract
+    * as [[streamMartAppend]]: consume a returned frame before
+    * rerunning the entry. */
   def streamAlphaFullAppend: Q = (s, dir) => {
     val run = streamEntryFromSeed(s, dir, "alpha_full")
     s.read.parquet(s"$run/mart")
@@ -1483,9 +1542,39 @@ object FactorQueries {
     (SparkSession, Seq[(String, org.apache.spark.sql.types.DataType)]),
     () => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
 
+  /** Evict cached templates whose session matches `stopped` and return
+    * the count removed. The production call site passes
+    * `_.sparkContext.isStopped` (r19 verdict ask #5: a long-lived JVM
+    * cycling sessions — a notebook server — must not retain a ~500-
+    * column analyzed plan per dead session); the predicate is the seam
+    * SwapLeafSpec pins the mechanism through, since a unit suite
+    * cannot stop its one shared SparkContext. */
+  private[graft] def evictTemplates(stopped: SparkSession => Boolean): Int = {
+    val before = alphaTemplateCache.size
+    alphaTemplateCache.keySet.removeIf(k => stopped(k._1))
+    before - alphaTemplateCache.size
+  }
+
+  /** The sessions currently holding a cached template (spec probe). */
+  private[graft] def templateSessions: Set[SparkSession] = {
+    import scala.jdk.CollectionConverters._
+    alphaTemplateCache.keySet.asScala.map(_._1).toSet
+  }
+
+  /** Force the q171 template for (session, schema) into cache — the
+    * spec's rebuild-after-eviction probe. */
+  private[graft] def forceAlphaTemplate(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    alphaFullTemplate(s, schema); ()
+  }
+
   private def alphaFullTemplate(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    // a stopped session's template can never be swapped again (its
+    // plans die with the session) — drop such entries before adding
+    // new ones so session churn cannot accumulate dead plans
+    evictTemplates(_.sparkContext.isStopped)
     // keyed on names AND types: a same-named column with a different
     // type in another dir must build its own template, not trip
     // swapLeaf's type require against a stale one (r19 review)
@@ -1544,8 +1633,8 @@ object FactorQueries {
     *  - [[foldDayStore]] rewrites every FRAGMENTED day partition
     *    (more than one data file — retries and multi-task appends
     *    accumulate them) to exactly one right-sized file, optionally
-    *    only below an age bound so hot partitions inside the retry /
-    *    tail window are never touched. q130's repartition-by-
+    *    only at-or-below an age bound (inclusive) so hot partitions
+    *    inside the retry / tail window are never touched. q130's repartition-by-
     *    partition-column recipe, staged through a temp sibling
     *    because Spark (correctly) refuses to overwrite a path it is
     *    reading; dynamic partition overwrite replaces exactly the
@@ -1566,33 +1655,53 @@ object FactorQueries {
     * job folds yesterday-and-older into one file per partition and
     * keeps a constant handful of entity-sized snapshots. */
   private[analytics] def compactStreamStore(s: SparkSession, root: String,
-      keepSnapshots: Int = 2, foldBelow: Option[Long] = None): Unit = {
-    foldDayStore(s, s"$root/mart", foldBelow)
-    foldDayStore(s, s"$root/bars", foldBelow)
+      keepSnapshots: Int = 2, foldAtOrBelow: Option[Long] = None): Unit = {
+    foldDayStore(s, s"$root/mart", foldAtOrBelow)
+    foldDayStore(s, s"$root/bars", foldAtOrBelow)
     retireSnapshots(s"$root/state", keepSnapshots)
     retireSnapshots(s"$root/firstbar", keepSnapshots)
+  }
+
+  /** FileSystem + Path for a store path. ALL store-maintenance walks
+    * and manifest IO route through the Hadoop FileSystem API (r19
+    * verdict ask #3): the test medium stays the local FS, but the
+    * walks must not assume it — the same store under hdfs:// or
+    * s3a:// resolves through the identical calls. Scheme-less paths
+    * resolve against the session's Hadoop conf (default file://). */
+  private def fsPath(path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
   }
 
   /** Day partitions of `path` with their data-file counts — a
     * driver-side metadata walk, no data reads. */
   private[analytics] def dayPartitionFiles(path: String): Map[Long, Int] = {
-    val dir = new java.io.File(path)
-    if (!dir.isDirectory) Map.empty
-    else dir.listFiles().iterator
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    val (fs, p) = fsPath(path)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Map.empty
+    else fs.listStatus(p).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
       .map { d =>
-        d.getName.stripPrefix("day=").toLong ->
-          d.listFiles().count(f => f.getName.endsWith(".parquet"))
+        d.getPath.getName.stripPrefix("day=").toLong ->
+          fs.listStatus(d.getPath)
+            .count(f => f.getPath.getName.endsWith(".parquet"))
       }.toMap
   }
 
   /** Fold every fragmented (>1 file) day partition of a day-
-    * partitioned store to one file, in place; `below` bounds the fold
-    * to aged partitions. See [[compactStreamStore]]. */
+    * partitioned store to one file, in place; `atOrBelow` bounds the
+    * fold to partitions with day ≤ the bound — INCLUSIVE, so callers
+    * protecting a hot retry/tail window pass the newest day they want
+    * FOLDED, not the first day they want kept (r19 ADVICE 4: the old
+    * `below` name read as exclusive). See [[compactStreamStore]]. */
   private[analytics] def foldDayStore(s: SparkSession, path: String,
-      below: Option[Long] = None): Unit = {
+      atOrBelow: Option[Long] = None): Unit = {
     val frag = dayPartitionFiles(path).collect {
-      case (d, files) if files > 1 && below.forall(d <= _) => d
+      case (d, files) if files > 1 && atOrBelow.forall(d <= _) => d
     }.toSeq
     if (frag.nonEmpty) {
       val tmp = s"$path.fold-${System.nanoTime}"
@@ -1614,14 +1723,103 @@ object FactorQueries {
     * contract. */
   private[analytics] def retireSnapshots(path: String, keep: Int): Unit = {
     require(keep >= 1, "retireSnapshots must keep at least the newest snapshot")
-    val dir = new java.io.File(path)
-    if (dir.isDirectory) {
-      dir.listFiles().iterator
-        .filter(f => f.isDirectory && f.getName.startsWith("day="))
-        .toSeq.sortBy(-_.getName.stripPrefix("day=").toLong)
+    val (fs, p) = fsPath(path)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+      fs.listStatus(p).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+        .toSeq.sortBy(-_.getPath.getName.stripPrefix("day=").toLong)
         .drop(keep)
-        .foreach(d => deleteRecursively(d.toPath))
+        .foreach(d => fs.delete(d.getPath, true))
     }
+  }
+
+  /** q174: q167's streamed technical maintenance with the RETENTION
+    * MACHINERY RUNNING INSIDE THE STREAM (r19 verdict ask #2) — the
+    * r19 spec proved fold/retire in isolation; the production story
+    * is the nightly composition, and this entry runs it under the
+    * full oracle gate. The run plants a fragmented AGED mart
+    * partition on its run copy (two files in the oldest day — the
+    * shape retries and multi-task appends accumulate at scale);
+    * before the LAST micro-batch, [[compactStreamStore]] folds every
+    * aged partition and retires the first-bar snapshots to the
+    * newest 2; the final batch then reads the FOLDED store through
+    * the same adaptive tail and seeds its registry read from the
+    * retired set's newest-below-batch snapshot. In-harness requires
+    * fail the entry loudly — and the driver gate records an err — if
+    * the fold had nothing to do, left an aged partition fragmented,
+    * or touched a hot partition inside the retry/tail window. The
+    * oracle is q167's exact per-batch replay, unchanged: layout
+    * maintenance must never move a value.
+    *
+    * At 100 TB this is the claim that matters: fold + retire run
+    * BETWEEN appends on the live store (never inside the hot day
+    * window), readers stay consistent (the fold stages through a
+    * temp sibling; dynamic overwrite swaps whole partitions), and
+    * the next append's inputs are the folded files. Single-live-run
+    * contract as [[streamMartAppend]]: consume a returned frame
+    * before rerunning the entry. */
+  def streamMaintainedMartAppend: Q = (s, dir) => {
+    val (_, hist, onBatch) = streamFamilies.find(_._1 == "technical").get
+    val run = runFromSeed(s, dir, "technical", hist(s, dir),
+      root => maintainedOnBatch(s, root, onBatch(s, dir)(root)),
+      runKey = Some("technical_ret"),
+      afterCopy = root => fragmentOldestDay(s, s"$root/mart"))
+    s.read.parquet(s"$run/mart")
+      .select(col("stock"), col("day").cast("long").as("day"),
+        round(col("rsi_14"), 6).as("rsi_14"),
+        round(col("bias_20"), 6).as("bias_20"),
+        round(col("cci_14"), 6).as("cci_14"))
+      .orderBy("stock", "day")
+  }
+
+  /** Wrap a family's onBatch with the mid-stream maintenance pass:
+    * before the LAST batch (d1 past the second replay window), fold
+    * the aged day partitions and retire snapshots, assert the fold
+    * provably worked, then run the batch against the folded store.
+    * The `maintained` flag keeps an at-least-once RETRY of the last
+    * batch idempotent: the rerun's fold is a no-op and must not trip
+    * the had-work-to-do require. */
+  private def maintainedOnBatch(s: SparkSession, root: String,
+      inner: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    var maintained = false
+    (batch, d1) => {
+      val cut = seedCut(root)
+      if (d1 > cut + 10) {
+        val before = dayPartitionFiles(s"$root/mart")
+        require(maintained || before.exists { case (d, n) => d <= cut && n > 1 },
+          "q174 expected a fragmented aged mart partition to fold")
+        compactStreamStore(s, root, keepSnapshots = 2,
+          foldAtOrBelow = Some(cut))
+        val after = dayPartitionFiles(s"$root/mart")
+        require(after.forall { case (d, n) => d > cut || n == 1 },
+          s"fold left an aged partition fragmented: $after")
+        require(after.filter(_._1 > cut) == before.filter(_._1 > cut),
+          "fold touched a hot partition inside the retry/tail window")
+        val snaps = dayPartitionFiles(s"$root/firstbar").keys
+        require(snaps.size <= 2, s"snapshot retirement kept $snaps")
+        maintained = true
+      }
+      inner(batch, d1)
+    }
+  }
+
+  /** Split the OLDEST day partition of a day-partitioned store into
+    * two files — planted fragmentation so q174's mid-stream fold
+    * provably has work to do. Values untouched: the rows round-trip
+    * through a temp sibling (parquet stores doubles as raw IEEE-754
+    * bits) and dynamic overwrite replaces exactly that partition. */
+  private def fragmentOldestDay(s: SparkSession, path: String): Unit = {
+    val oldest = dayPartitionFiles(path).keys.min
+    val tmp = s"$path.frag-${System.nanoTime}"
+    try {
+      s.read.parquet(path)
+        .filter(col("day") === oldest)
+        .write.parquet(tmp)
+      s.read.parquet(tmp)
+        .repartition(2)
+        .write.partitionBy("day").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(path)
+    } finally deleteRecursively(java.nio.file.Paths.get(tmp))
   }
 
   /** q49: kline replay around an anchor day
@@ -1996,10 +2194,25 @@ object FactorQueries {
     * two dataset roots with the same basename (/a/sf0.1 vs /b/sf0.1)
     * must never share a mart (r16 ADVICE item 1) — the manifest
     * re-checks the full path at reuse time as the second lock. */
+  /** Canonical identity string for a SOURCE dir — the manifest's
+    * `source` axis. Local paths resolve through the OS (symlinks,
+    * `..` — byte-compatible with the pre-r20 java.io form); non-local
+    * URIs qualify through their FileSystem, so the manifest surface
+    * is medium-portable like the store walks above. */
+  private def canonicalSource(d: String): String = {
+    val u = new org.apache.hadoop.fs.Path(d).toUri
+    if (u.getScheme == null || u.getScheme == "file")
+      new java.io.File(u.getPath).getCanonicalPath
+    else {
+      val (fs, p) = fsPath(d)
+      p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    }
+  }
+
   private[graft] def martPathFor(root: String, d: String,
       ds: MartDataset): String = {
-    val canon = new java.io.File(d).getCanonicalPath
-    s"$root/${ds.name}-${new java.io.File(d).getName}-${md5Hex(canon).take(8)}"
+    val name = new org.apache.hadoop.fs.Path(d).getName
+    s"$root/${ds.name}-$name-${md5Hex(canonicalSource(d)).take(8)}"
   }
 
   /** Build (or validate-and-reuse) dataset `ds`'s mart for source
@@ -2095,14 +2308,16 @@ object FactorQueries {
     * changes still require the version bump). */
   private[graft] def martValid(ss: SparkSession, p: String,
       ds: MartDataset, d: String): Boolean = try {
-    val dir = new java.io.File(p)
-    if (!new java.io.File(dir, "_SUCCESS").isFile) false
+    val (fs, dirP) = fsPath(p)
+    def isFile(x: org.apache.hadoop.fs.Path) =
+      fs.exists(x) && fs.getFileStatus(x).isFile
+    if (!isFile(new org.apache.hadoop.fs.Path(dirP, "_SUCCESS"))) false
     else {
-      val mf = new java.io.File(dir, martManifestName)
-      if (!mf.isFile) false
+      val mf = new org.apache.hadoop.fs.Path(dirP, martManifestName)
+      if (!isFile(mf)) false
       else {
         val props = new java.util.Properties()
-        val in = new java.io.FileInputStream(mf)
+        val in = fs.open(mf)
         try props.load(in) finally in.close()
         // compare the column list on PARSED StructType field names,
         // never by re-splitting the serialized name:type string — a
@@ -2112,7 +2327,7 @@ object FactorQueries {
         lazy val storedFields = storedSchemaFields(ss, p)
         props.getProperty("dataset") == ds.name &&
           props.getProperty("version") == ds.version &&
-          props.getProperty("source") == new java.io.File(d).getCanonicalPath &&
+          props.getProperty("source") == canonicalSource(d) &&
           props.getProperty("fingerprint") == dirFingerprint(d) &&
           props.getProperty("schema") == schemaString(storedFields) &&
           storedFields.map(_.name).toSeq == ds.cols
@@ -2125,11 +2340,12 @@ object FactorQueries {
     val props = new java.util.Properties()
     props.setProperty("dataset", ds.name)
     props.setProperty("version", ds.version)
-    props.setProperty("source", new java.io.File(d).getCanonicalPath)
+    props.setProperty("source", canonicalSource(d))
     props.setProperty("fingerprint", dirFingerprint(d))
     props.setProperty("schema", schemaString(storedSchemaFields(ss, p)))
-    val out = new java.io.FileOutputStream(
-      new java.io.File(p, martManifestName))
+    val (fs, dirP) = fsPath(p)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dirP, martManifestName), true)
     try props.store(out, "graft factor mart staleness manifest")
     finally out.close()
   }
@@ -2157,17 +2373,17 @@ object FactorQueries {
     * not validate a stale mart as fresh — the cost is a spurious
     * rebuild on a byte-identical re-copy, the safe direction. */
   private[graft] def dirFingerprint(d: String): String = {
-    val base = java.nio.file.Paths.get(d)
-    val st = java.nio.file.Files.walk(base)
-    try {
-      import scala.jdk.CollectionConverters._
-      val items = st.iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(f => s"${base.relativize(f)}:${java.nio.file.Files.size(f)}:" +
-          java.nio.file.Files.getLastModifiedTime(f).toMillis)
-        .toSeq.sorted
-      md5Hex(items.mkString("\n"))
-    } finally st.close()
+    val (fs, base) = fsPath(d)
+    val qual = base.makeQualified(fs.getUri, fs.getWorkingDirectory)
+    val prefix = qual.toUri.getPath
+    val it = fs.listFiles(qual, true)
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(prefix).stripPrefix("/")
+      items += s"$rel:${st.getLen}:${st.getModificationTime}"
+    }
+    md5Hex(items.sorted.mkString("\n"))
   }
 
   private def md5Hex(s: String): String =
@@ -2422,6 +2638,7 @@ object FactorQueries {
     "q171_stream_alpha_full_append" -> streamAlphaFullAppend,
     "q172_stream_momentum_append" -> streamMomentumMartAppend,
     "q173_stream_value_append" -> streamValueMartAppend,
+    "q174_stream_maintained_append" -> streamMaintainedMartAppend,
     "q49_kline_replay" -> klineReplay,
     "q55_peers_snapshot" -> peersSnapshot,
     "q56_factor_snapshot" -> factorSnapshot,
@@ -3965,5 +4182,10 @@ object FactorQueries {
     // streamed through the generic bounded-family harness, each gated
     // by its family's full-history oracle
     ("q172_stream_momentum_append" -> oraclesBase("q44_factor_momentum")) +
-    ("q173_stream_value_append" -> oraclesBase("q45_factor_value"))
+    ("q173_stream_value_append" -> oraclesBase("q45_factor_value")) +
+    // q174 runs q167's maintenance WITH the mid-stream fold + snapshot
+    // retirement; layout maintenance must never move a value, so the
+    // oracle is q167's exact per-batch replay UNCHANGED — a hash
+    // mismatch would mean the fold/retire corrupted a read
+    ("q174_stream_maintained_append" -> oraclesBase("q167_stream_mart_append"))
 }

@@ -40,7 +40,18 @@ object Quotes {
     val base = e.select(col("user_id").as("stock"), col("event_id"))
       .select(col("stock"),
         row_number().over(w).cast("bigint").as("day"))
+    derive(base)
+  }
 
+  /** The OHLCV + fundamentals derivation over any `(stock, day)`
+    * bigint axis frame — [[panel]] feeds it the events-derived axes;
+    * the deep-history spec fixtures feed it a synthetic long-series
+    * grid (r19 verdict ask #1: the driver SFs scale ENTITIES, so a
+    * ≥ 500-day panel — where the adaptive-tail horizon rungs must
+    * BIND instead of degenerating to the whole store — needs its own
+    * axis). Same arithmetic, so the exact-double / hash-stability
+    * properties in the object doc hold for every caller. */
+  def derive(base: DataFrame): DataFrame = {
     def f(a: Int, b: Int): Column =
       ((col("stock") * a + col("day") * b) % 64).cast("double") / 64.0
 

@@ -53,7 +53,9 @@ object PlanBridge {
     * output is bound to the leaf's attributes BY NAME under a Project
     * that re-issues the leaf's original exprIds, so every attribute
     * reference in the template body resolves unchanged; column order
-    * may differ, types must match exactly, and the replacement may
+    * may differ, types must match exactly, template-bound names must
+    * be UNIQUE in the replacement (a duplicate would bind arbitrarily
+    * — rejected loudly), and the replacement may
     * not WIDEN nullability (a non-nullable template attribute fed
     * nulls would miscompile null checks — callers use an all-nullable
     * stand-in so any input passes). Optimization, physical planning
@@ -69,10 +71,18 @@ object PlanBridge {
       s"swapLeaf needs a single-leaf template, found ${leaves.size} leaves")
     val leaf = leaves.head
     val newPlan = analyzed(replacement)
-    val byName = newPlan.output.map(a => a.name -> a).toMap
+    // group, don't toMap: a replacement with DUPLICATE column names
+    // would silently bind the last attribute — exactly the silent
+    // misbinding the loud-failure contract below forbids (r19 ADVICE)
+    val byName = newPlan.output.groupBy(_.name)
     val proj: Seq[NamedExpression] = leaf.output.map { old =>
-      val nw = byName.getOrElse(old.name, throw new IllegalArgumentException(
-        s"swapLeaf replacement is missing template column ${old.name}"))
+      val cands = byName.getOrElse(old.name, Nil)
+      if (cands.isEmpty) throw new IllegalArgumentException(
+        s"swapLeaf replacement is missing template column ${old.name}")
+      require(cands.size == 1,
+        s"swapLeaf replacement has ${cands.size} columns named ${old.name} — " +
+          "ambiguous binding; deduplicate the input's columns first")
+      val nw = cands.head
       require(nw.dataType == old.dataType,
         s"swapLeaf type mismatch on ${old.name}: ${nw.dataType} vs ${old.dataType}")
       require(old.nullable || !nw.nullable,

@@ -31,8 +31,10 @@ class BenchLineSpec extends AnyFunSuite {
         (f"q$i%d_some_entry_name_here", wall, 123.4 + i, i % 7 == 0)
       }
 
+  // worst-case shape: the below-band annotation fields present
+  // (r19 ask #4) so the budget pins cover the line at its longest
   private val fakeIngest =
-    """{"rows":320000,"rps":3961234.5,"rpsd":4112345.6,"bpr":6.2,"iload":{"t":8.2,"d":14.0}}"""
+    """{"rows":320000,"rps":396123.5,"rpsd":411234.6,"bpr":6.2,"iload":{"t":8.2,"d":14.0},"oob":true,"prev":1482345.7}"""
 
   private def fakeLine(n: Int): String =
     Bench.finalLine(fakeEntries(n),
@@ -282,5 +284,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.entryKey("factor_mart") == "mart")
     assert(Bench.entryKey("alpha_derive") == "alpha") // pre-r16 artifacts
     assert(Bench.entryKey("cluster_derive") == "cluster")
+  }
+
+  test("sidecarIngestRps: max-of-mediums per sf record; absent/corrupt reads -1") {
+    // the below-band annotation's `prev` axis (r19 verdict ask #4):
+    // a contended closing artifact cites the last committed idle
+    // reading, so it must parse exactly and degrade silently
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_ir").toFile
+    dir.deleteOnExit()
+    Bench.writeSelfBench("/root/testdata/sf0.1",
+      """{"sf":"/root/testdata/sf0.1","queries":{},"ingest":{"rows":320000,"rps":910000.1,"rpsd":1482345.7,"bpr":6.2}}""",
+      dir = dir.getAbsolutePath)
+    val f = new java.io.File(dir, Bench.selfBenchName)
+    assert(Bench.sidecarIngestRps("/root/testdata/sf0.1", f) == 1482345.7)
+    assert(Bench.sidecarIngestRps("/root/testdata/sf0.01", f) == -1.0)
+    assert(Bench.sidecarIngestRps("/root/testdata/sf0.1",
+      new java.io.File(dir, "absent.json")) == -1.0)
+    java.nio.file.Files.writeString(f.toPath, "{not json")
+    assert(Bench.sidecarIngestRps("/root/testdata/sf0.1", f) == -1.0)
   }
 }

@@ -536,6 +536,81 @@ class StreamMartSpec extends SparkSpec {
       streamed.zip(expected).find { case (a, b) => a != b }.toString)
   }
 
+  // ---- deep-history fixtures (r19 verdict ask #1): every driver SF
+  // scales ENTITIES, so on those panels (≤ 99 days) the adaptive tail
+  // correctly degenerates to the whole store and an UNDERSIZED
+  // lookback floor would pass every gate. These panels are deep
+  // enough that the horizon rungs must BIND — the tail is a strict
+  // subset of the store — while the full-history oracle still holds.
+
+  /** `stocks` entities × `days` days through the SAME Quotes
+    * derivation as the driver panels (exact-double arithmetic, so the
+    * bit-identity convention carries over unchanged). */
+  private def deepPanel(stocks: Int, days: Int) =
+    graft.sources.Quotes.derive(
+      spark.range(1, stocks + 1).select(col("id").as("stock"))
+        .crossJoin(spark.range(1, days + 1).select(col("id").as("day"))))
+
+  test("q171 deep history: the 400-day rung BINDS for the 300-row floor; all 101 columns still match") {
+    // 520 days: the 300-row compound-lookback floor skips the 25/100
+    // rungs (cannot hold 300 rows) and must settle at 400 — a STRICT
+    // subset of the ~505-day store — and the streamed mart must still
+    // equal the full-history DAG bit for bit. alpha_048's 250-day
+    // correlation chain (reference alpha101_function.md:52) is why
+    // the floor is 300; an undersized floor diverges exactly here.
+    val panel = deepPanel(stocks = 8, days = 520)
+    val root = graft.TempDirs.scratch("graft_q171_deep")
+    FactorQueries.streamAlphaFullHarnessPanel(spark, panel, root)(None)
+    val streamed = alphaFullMartBits(root)
+    val expected = scratchAlphaFullOf(panel)
+    assert(streamed.nonEmpty && streamed.size == expected.size)
+    assert(streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+    // replay batch 0's tail decision: the 400 rung binds...
+    val cut = 520 - 15
+    val d1 = cut + 1
+    val b0 = panel.filter(col("day") > cut && col("day") <= cut + 5)
+    val (tail, horizon) = FactorQueries.adaptiveDayTailWithHorizon(
+      spark, root, b0, d1, minRows = FactorQueries.alphaFullLookbackRows)
+    assert(horizon.contains(400L), s"expected the 400 rung, got $horizon")
+    // ...as a partition-filter floor that reaches the scan...
+    val plan = tail.queryExecution.executedPlan.toString
+    assert(plan.contains(s"> ${d1 - 400}"), s"no partition floor in:\n$plan")
+    // ...reading a STRICT subset of the store (399 of ~505+ days)
+    val tailDays = tail.select("day").distinct().count()
+    val storeDays = spark.read.parquet(s"$root/bars")
+      .withColumn("day", col("day").cast("long"))
+      .filter(col("day") < d1).select("day").distinct().count()
+    assert(tailDays == 399 && storeDays > tailDays,
+      s"tail read $tailDays days of a $storeDays-day store")
+  }
+
+  test("q172 deep history: the 100-day rung binds for the 64-row floor") {
+    // same shape for the bounded-family floor (momentum: roc_60's 60
+    // prior rows + slack = 64): the 25 rung cannot hold 64 rows, the
+    // 100 rung can — and must be chosen over widening further
+    val panel = deepPanel(stocks = 8, days = 220)
+    val root = graft.TempDirs.scratch("graft_q172_deep")
+    FactorQueries.streamMomentumHarnessPanel(spark, panel, root)(None)
+    val streamed = familyMartBits(root, graft.factors.Momentum.columns)
+    val expected = scratchFamilyOf(panel, graft.factors.Momentum.compute,
+      graft.factors.Momentum.columns)
+    assert(streamed.nonEmpty && streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+    val cut = 220 - 15
+    val d1 = cut + 1
+    val b0 = panel.filter(col("day") > cut && col("day") <= cut + 5)
+    val (tail, horizon) = FactorQueries.adaptiveDayTailWithHorizon(
+      spark, root, b0, d1, minRows = 64)
+    assert(horizon.contains(100L), s"expected the 100 rung, got $horizon")
+    val tailDays = tail.select("day").distinct().count()
+    val storeDays = spark.read.parquet(s"$root/bars")
+      .withColumn("day", col("day").cast("long"))
+      .filter(col("day") < d1).select("day").distinct().count()
+    assert(tailDays == 99 && storeDays > tailDays,
+      s"tail read $tailDays days of a $storeDays-day store")
+  }
+
   // ---- retention + compaction for the streamed stores (r18 ask #3):
   // fold fragmented aged day partitions, retire snapshots to the
   // newest k, and prove a mid-stream retirement never breaks seeding.
@@ -566,7 +641,7 @@ class StreamMartSpec extends SparkSpec {
     val counts = FactorQueries.dayPartitionFiles(s"$root/mart")
     assert(counts(target) == 2)
     assert(martRows() == before) // fragmentation changed layout only
-    FactorQueries.foldDayStore(spark, s"$root/mart", below = Some(target))
+    FactorQueries.foldDayStore(spark, s"$root/mart", atOrBelow = Some(target))
     val after = FactorQueries.dayPartitionFiles(s"$root/mart")
     assert(after(target) == 1, s"fold left ${after(target)} files")
     // untouched partitions keep their exact file counts
