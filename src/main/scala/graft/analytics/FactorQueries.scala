@@ -791,6 +791,121 @@ object FactorQueries {
       })(None)
   }
 
+  // ---- PERSISTENT streamed store (r19 verdict ask #8, stretch):
+  // the entries run from session-scratch seeds, but the nightly
+  // production story is ONE store — bars + mart + first-bar registry
+  // + checkpoint — living across sessions: built once, validated by
+  // manifest on reuse (the factor-mart gate, applied to the stream
+  // plane), appended by each night's AvailableNow pass on the SAME
+  // checkpoint, and maintained (fold + snapshot retirement) between
+  // appends. tools/stream_persist.sh drives it as two sequential
+  // JVMs and records the run in README.
+
+  private[graft] val streamManifestName = "_GRAFT_STREAM_MANIFEST.properties"
+
+  private[graft] def streamStorePathFor(root: String, d: String): String = {
+    val name = new org.apache.hadoop.fs.Path(d).getName
+    s"$root/stream-technical-$name-${md5Hex(canonicalSource(d)).take(8)}"
+  }
+
+  private def technicalVersion: String =
+    martDatasets.find(_.name == "technical").get.version
+
+  /** True iff the persistent streamed store at `p` is a COMPLETED
+    * build for source `d` under the CURRENT technical-factor code —
+    * the [[martValid]] axes (kind, version, canonical source, source
+    * fingerprint) plus completed-write markers on both mutable
+    * stores. Invalid ⇒ the caller rebuilds from scratch; stale data
+    * can never be silently appended to. */
+  private[graft] def streamStoreValid(s: SparkSession, p: String,
+      d: String): Boolean = try {
+    val (fs, _) = fsPath(p)
+    def isFile(x: String) = {
+      val hp = new org.apache.hadoop.fs.Path(x)
+      fs.exists(hp) && fs.getFileStatus(hp).isFile
+    }
+    if (!isFile(s"$p/$streamManifestName") || !isFile(s"$p/mart/_SUCCESS") ||
+        !isFile(s"$p/bars/_SUCCESS")) false
+    else {
+      val props = new java.util.Properties()
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$p/$streamManifestName"))
+      try props.load(in) finally in.close()
+      props.getProperty("kind") == "stream-technical" &&
+        props.getProperty("version") == technicalVersion &&
+        props.getProperty("source") == canonicalSource(d) &&
+        props.getProperty("fingerprint") == dirFingerprint(d)
+    }
+  } catch { case _: Exception => false }
+
+  private def writeStreamManifest(s: SparkSession, p: String,
+      d: String): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("kind", "stream-technical")
+    props.setProperty("version", technicalVersion)
+    props.setProperty("source", canonicalSource(d))
+    props.setProperty("fingerprint", dirFingerprint(d))
+    val (fs, _) = fsPath(p)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$p/$streamManifestName"), true)
+    try props.store(out, "graft persistent streamed-store manifest")
+    finally out.close()
+  }
+
+  /** One probe pass over the persistent streamed store (the
+    * [[graft.tools.StreamPersistProbe]] body — here because every
+    * piece it composes is package-private by design):
+    *
+    *  - INVALID/ABSENT store → wipe and build: scaffold stores +
+    *    historical technical mart + manifest (session 1's night 0);
+    *  - VALID store → REUSE: no rebuild; run the nightly maintenance
+    *    first — plant the fragmentation shape retries accumulate,
+    *    [[compactStreamStore]] folds it and retires first-bar
+    *    snapshots to 2, in-probe requires prove the fold worked and
+    *    stayed off the hot window (session 2's night N);
+    *  - EITHER WAY, one `Trigger.AvailableNow` pass on the store's
+    *    OWN persistent checkpoint: unprocessed replay files append
+    *    once; a drained checkpoint no-ops — the idempotent nightly
+    *    restart, now across sessions.
+    *
+    * Returns the probe line: reuse flag, row count, full-content
+    * checksum (sessions must agree — maintenance and reuse must not
+    * move a value), and post-run manifest validity. */
+  private[graft] def streamPersistProbeRun(s: SparkSession, root: String,
+      dir: String): String = {
+    val p = streamStorePathFor(root, dir)
+    val pre = streamStoreValid(s, p, dir)
+    if (!pre) {
+      val (fs, pp) = fsPath(p)
+      if (fs.exists(pp)) fs.delete(pp, true)
+      val cut = seedStores(s, Quotes.panel(s, dir), p)
+      technicalHistorical(s)(p, cut)
+      writeStreamManifest(s, p, dir)
+    } else {
+      val cut = seedCut(p)
+      fragmentOldestDay(s, s"$p/mart")
+      require(dayPartitionFiles(s"$p/mart").exists { case (d, n) =>
+        d <= cut && n > 1 }, "probe expected a fragmented aged partition")
+      compactStreamStore(s, p, keepSnapshots = 2, foldAtOrBelow = Some(cut))
+      val after = dayPartitionFiles(s"$p/mart")
+      require(after.forall { case (d, n) => d > cut || n == 1 },
+        s"fold left an aged partition fragmented: $after")
+      require(dayPartitionFiles(s"$p/firstbar").size <= 2,
+        "snapshot retirement failed")
+    }
+    streamStart(s, p, s"$p/in", technicalOnBatch(s)(p))(None)
+    val mart = s.read.parquet(s"$p/mart")
+    // bit_xor of a row hash, the MartRaceProbe convention: ANSI mode
+    // throws on long-sum overflow, and rows are unique by (stock,
+    // day) so xor cancellation can't mask a diff
+    val cols = mart.schema.fieldNames.map(col).toSeq
+    val agg = mart.select(count(lit(1)).as("n"),
+      bit_xor(xxhash64(cols: _*)).as("h")).head()
+    val post = streamStoreValid(s, p, dir)
+    s"SPERSIST pid=${ProcessHandle.current.pid} preValid=$pre " +
+      s"path=$p rows=${agg.getLong(0)} checksum=${agg.getLong(1)} " +
+      s"postValid=$post"
+  }
+
   /** q168: STREAMING maintenance of the RECURSIVE factor family —
     * q167's foreachBatch day-append pattern extended to the EMA
     * family (r17 verdict ask #6), whose registers look back over the
