@@ -757,7 +757,8 @@ object Bench {
           "q151_ivf_append", "q167_stream_mart_append",
           "q168_stream_ema_append", "q169_stream_alpha_append",
           "q170_stream_sentiment_append", "q171_stream_alpha_full_append",
-          "q172_stream_momentum_append", "q173_stream_value_append")
+          "q172_stream_momentum_append", "q173_stream_value_append",
+          "q174_stream_maintained_append")
         def once(n: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
           val t = System.nanoTime()
           try { fn(spark, sf2Dir).write.format("noop").mode("overwrite").save()

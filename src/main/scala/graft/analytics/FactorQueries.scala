@@ -587,7 +587,22 @@ object FactorQueries {
       build: String => Unit): String = {
     val holder = streamSeedCache.computeIfAbsent((s, dir, family), { _ =>
       val r = graft.TempDirs.scratch(s"graft_seed_$family", preferShm = true)
-      lazy val built: String = { build(r); r }
+      lazy val built: String = {
+        try { build(r); r }
+        catch { case e: Throwable =>
+          // a failed build must leave the pre-allocated root EMPTY so
+          // the lazy retry can re-run into it — the replay-file writes
+          // are ErrorIfExists by design, so leftovers from a partial
+          // build would fail every retry (r20 review: the old code
+          // allocated a fresh root per retry; the eager root must not
+          // lose that recoverability)
+          try {
+            deleteRecursively(java.nio.file.Paths.get(r))
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(r))
+          } catch { case _: Exception => () }
+          throw e
+        }
+      }
       (r, () => built)
     })
     holder._2()
@@ -811,12 +826,23 @@ object FactorQueries {
   private def technicalVersion: String =
     martDatasets.find(_.name == "technical").get.version
 
+  /** The streamed technical mart's stored field list — data columns
+    * then the `day` partition column, as parquet inference returns
+    * them. The manifest's code-change axis, mirroring martValid's
+    * `cols` check: a column added/removed/renamed in the streamed
+    * pipeline invalidates the store with no version bump needed. */
+  private val streamTechnicalCols =
+    Seq("stock", "rsi_14", "bias_20", "cci_14", "day")
+
   /** True iff the persistent streamed store at `p` is a COMPLETED
     * build for source `d` under the CURRENT technical-factor code —
     * the [[martValid]] axes (kind, version, canonical source, source
-    * fingerprint) plus completed-write markers on both mutable
-    * stores. Invalid ⇒ the caller rebuilds from scratch; stale data
-    * can never be silently appended to. */
+    * fingerprint, stored schema, declared column list) plus
+    * completed-write markers on both mutable stores. Invalid ⇒ the
+    * caller rebuilds from scratch; stale data can never be silently
+    * appended to (r20 review: without the schema/cols axes, a
+    * streamed-pipeline column change would silently append
+    * new-schema days onto old-schema history). */
   private[graft] def streamStoreValid(s: SparkSession, p: String,
       d: String): Boolean = try {
     val (fs, _) = fsPath(p)
@@ -830,10 +856,13 @@ object FactorQueries {
       val props = new java.util.Properties()
       val in = fs.open(new org.apache.hadoop.fs.Path(s"$p/$streamManifestName"))
       try props.load(in) finally in.close()
+      lazy val storedFields = storedSchemaFields(s, s"$p/mart")
       props.getProperty("kind") == "stream-technical" &&
         props.getProperty("version") == technicalVersion &&
         props.getProperty("source") == canonicalSource(d) &&
-        props.getProperty("fingerprint") == dirFingerprint(d)
+        props.getProperty("fingerprint") == dirFingerprint(d) &&
+        props.getProperty("schema") == schemaString(storedFields) &&
+        storedFields.map(_.name).toSeq == streamTechnicalCols
     }
   } catch { case _: Exception => false }
 
@@ -844,6 +873,8 @@ object FactorQueries {
     props.setProperty("version", technicalVersion)
     props.setProperty("source", canonicalSource(d))
     props.setProperty("fingerprint", dirFingerprint(d))
+    props.setProperty("schema",
+      schemaString(storedSchemaFields(s, s"$p/mart")))
     val (fs, _) = fsPath(p)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(s"$p/$streamManifestName"), true)
@@ -1829,7 +1860,13 @@ object FactorQueries {
           .repartition(col("day"))
           .write.partitionBy("day").mode("overwrite")
           .option("partitionOverwriteMode", "dynamic").parquet(path)
-      } finally deleteRecursively(java.nio.file.Paths.get(tmp))
+      } finally {
+        // FileSystem delete, not nio: the temp sibling lives BESIDE
+        // the store, which may be hdfs://s3a:// (r20 review — a nio
+        // delete of a remote path is a silent no-op that would leak
+        // a full folded copy per nightly run)
+        val (fs, t) = fsPath(tmp); fs.delete(t, true); ()
+      }
     }
   }
 
@@ -1934,7 +1971,11 @@ object FactorQueries {
         .repartition(2)
         .write.partitionBy("day").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic").parquet(path)
-    } finally deleteRecursively(java.nio.file.Paths.get(tmp))
+    } finally {
+      // FileSystem delete, not nio — same medium argument as
+      // [[foldDayStore]]'s temp sibling
+      val (fs, t) = fsPath(tmp); fs.delete(t, true); ()
+    }
   }
 
   /** q49: kline replay around an anchor day
