@@ -536,6 +536,26 @@ class StreamMartSpec extends SparkSpec {
       streamed.zip(expected).find { case (a, b) => a != b }.toString)
   }
 
+  test("q174: the in-stream fold + retirement never moves a value") {
+    // the entry path end-to-end: fragmented store planted on the run
+    // copy, compactStreamStore between batches 2 and 3 (in-harness
+    // requires prove the fold worked), and the final mart still
+    // equals the scratch full-panel derive value for value — layout
+    // maintenance is invisible to readers
+    val streamed = FactorQueries.streamMaintainedMartAppend(spark, dir)
+      .collect().map(_.toSeq.toVector).toVector
+    val expected = graft.factors.Technical.compute(
+        graft.sources.Quotes.panel(spark, dir))
+      .select(col("stock"), col("day"),
+        round(col("rsi_14"), 6).as("rsi_14"),
+        round(col("bias_20"), 6).as("bias_20"),
+        round(col("cci_14"), 6).as("cci_14"))
+      .orderBy("stock", "day")
+      .collect().map(_.toSeq.toVector).toVector
+    assert(streamed.nonEmpty && streamed == expected,
+      streamed.zip(expected).find { case (a, b) => a != b }.toString)
+  }
+
   // ---- deep-history fixtures (r19 verdict ask #1): every driver SF
   // scales ENTITIES, so on those panels (≤ 99 days) the adaptive tail
   // correctly degenerates to the whole store and an UNDERSIZED
