@@ -834,53 +834,37 @@ object FactorQueries {
   private val streamTechnicalCols =
     Seq("stock", "rsi_14", "bias_20", "cci_14", "day")
 
+  /** The streamed store's identity axes — what its manifest must
+    * match for reuse. `kind` plays the mart gate's `dataset` role;
+    * `version` borrows the technical MartDataset's (one bump covers
+    * both planes when the formulas change). */
+  private def streamStoreAxes(d: String): Map[String, String] = Map(
+    "kind" -> "stream-technical",
+    "version" -> technicalVersion,
+    "source" -> canonicalSource(d),
+    "fingerprint" -> dirFingerprint(d))
+
   /** True iff the persistent streamed store at `p` is a COMPLETED
     * build for source `d` under the CURRENT technical-factor code —
-    * the [[martValid]] axes (kind, version, canonical source, source
-    * fingerprint, stored schema, declared column list) plus
-    * completed-write markers on both mutable stores. Invalid ⇒ the
-    * caller rebuilds from scratch; stale data can never be silently
-    * appended to (r20 review: without the schema/cols axes, a
-    * streamed-pipeline column change would silently append
-    * new-schema days onto old-schema history). */
+    * the ONE [[manifestGateValid]] mechanism the factor marts use
+    * (r20 review: two hand-rolled copies of the gate had already
+    * drifted on the schema/cols axes, the silent-staleness class the
+    * gate exists to prevent), with completed-write markers on both
+    * mutable stores. Invalid ⇒ the caller rebuilds from scratch. */
   private[graft] def streamStoreValid(s: SparkSession, p: String,
-      d: String): Boolean = try {
-    val (fs, _) = fsPath(p)
-    def isFile(x: String) = {
-      val hp = new org.apache.hadoop.fs.Path(x)
-      fs.exists(hp) && fs.getFileStatus(hp).isFile
-    }
-    if (!isFile(s"$p/$streamManifestName") || !isFile(s"$p/mart/_SUCCESS") ||
-        !isFile(s"$p/bars/_SUCCESS")) false
-    else {
-      val props = new java.util.Properties()
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$p/$streamManifestName"))
-      try props.load(in) finally in.close()
-      lazy val storedFields = storedSchemaFields(s, s"$p/mart")
-      props.getProperty("kind") == "stream-technical" &&
-        props.getProperty("version") == technicalVersion &&
-        props.getProperty("source") == canonicalSource(d) &&
-        props.getProperty("fingerprint") == dirFingerprint(d) &&
-        props.getProperty("schema") == schemaString(storedFields) &&
-        storedFields.map(_.name).toSeq == streamTechnicalCols
-    }
-  } catch { case _: Exception => false }
+      d: String): Boolean =
+    manifestGateValid(s, s"$p/$streamManifestName",
+      markers = Seq(s"$p/mart/_SUCCESS", s"$p/bars/_SUCCESS"),
+      dataPath = s"$p/mart",
+      expected = streamStoreAxes(d),
+      cols = streamTechnicalCols)
 
   private def writeStreamManifest(s: SparkSession, p: String,
-      d: String): Unit = {
-    val props = new java.util.Properties()
-    props.setProperty("kind", "stream-technical")
-    props.setProperty("version", technicalVersion)
-    props.setProperty("source", canonicalSource(d))
-    props.setProperty("fingerprint", dirFingerprint(d))
-    props.setProperty("schema",
-      schemaString(storedSchemaFields(s, s"$p/mart")))
-    val (fs, _) = fsPath(p)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$p/$streamManifestName"), true)
-    try props.store(out, "graft persistent streamed-store manifest")
-    finally out.close()
-  }
+      d: String): Unit =
+    writeManifestProps(s"$p/$streamManifestName",
+      streamStoreAxes(d) +
+        ("schema" -> schemaString(storedSchemaFields(s, s"$p/mart"))),
+      "graft persistent streamed-store manifest")
 
   /** One probe pass over the persistent streamed store (the
     * [[graft.tools.StreamPersistProbe]] body — here because every
@@ -2462,48 +2446,73 @@ object FactorQueries {
     * column added/removed/renamed in the factor code invalidates the
     * mart HERE, with no version bump needed — value-only formula
     * changes still require the version bump). */
+  /** The mart's identity axes — what its manifest must match for
+    * reuse (the streamed store's gate shares the mechanism below,
+    * with its own axes). */
+  private def martAxes(ds: MartDataset, d: String): Map[String, String] = Map(
+    "dataset" -> ds.name,
+    "version" -> ds.version,
+    "source" -> canonicalSource(d),
+    "fingerprint" -> dirFingerprint(d))
+
   private[graft] def martValid(ss: SparkSession, p: String,
-      ds: MartDataset, d: String): Boolean = try {
-    val (fs, dirP) = fsPath(p)
-    def isFile(x: org.apache.hadoop.fs.Path) =
-      fs.exists(x) && fs.getFileStatus(x).isFile
-    if (!isFile(new org.apache.hadoop.fs.Path(dirP, "_SUCCESS"))) false
-    else {
-      val mf = new org.apache.hadoop.fs.Path(dirP, martManifestName)
-      if (!isFile(mf)) false
-      else {
-        val props = new java.util.Properties()
-        val in = fs.open(mf)
-        try props.load(in) finally in.close()
-        // compare the column list on PARSED StructType field names,
-        // never by re-splitting the serialized name:type string — a
-        // type whose simpleString contains a comma (decimal(p,s),
-        // array<>, struct<>) would mis-split and fail validation
-        // forever, silently rebuilding every session (r17 ADVICE 2)
-        lazy val storedFields = storedSchemaFields(ss, p)
-        props.getProperty("dataset") == ds.name &&
-          props.getProperty("version") == ds.version &&
-          props.getProperty("source") == canonicalSource(d) &&
-          props.getProperty("fingerprint") == dirFingerprint(d) &&
-          props.getProperty("schema") == schemaString(storedFields) &&
-          storedFields.map(_.name).toSeq == ds.cols
-      }
+      ds: MartDataset, d: String): Boolean =
+    manifestGateValid(ss, s"$p/$martManifestName",
+      markers = Seq(s"$p/_SUCCESS"), dataPath = p,
+      expected = martAxes(ds, d), cols = ds.cols)
+
+  /** The ONE manifest-gate mechanism behind every persistent-store
+    * reuse (factor marts AND the streamed store — r20 review: two
+    * hand-rolled copies had already drifted): valid iff every
+    * `markers` path is an existing FILE (completed-write proof), the
+    * Properties manifest matches `expected` on every axis, the
+    * manifest's `schema` equals the schema STORED at `dataPath`
+    * (write integrity — a torn/truncated store fails the footer
+    * read), and the stored COLUMN LIST equals the code's declared
+    * `cols` — the code-change axis the manifest-vs-stored comparison
+    * alone cannot see (both describe the same old files, so they
+    * always agree with each other; a column added/removed/renamed in
+    * the code invalidates the store HERE with no version bump —
+    * value-only formula changes still require the bump). The column
+    * list compares PARSED StructType field names, never a re-split
+    * of the serialized name:type string — a type whose simpleString
+    * contains a comma (decimal(p,s), array<>, struct<>) would
+    * mis-split and fail validation forever, silently rebuilding
+    * every session (r17 ADVICE 2). Any unreadable state = invalid. */
+  private def manifestGateValid(ss: SparkSession, manifest: String,
+      markers: Seq[String], dataPath: String,
+      expected: Map[String, String], cols: Seq[String]): Boolean = try {
+    val (fs, _) = fsPath(manifest)
+    def isFile(x: String) = {
+      val hp = new org.apache.hadoop.fs.Path(x)
+      fs.exists(hp) && fs.getFileStatus(hp).isFile
     }
-  } catch { case _: Exception => false } // unreadable mart = invalid mart
+    if (!markers.forall(isFile) || !isFile(manifest)) false
+    else {
+      val props = new java.util.Properties()
+      val in = fs.open(new org.apache.hadoop.fs.Path(manifest))
+      try props.load(in) finally in.close()
+      lazy val storedFields = storedSchemaFields(ss, dataPath)
+      expected.forall { case (k, v) => props.getProperty(k) == v } &&
+        props.getProperty("schema") == schemaString(storedFields) &&
+        storedFields.map(_.name).toSeq == cols
+    }
+  } catch { case _: Exception => false }
 
   private def writeManifest(ss: SparkSession, p: String, ds: MartDataset,
-      d: String): Unit = {
+      d: String): Unit =
+    writeManifestProps(s"$p/$martManifestName",
+      martAxes(ds, d) + ("schema" -> schemaString(storedSchemaFields(ss, p))),
+      "graft factor mart staleness manifest")
+
+  /** Properties-manifest writer shared by both gates. */
+  private def writeManifestProps(manifest: String,
+      entries: Map[String, String], comment: String): Unit = {
     val props = new java.util.Properties()
-    props.setProperty("dataset", ds.name)
-    props.setProperty("version", ds.version)
-    props.setProperty("source", canonicalSource(d))
-    props.setProperty("fingerprint", dirFingerprint(d))
-    props.setProperty("schema", schemaString(storedSchemaFields(ss, p)))
-    val (fs, dirP) = fsPath(p)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(dirP, martManifestName), true)
-    try props.store(out, "graft factor mart staleness manifest")
-    finally out.close()
+    entries.foreach { case (k, v) => props.setProperty(k, v) }
+    val (fs, _) = fsPath(manifest)
+    val out = fs.create(new org.apache.hadoop.fs.Path(manifest), true)
+    try props.store(out, comment) finally out.close()
   }
 
   /** The stored frame's DATA fields (partition column excluded) —
