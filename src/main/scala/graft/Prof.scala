@@ -139,8 +139,15 @@ object Prof {
     if (sys.env.contains("PROF_PLAN_ONLY")) { spark.stop(); return }
     df.write.format("noop").mode("overwrite").save()
     lap("execute (cold)")
-    df.write.format("noop").mode("overwrite").save()
-    lap("execute (warm)")
+    // PROF_REPEAT=<n>: n warm executions, each on its own line — the
+    // single-shot warm reading swings ±30% on this box (r20: 16.2 vs
+    // 22.7 s on identical code), far past the effect sizes an A/B
+    // needs; the MINIMUM of n repeats is the steady-state number.
+    val reps = sys.env.get("PROF_REPEAT").map(_.toInt).getOrElse(1)
+    (1 to reps).foreach { i =>
+      df.write.format("noop").mode("overwrite").save()
+      lap(s"execute (warm $i)")
+    }
     spark.stop()
   }
 }

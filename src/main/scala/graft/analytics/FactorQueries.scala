@@ -486,6 +486,24 @@ object FactorQueries {
     props.getProperty("cut").toLong
   }
 
+  /** Per-batch context handed from [[streamStart]] to the operator
+    * `onBatch` on the SAME thread (r20 optimization): the batch-end
+    * day the stream already aggregated and the first-bar prior
+    * snapshot it already resolved for the registry extension — the
+    * operators used to re-run one small Spark job for each
+    * (`batch.agg(max)` / the snapshot-day aggregate inside
+    * [[adaptiveDayTailWithHorizon]]), and at ~0.2-0.3 s per driver-
+    * blocking job × 3 batches × 8 streamed entries the re-reads were
+    * pure overhead. Strictly an optimization seam: every reader
+    * falls back to its original direct read when the context is
+    * unset (the specs drive the onBatch bodies and the tail helper
+    * without the stream), and the context frame is re-executed
+    * lazily, so its values are exactly the store reads it replaces. */
+  private final case class BatchCtx(dEnd: Long, priorFb: DataFrame)
+  private val batchCtx = new ThreadLocal[Option[BatchCtx]] {
+    override def initialValue(): Option[BatchCtx] = None
+  }
+
   /** The maintenance stream over prebuilt stores: replay files from
     * `inDir`, checkpoint + mutable stores under `root`. One
     * `Trigger.AvailableNow` pass per invocation of the returned
@@ -528,7 +546,9 @@ object FactorQueries {
               .write.partitionBy("day").mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .parquet(s"$root/firstbar")
-            onBatch(batch, d1)
+            batchCtx.set(Some(BatchCtx(dEnd, priorFb)))
+            try onBatch(batch, d1)
+            finally batchCtx.remove()
           }
           if (failAfterWritesOf.contains(batchId))
             throw new RuntimeException(
@@ -608,11 +628,17 @@ object FactorQueries {
     holder._2()
   }
 
-  /** Recursive copy, excluding top-level entries in `exclude`. */
+  /** Recursive copy, excluding top-level entries in `exclude`.
+    * Directories are created in walk order first, then the FILE
+    * copies run on a bounded pool (r20 optimization: a seed store is
+    * a few hundred small parquet files — day partitions × stores —
+    * and every streamed-entry run pays one full copy; the serial walk
+    * was measurable against tmpfs). Any copy failure propagates. */
   private def copyTree(src: String, dst: String,
       exclude: Set[String] = Set.empty): Unit = {
     val from = java.nio.file.Paths.get(src)
     val to = java.nio.file.Paths.get(dst)
+    val files = Vector.newBuilder[(java.nio.file.Path, java.nio.file.Path)]
     val st = java.nio.file.Files.walk(from)
     try {
       st.forEach { p =>
@@ -624,12 +650,29 @@ object FactorQueries {
             java.nio.file.Files.createDirectories(t)
           else {
             java.nio.file.Files.createDirectories(t.getParent)
-            java.nio.file.Files.copy(p, t,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            files += ((p, t))
           }
         }
       }
     } finally st.close()
+    val fs = files.result()
+    if (fs.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, fs.size), r => {
+          val t = new Thread(r, "graft-seed-copy"); t.setDaemon(true); t
+        })
+      try {
+        val futures = fs.map { case (p, t) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              java.nio.file.Files.copy(p, t,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+            }
+          })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+    }
   }
 
   /** The shared base seed: bars + first-bar registry + replay files
@@ -1039,7 +1082,8 @@ object FactorQueries {
 
   private def emaOnBatch(s: SparkSession)(root: String)
       : (DataFrame, Long) => Unit = (batch, d1) => {
-    val dEnd = batch.agg(max("day")).head().getLong(0)
+    val dEnd = batchCtx.get().map(_.dEnd)
+      .getOrElse(batch.agg(max("day")).head().getLong(0))
     // window-input tail: the kernel's lookbacks are ROW frames
     // (kdj-rsv = 9 rows, force-fin lag = 1 row), so under a
     // per-stock trading gap "8 days" ≠ "8 rows" — the adaptive
@@ -1213,8 +1257,14 @@ object FactorQueries {
         .select(batch.schema.fieldNames.map(col): _*)
     }
     // latest first-bar snapshot strictly below the batch (retry
-    // guard), if the store has one
-    val fb: Option[DataFrame] = {
+    // guard), if the store has one; inside a stream batch the
+    // BatchCtx hands over the snapshot frame [[streamStart]] already
+    // resolved for the registry extension (same filter, same files —
+    // snapshot retirement keeps ≥ 2, so a mid-stream compaction
+    // never deletes the one below the live batch)
+    val fb: Option[DataFrame] = batchCtx.get().map(_.priorFb).map { pf =>
+      Some(pf)
+    }.getOrElse {
       val p = s"$root/firstbar"
       val (fs, fbP) = fsPath(p)
       if (!fs.exists(fbP) || !fs.getFileStatus(fbP).isDirectory) None
@@ -1389,7 +1439,8 @@ object FactorQueries {
 
   private def sentimentOnBatch(s: SparkSession)(root: String)
       : (DataFrame, Long) => Unit = (batch, d1) => {
-    val dEnd = batch.agg(max("day")).head().getLong(0)
+    val dEnd = batchCtx.get().map(_.dEnd)
+      .getOrElse(batch.agg(max("day")).head().getLong(0))
     // the limit flags need ONLY the lag-1 close (row-based), so
     // keep just the LAST ROW per stock of the adaptive read —
     // without the truncation every batch would run flags over

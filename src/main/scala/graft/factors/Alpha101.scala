@@ -102,12 +102,13 @@ object Alpha101 {
   /** scipy rankdata(arr)[-1]: average-tie rank of the current value
     * within its trailing window, raw 1..n; null for a null input
     * (collect_list drops nulls, so the window holds the non-null
-    * history). */
+    * history). One native fold ([[graft.expressions.TsRankAvgFold]],
+    * r20: replaces two interpreted `size(filter(...))` HOF passes per
+    * row; bit-identical by the fold's comparator contract, pinned by
+    * the hash-exact q90 goldens). */
   private def tsRankAvg(x: Column, d: Int): Column = {
     val arr = collect_list(x).over(t(d))
-    val lt = size(filter(arr, v => v < x)).cast(DoubleType)
-    val eq = size(filter(arr, v => v === x)).cast(DoubleType)
-    when(x.isNotNull, lt + (eq + lit(1.0)) / lit(2.0))
+    graft.ops.TsOps.bridged2(graft.expressions.TsRankAvgFold.apply)(arr, x)
   }
 
   /** np.argmax over the trailing window: 0-based first-max index
@@ -131,20 +132,16 @@ object Alpha101 {
     * the in-flight null marker (the pipeline never produces NaN). */
   private def dlNullSlot(x: Column, d: Int): Column = {
     val arr = collect_list(coalesce(x, lit(Double.NaN))).over(t(d))
-    val n = size(arr)
-    val wsum = aggregate(
-      zip_with(arr, sequence(lit(1), n), (v, wt) => v * wt),
-      lit(0.0), (acc, v) => when(isnan(v), acc).otherwise(acc + v))
-    when(exists(arr, v => !isnan(v)), wsum / (n * (n + 1) / lit(2.0)))
+    graft.ops.TsOps.bridged1(
+      graft.expressions.DecayLinearFold(_, nullSlot = true))(arr)
   }
 
   /** product(x, d): sequential fold over the non-null window values
     * (alpha101_engine.py:69-72); all-null window -> null, matching
     * DuckDB's aggregate-over-empty-list. */
-  private def tsProd(x: Column, d: Int): Column = {
-    val arr = collect_list(x).over(t(d))
-    when(size(arr) > 0, aggregate(arr, lit(1.0), (acc, v) => acc * v))
-  }
+  private def tsProd(x: Column, d: Int): Column =
+    graft.ops.TsOps.bridged1(graft.expressions.ProdFold.apply)(
+      collect_list(x).over(t(d)))
 
   /** Null-skipping pairwise max/min with EXPLICIT case logic — Spark
     * greatest/least and DuckDB greatest/least differ on null inputs,

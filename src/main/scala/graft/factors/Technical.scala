@@ -93,8 +93,8 @@ object Technical {
       .withColumn("tp_arr", tpArr)
       // window mean (cheaper than re-folding the array; same value)
       .withColumn("tp_m", avg(col("tp")).over(t(14)))
-      .withColumn("tp_md", aggregate(col("tp_arr"), lit(0.0),
-        (a, x) => a + abs(x - col("tp_m"))) / size(col("tp_arr")))
+      .withColumn("tp_md", TsOps.bridged2(
+        graft.expressions.MeanAbsDevFold.apply)(col("tp_arr"), col("tp_m")))
       .withColumn("cci_14", div(col("tp") - col("tp_m"), lit(0.015) * col("tp_md")))
       .withColumn("wr_14", div(hh14 - col("close"), hh14 - ll14) * -100.0)
       .withColumn("mfi_14", div(lit(100.0) * sum(col("mf_pos")).over(t(14)),

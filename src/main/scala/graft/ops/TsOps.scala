@@ -128,8 +128,26 @@ object TsOps {
       .drop(t)
   }
 
+  /** Native-fold Column wrappers (r20): the factor tier's per-row
+    * array kernels go through [[graft.expressions]] folds instead of
+    * HOF lambdas (interpreted per element — see ArrayFolds.scala's
+    * bit-exactness contract). */
+  private[graft] def bridged1(f: org.apache.spark.sql.catalyst.expressions.Expression =>
+      org.apache.spark.sql.catalyst.expressions.Expression)(a: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      f(org.apache.spark.sql.graftbridge.ColumnBridge.expression(a)))
+  private[graft] def bridged2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression) =>
+      org.apache.spark.sql.catalyst.expressions.Expression)(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      f(org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   /** Rolling product, exact (alpha101_engine.py:69-72 uses exp(Σlog);
-    * we multiply directly via a fold so sign/zero are handled). */
+    * we multiply directly via a fold so sign/zero are handled).
+    * NOTE: unlike [[graft.factors.Alpha101]]'s tsProd there is no
+    * empty-array guard — an all-null window folds to the 1.0 start
+    * value, the pinned q162 convention. */
   def tsProduct(x: Column, d: Int, w: WindowSpec): Column = {
     val arr = collect_list(x).over(trailing(w, d))
     aggregate(arr, lit(1.0), (acc, v) => acc * v)
@@ -148,20 +166,19 @@ object TsOps {
   def tsArgMaxArr(arr: Column): Column =
     (size(arr) - array_position(arr, array_max(arr))).cast(DoubleType)
 
-  /** Rank of the LAST element within its array, in (0,1]. */
-  def tsRankArr(arr: Column): Column = {
-    val cur = element_at(arr, -1)
-    size(filter(arr, v => v <= cur)).cast(DoubleType) / size(arr).cast(DoubleType)
-  }
+  /** Rank of the LAST element within its array, in (0,1] — one
+    * native pass ([[graft.expressions.TsRankLeFold]], r20; was
+    * `size(filter(arr, v <= last)) / size(arr)`). */
+  def tsRankArr(arr: Column): Column =
+    bridged1(graft.expressions.TsRankLeFold.apply)(arr)
 
   /** Linear-decay weighted mean of the array: weights 1..n, last
-    * element (the newest row in window form) weight n. */
-  def decayLinearArr(arr: Column): Column = {
-    val n = size(arr)
-    val weighted = zip_with(arr, sequence(lit(1), n), (v, wt) => v * wt)
-    aggregate(weighted, lit(0.0), (acc, v) => acc + v) /
-      (n * (n + 1) / lit(2.0))
-  }
+    * element (the newest row in window form) weight n. One native
+    * fold ([[graft.expressions.DecayLinearFold]], r20; was the
+    * `aggregate(zip_with(...))` HOF chain — bit-identical by the
+    * fold's association contract). */
+  def decayLinearArr(arr: Column): Column =
+    bridged1(graft.expressions.DecayLinearFold(_, nullSlot = false))(arr)
 
   /** Rows since the oldest occurrence of the window max
     * (alpha101_engine.py:47-50; convention pinned in the scaladoc). */
