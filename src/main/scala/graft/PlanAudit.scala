@@ -39,7 +39,12 @@ object PlanAudit {
       "shj" -> n("ShuffledHashJoin"),
       "bnlj" -> n("BroadcastNestedLoopJoin"),
       "cart" -> n("CartesianProduct"),
-      "win" -> n("Window ["),
+      // "Window [" also substring-matches "TsWindow [" — subtract so
+      // the two lowerings are separately visible (r20: a TS-shaped
+      // Window op that silently stops lowering to TsWindow would
+      // otherwise keep an identical signature)
+      "win" -> (n("Window [") - n("TsWindow [")),
+      "tswin" -> n("TsWindow ["),
       "mrank" -> n("MultiRank ["),
       "gen" -> n("Generate "),
     ).map { case (k, v) => s"$k=$v" }.mkString(" ")

@@ -17,6 +17,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // mount the batched TS-window lowering wherever driver tables are
+    // read (idempotent; the strategy falls back per-operator) — the
+    // TS entries window over events/lineitem frames directly
+    org.apache.spark.sql.graftbridge.PlanBridge.installStrategy(
+      spark, graft.plans.TsWindowStrategy)
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
       // default; read as long nanos and convert to a µs timestamp.

@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
 object Quotes {
 
   def panel(spark: SparkSession, sfDir: String): DataFrame = {
+    // every factor pipeline windows over this frame — mount the
+    // batched TS-window lowering on the session here (idempotent;
+    // [[graft.plans.TsWindowStrategy]] falls back per-operator)
+    org.apache.spark.sql.graftbridge.PlanBridge.installStrategy(
+      spark, graft.plans.TsWindowStrategy)
     val e = Tables.load(spark, sfDir, "events")
     // alias BEFORE the window so the row_number exchange is keyed on
     // `stock` itself: partitioning by user_id and renaming afterwards
@@ -52,6 +57,10 @@ object Quotes {
     * axis). Same arithmetic, so the exact-double / hash-stability
     * properties in the object doc hold for every caller. */
   def derive(base: DataFrame): DataFrame = {
+    // spec fixtures feed synthetic axis frames directly — same
+    // lowering seam as [[panel]]
+    org.apache.spark.sql.graftbridge.PlanBridge.installStrategy(
+      base.sparkSession, graft.plans.TsWindowStrategy)
     def f(a: Int, b: Int): Column =
       ((col("stock") * a + col("day") * b) % 64).cast("double") / 64.0
 
